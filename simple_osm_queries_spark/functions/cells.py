@@ -1,0 +1,237 @@
+"""Cell / spatial-index encoders.
+
+The reference indexes features into a flat lon/lat grid:
+``CellIndex{int(x / cellWidth), int(y / cellHeight)}``
+(/root/reference/src/common/cell.go:7-9). Note Go's ``int()`` conversion
+TRUNCATES TOWARD ZERO (it is not floor) — we replicate that exactly with
+Spark's double→int cast, which also truncates toward zero.
+
+On top of the reference-parity grid we add the distributed-index encoders the
+north rule asks for:
+
+* ``tile_x/tile_y/tile_id`` — Web-Mercator slippy tiles (raster<->vector tile
+  assignment, z-order locality),
+* ``cell_h3``/``cell_s2`` — vectorized pandas-UDF adapters; they use the real
+  ``h3``/``s2sphere`` libraries when importable and otherwise fall back to a
+  clearly-documented deterministic aperture-4 quadtree id (slippy tile at an
+  equivalent resolution) so the whole pipeline stays runnable in minimal
+  environments. The fallback is a valid hierarchical cell id with the same
+  containment/k-ring algebra; it is NOT bit-compatible with real H3/S2.
+
+All hot-path encoders are pure JVM column math (whole-stage codegen); only the
+H3/S2 adapters drop to Arrow-batched pandas UDFs (never per-row Python).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Default grid: the reference always uses 0.1° x 0.1° cells
+# (/root/reference/src/importing/import.go:17, src/main.go:93).
+DEFAULT_CELL_W = 0.1
+DEFAULT_CELL_H = 0.1
+
+# Packing offsets: grid x in [-1800,1800] for w=0.1; 2^20 leaves headroom for
+# much finer grids. cell_id is monotone in (x, y) lexicographic order.
+_OFF = 1 << 20
+_SHIFT = 21
+
+
+def cell_x(lon: Column, cell_w: float = DEFAULT_CELL_W) -> Column:
+    """Grid x index. Truncation toward zero, per Go int() conversion."""
+    return (lon / F.lit(float(cell_w))).cast("int")
+
+
+def cell_y(lat: Column, cell_h: float = DEFAULT_CELL_H) -> Column:
+    return (lat / F.lit(float(cell_h))).cast("int")
+
+
+def pack_cell(x: Column, y: Column) -> Column:
+    """Pack (x, y) grid indices into one long (x-major order)."""
+    return ((x.cast("long") + F.lit(_OFF)) * F.lit(1 << _SHIFT)) + (
+        y.cast("long") + F.lit(_OFF)
+    )
+
+
+def unpack_cell(cell: Column) -> tuple[Column, Column]:
+    x = (cell / F.lit(1 << _SHIFT)).cast("long") - F.lit(_OFF)
+    y = (cell % F.lit(1 << _SHIFT)).cast("long") - F.lit(_OFF)
+    return x.cast("int"), y.cast("int")
+
+
+def cell_of(lon: Column, lat: Column, cell_w: float = DEFAULT_CELL_W, cell_h: float = DEFAULT_CELL_H) -> Column:
+    """Packed grid cell id for a coordinate (the engine's partition key)."""
+    return pack_cell(cell_x(lon, cell_w), cell_y(lat, cell_h))
+
+
+# ---------------------------------------------------------------------------
+# Driver-side helpers (tiny, query-planning only — mirror common/cell.go)
+# ---------------------------------------------------------------------------
+
+
+def _trunc(v: float) -> int:
+    """Go int() conversion: truncation toward zero."""
+    return int(v)  # Python int() also truncates toward zero
+
+
+def cell_xy_py(lon: float, lat: float, cell_w: float = DEFAULT_CELL_W, cell_h: float = DEFAULT_CELL_H) -> tuple[int, int]:
+    return _trunc(lon / cell_w), _trunc(lat / cell_h)
+
+
+def pack_cell_py(x: int, y: int) -> int:
+    return ((x + _OFF) << _SHIFT) + (y + _OFF)
+
+
+def cover_bbox_py(
+    min_lon: float,
+    min_lat: float,
+    max_lon: float,
+    max_lat: float,
+    cell_w: float = DEFAULT_CELL_W,
+    cell_h: float = DEFAULT_CELL_H,
+) -> tuple[int, int, int, int]:
+    """Cell range covering a bbox: (min_x, min_y, max_x, max_y) inclusive.
+
+    Mirrors /root/reference/src/index/grid_reader.go:41-42 (min/max cell of
+    the two bbox corners, inclusive scan over the rectangle).
+    """
+    x0, y0 = cell_xy_py(min_lon, min_lat, cell_w, cell_h)
+    x1, y1 = cell_xy_py(max_lon, max_lat, cell_w, cell_h)
+    return min(x0, x1), min(y0, y1), max(x0, x1), max(y0, y1)
+
+
+def k_ring_py(x: int, y: int, k: int) -> list[tuple[int, int]]:
+    """All grid cells within Chebyshev distance k (the (2k+1)^2 block).
+
+    The planner's kNN candidate expansion; the moral equivalent of H3's
+    k-ring on the flat grid / quadtree fallback.
+    """
+    return [(x + dx, y + dy) for dx in range(-k, k + 1) for dy in range(-k, k + 1)]
+
+
+# ---------------------------------------------------------------------------
+# Web-Mercator slippy tiles (column math; tile assignment + quadtree fallback)
+# ---------------------------------------------------------------------------
+
+MAX_MERCATOR_LAT = 85.05112878
+
+
+def tile_x(lon: Column, zoom: int) -> Column:
+    n = F.lit(float(1 << zoom))
+    tx = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * n).cast("int")
+    # clamp lon=180 edge into the last tile
+    return F.least(F.greatest(tx, F.lit(0)), F.lit((1 << zoom) - 1))
+
+
+def tile_y(lat: Column, zoom: int) -> Column:
+    n = F.lit(float(1 << zoom))
+    lat_c = F.least(F.greatest(lat, F.lit(-MAX_MERCATOR_LAT)), F.lit(MAX_MERCATOR_LAT))
+    lat_rad = F.radians(lat_c)
+    ty = F.floor(
+        (F.lit(1.0) - F.log(F.tan(lat_rad) + F.lit(1.0) / F.cos(lat_rad)) / F.lit(math.pi))
+        / F.lit(2.0)
+        * n
+    ).cast("int")
+    return F.least(F.greatest(ty, F.lit(0)), F.lit((1 << zoom) - 1))
+
+
+def tile_id(tx: Column, ty: Column, zoom: int) -> Column:
+    """Pack (zoom, tx, ty) into one long: zoom<<58 | tx<<29 | ty (zoom<=29)."""
+    return (
+        F.lit(zoom).cast("long") * F.lit(1 << 58)
+        + tx.cast("long") * F.lit(1 << 29)
+        + ty.cast("long")
+    )
+
+
+def tile_of(lon: Column, lat: Column, zoom: int) -> Column:
+    return tile_id(tile_x(lon, zoom), tile_y(lat, zoom), zoom)
+
+
+def tile_xy_py(lon: float, lat: float, zoom: int) -> tuple[int, int]:
+    n = 1 << zoom
+    tx = int(math.floor((lon + 180.0) / 360.0 * n))
+    lat_c = min(max(lat, -MAX_MERCATOR_LAT), MAX_MERCATOR_LAT)
+    lat_rad = math.radians(lat_c)
+    ty = int(math.floor((1.0 - math.log(math.tan(lat_rad) + 1.0 / math.cos(lat_rad)) / math.pi) / 2.0 * n))
+    return min(max(tx, 0), n - 1), min(max(ty, 0), n - 1)
+
+
+def tile_id_py(tx: int, ty: int, zoom: int) -> int:
+    return (zoom << 58) | (tx << 29) | ty
+
+
+# ---------------------------------------------------------------------------
+# H3 / S2 adapters (vectorized pandas UDFs; deterministic quadtree fallback)
+# ---------------------------------------------------------------------------
+
+try:  # pragma: no cover - depends on environment
+    import h3 as _h3  # type: ignore
+
+    HAVE_H3 = True
+except ImportError:  # pragma: no cover
+    _h3 = None
+    HAVE_H3 = False
+
+try:  # pragma: no cover
+    import s2sphere as _s2  # type: ignore
+
+    HAVE_S2 = True
+except ImportError:  # pragma: no cover
+    _s2 = None
+    HAVE_S2 = False
+
+# Fallback resolution mapping: H3 res r hexes have ~ the linear size of slippy
+# tiles at zoom r+7 (res 7 edge ~1.2 km ~ z14 tile ~2.4 km).
+_H3_FALLBACK_ZOOM_OFFSET = 7
+# S2 level l cells ~ slippy tiles at zoom l-1.
+_S2_FALLBACK_ZOOM_OFFSET = -1
+
+
+def _fallback_tile_ids(lon: pd.Series, lat: pd.Series, zoom: int) -> pd.Series:
+    import numpy as np
+
+    n = 1 << zoom
+    tx = np.floor((lon.to_numpy() + 180.0) / 360.0 * n).astype("int64")
+    lat_c = np.clip(lat.to_numpy(), -MAX_MERCATOR_LAT, MAX_MERCATOR_LAT)
+    lat_rad = np.radians(lat_c)
+    ty = np.floor((1.0 - np.log(np.tan(lat_rad) + 1.0 / np.cos(lat_rad)) / math.pi) / 2.0 * n).astype("int64")
+    tx = np.clip(tx, 0, n - 1)
+    ty = np.clip(ty, 0, n - 1)
+    return pd.Series((zoom << 58) | (tx << 29) | ty)
+
+
+def cell_h3(lon: Column, lat: Column, res: int = 8) -> Column:
+    """H3 cell id (long). Real h3 when available, quadtree fallback otherwise."""
+
+    @F.pandas_udf(T.LongType())
+    def _enc(lo: pd.Series, la: pd.Series) -> pd.Series:
+        if HAVE_H3:
+            return pd.Series(
+                [_h3.str_to_int(_h3.latlng_to_cell(b, a, res)) for a, b in zip(lo, la)],
+                dtype="int64",
+            )
+        return _fallback_tile_ids(lo, la, res + _H3_FALLBACK_ZOOM_OFFSET)
+
+    return _enc(lon, lat)
+
+
+def cell_s2(lon: Column, lat: Column, level: int = 12) -> Column:
+    """S2 cell id (long). Real s2sphere when available, quadtree fallback otherwise."""
+
+    @F.pandas_udf(T.LongType())
+    def _enc(lo: pd.Series, la: pd.Series) -> pd.Series:
+        if HAVE_S2:
+            out = []
+            for a, b in zip(lo, la):
+                cid = _s2.CellId.from_lat_lng(_s2.LatLng.from_degrees(b, a)).parent(level)
+                out.append(cid.id() - (1 << 63))  # wrap uint64 into signed long
+            return pd.Series(out, dtype="int64")
+        return _fallback_tile_ids(lo, la, max(level + _S2_FALLBACK_ZOOM_OFFSET, 0))
+
+    return _enc(lon, lat)

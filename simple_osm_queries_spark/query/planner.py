@@ -1,0 +1,252 @@
+"""AST -> DataFrame planner.
+
+Where the reference interprets the AST per feature over channel scans
+(/root/reference/src/query/statement.go:39-70, filter.go), we compile the
+whole query into ONE declarative DataFrame plan and let Catalyst do pruning,
+pushdown and join selection:
+
+* bbox scan (S2)       -> cell-range + bbox column predicates; on a
+  cell-partitioned table these prune partitions/row-groups (the Spark
+  analogue of reading only the cell files in range, grid_reader.go:39-78);
+* tag filters (F4-F8)  -> null-safe boolean column math on the tags map,
+  incl. the "no key => false for every operator" rule (filter.go:108-110)
+  and natural-order comparisons (functions/natural_sort.py);
+* this.* (J1/J2)       -> DECORRELATED: the inner statement's qualifying ids
+  become a DataFrame built once; membership is explode(adjacency) + left-semi
+  join, re-attached as a boolean column so it composes with arbitrary
+  AND/OR/NOT nesting. This strictly dominates the reference's memoized
+  nested-loop (filter.go:166-337). The reference restricts inner candidates
+  to the outer feature's cells — semantically neutral, because direct
+  membership implies cell co-location (grid_writer.go:90-252 stores parents
+  in every member cell), so we skip it and keep the plan shuffle-minimal.
+* multiple top-level statements -> unionByName (query.go:29-35).
+
+Output schema is uniform across object types:
+(osm_type, id, lon, lat, min_lon, min_lat, max_lon, max_lat, tags, nodes)
+— nodes only populated for ways (ordered coordinate array for GeoJSON).
+
+Note on duplicates: the reference emits a way once per scanned cell it spans
+(statement.go appends per-cell batches without dedup); we return each object
+exactly once — one row per feature, the documented intent of the language.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from simple_osm_queries_spark.functions import cells as C
+from simple_osm_queries_spark.functions import geometry as G
+from simple_osm_queries_spark.functions.natural_sort import natural_cmp
+from simple_osm_queries_spark.query import ast
+from simple_osm_queries_spark.sources.dataset import OsmDataset
+
+
+class PlanError(ValueError):
+    pass
+
+
+# outer object type x inner query type -> adjacency column on the outer row.
+# Mirrors the membership matrix in filter.go:266-334.
+_ADJACENCY = {
+    ("node", "ways"): "way_ids",
+    ("node", "relations"): "relation_ids",
+    ("way", "nodes"): "__way_node_ids",  # ids of the way's own nodes
+    ("way", "relations"): "relation_ids",
+    ("relation", "nodes"): "node_member_ids",
+    ("relation", "ways"): "way_member_ids",
+    ("relation", "relations"): "parent_relation_ids",
+    ("relation", "child_relations"): "child_relation_ids",
+}
+
+_FLAG = itertools.count()
+
+
+def _tag_value(key: str) -> Column:
+    return F.element_at(F.col("tags"), F.lit(key))
+
+
+def _has_key(key: str) -> Column:
+    return F.map_contains_key(F.col("tags"), F.lit(key))
+
+
+def _nn(col: Column) -> Column:
+    """Null-safe: absent key must yield False, not NULL, so that NOT/OR over
+    it keeps two-valued semantics like the reference's interpreter."""
+    return F.coalesce(col, F.lit(False))
+
+
+def compile_filter(
+    df: DataFrame, expr: ast.FilterExpr, outer_type: str, dataset: OsmDataset
+) -> tuple[DataFrame, Column]:
+    """Returns (possibly augmented df, boolean Column). Sub-statements add
+    precomputed membership flag columns to df; everything else is pure
+    column math."""
+    if isinstance(expr, ast.TagFilter):
+        v = _tag_value(expr.key)
+        if expr.op == "=":
+            pred = _nn(v == F.lit(expr.value))
+        elif expr.op == "!=":
+            # key must exist AND value differ (filter.go:108-115)
+            pred = _nn(v != F.lit(expr.value))
+        else:
+            pred = _has_key(expr.key) & _nn(natural_cmp(v, expr.op, expr.value))
+        return df, pred
+    if isinstance(expr, ast.KeyFilter):
+        hk = _has_key(expr.key)
+        return df, hk if expr.present else ~hk
+    if isinstance(expr, ast.Not):
+        df, inner = compile_filter(df, expr.expr, outer_type, dataset)
+        return df, ~inner
+    if isinstance(expr, ast.And):
+        df, a = compile_filter(df, expr.a, outer_type, dataset)
+        df, b = compile_filter(df, expr.b, outer_type, dataset)
+        return df, a & b
+    if isinstance(expr, ast.Or):
+        df, a = compile_filter(df, expr.a, outer_type, dataset)
+        df, b = compile_filter(df, expr.b, outer_type, dataset)
+        return df, a | b
+    if isinstance(expr, ast.SubStatement):
+        return _compile_substatement(df, expr.statement, outer_type, dataset)
+    raise PlanError(f"Unknown filter expression {expr!r}")
+
+
+def _compile_substatement(
+    df: DataFrame, stmt: ast.Statement, outer_type: str, dataset: OsmDataset
+) -> tuple[DataFrame, Column]:
+    inner_qtype = stmt.query_type
+    adjacency = _ADJACENCY.get((outer_type, inner_qtype))
+    if adjacency is None:
+        raise PlanError(
+            f"this.{inner_qtype} is not valid inside a {outer_type} statement"
+        )
+
+    inner_base = ast.BASE_TYPE[inner_qtype]
+    inner_df = dataset.df_for(inner_base)
+    inner_df, inner_pred = compile_filter(inner_df, stmt.filter, inner_base, dataset)
+    inner_ids = inner_df.filter(inner_pred).select(F.col("id").alias("__mid"))
+
+    if adjacency == "__way_node_ids":
+        adj_col = F.col("node_ids")  # a way's member-node ids
+    else:
+        adj_col = F.col(adjacency)
+
+    flag = f"__sub_{next(_FLAG)}"
+    matched = (
+        df.select("id", F.explode(adj_col).alias("__mid"))
+        .join(inner_ids, "__mid", "left_semi")
+        .select("id")
+        .distinct()
+        .withColumn(flag, F.lit(True))
+    )
+    df = df.join(matched, "id", "left")
+    return df, F.coalesce(F.col(flag), F.lit(False))
+
+
+def _bbox_predicate(df: DataFrame, bbox: ast.Bbox, object_type: str, dataset: OsmDataset) -> Column:
+    """Query-bbox-vs-feature-bound intersection (grid_reader.go:180-184),
+    plus the cell-range prune that mirrors reading only cells in range."""
+    if object_type == "node":
+        cmin_x, cmin_y, cmax_x, cmax_y = C.cover_bbox_py(
+            bbox.min_lon, bbox.min_lat, bbox.max_lon, bbox.max_lat, dataset.cell_w, dataset.cell_h
+        )
+        prune = (
+            (F.col("cell_x") >= F.lit(cmin_x))
+            & (F.col("cell_x") <= F.lit(cmax_x))
+            & (F.col("cell_y") >= F.lit(cmin_y))
+            & (F.col("cell_y") <= F.lit(cmax_y))
+        )
+        refine = G.point_in_bbox(
+            F.col("lon"), F.col("lat"), bbox.min_lon, bbox.min_lat, bbox.max_lon, bbox.max_lat
+        )
+        return prune & refine
+    # ways and relations carry min/max bound columns; the bound intersection
+    # doubles as the prune predicate (parquet min/max stats skip row groups).
+    return G.bbox_intersects(
+        F.col("min_lon"),
+        F.col("min_lat"),
+        F.col("max_lon"),
+        F.col("max_lat"),
+        bbox.min_lon,
+        bbox.min_lat,
+        bbox.max_lon,
+        bbox.max_lat,
+    )
+
+
+def _null_d() -> Column:
+    return F.lit(None).cast("double")
+
+
+def _null_nodes() -> Column:
+    return F.lit(None).cast("array<struct<id:long,lon:double,lat:double>>")
+
+
+def _project_output(df: DataFrame, object_type: str) -> DataFrame:
+    if object_type == "node":
+        return df.select(
+            F.lit("node").alias("osm_type"),
+            "id",
+            "lon",
+            "lat",
+            F.col("lon").alias("min_lon"),
+            F.col("lat").alias("min_lat"),
+            F.col("lon").alias("max_lon"),
+            F.col("lat").alias("max_lat"),
+            "tags",
+            _null_nodes().alias("nodes"),
+        )
+    if object_type == "way":
+        return df.select(
+            F.lit("way").alias("osm_type"),
+            "id",
+            _null_d().alias("lon"),
+            _null_d().alias("lat"),
+            "min_lon",
+            "min_lat",
+            "max_lon",
+            "max_lat",
+            "tags",
+            F.col("nodes"),
+        )
+    return df.select(
+        F.lit("relation").alias("osm_type"),
+        "id",
+        _null_d().alias("lon"),
+        _null_d().alias("lat"),
+        "min_lon",
+        "min_lat",
+        "max_lon",
+        "max_lat",
+        "tags",
+        _null_nodes().alias("nodes"),
+    )
+
+
+def plan_statement(stmt: ast.Statement, dataset: OsmDataset) -> DataFrame:
+    if not isinstance(stmt.location, ast.Bbox):
+        raise PlanError("Top-level statements require a bbox(...) location")
+    if stmt.query_type == "child_relations":
+        raise PlanError("'child_relations' is only valid in sub-statements")
+    object_type = ast.BASE_TYPE[stmt.query_type]
+    df = dataset.df_for(object_type)
+    df = df.filter(_bbox_predicate(df, stmt.location, object_type, dataset))
+    df, pred = compile_filter(df, stmt.filter, object_type, dataset)
+    return _project_output(df.filter(pred), object_type)
+
+
+def plan_query(query: ast.Query, dataset: OsmDataset) -> DataFrame:
+    result = None
+    for stmt in query.statements:
+        stmt_df = plan_statement(stmt, dataset)
+        result = stmt_df if result is None else result.unionByName(stmt_df)
+    assert result is not None
+    return result
+
+
+def run_query(text: str, dataset: OsmDataset) -> DataFrame:
+    from simple_osm_queries_spark.query.parser import parse_query
+
+    return plan_query(parse_query(text), dataset)

@@ -1,0 +1,42 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local mode is the test harness; the configs are chosen so the same code path
+works on a multi-executor cluster (AQE on, skew-join splitting on, Arrow on).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "simple_osm_queries_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``cores=None`` means ``local[*]``. On a real cluster, callers pass a
+    builder-less spark-submit session instead; these configs are also safe
+    as ``--conf`` flags there.
+    """
+    master = f"local[{cores}]" if cores else "local[*]"
+    n_shuffle = shuffle_partitions or (cores if cores else os.cpu_count() or 8)
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SOQ_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

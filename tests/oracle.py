@@ -1,0 +1,161 @@
+"""Single-process Python oracle implementing the reference semantics directly.
+
+Independent of the Spark planner: plain dict/list evaluation mirroring
+/root/reference/src/query/{statement,filter,location}.go and the import-time
+derivations in src/index/grid_writer.go. Used by tests to check the Spark
+engine's results feature-for-feature.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from simple_osm_queries_spark.functions.natural_sort import natural_is_less_py
+from simple_osm_queries_spark.query import ast
+
+
+@dataclass
+class Feat:
+    osm_type: str
+    id: int
+    tags: dict
+    lon: float | None = None
+    lat: float | None = None
+    bbox: tuple | None = None  # (min_lon, min_lat, max_lon, max_lat)
+    node_ids: list = field(default_factory=list)  # way members / relation node members
+    way_ids: list = field(default_factory=list)  # node->ways reverse / relation way members
+    relation_ids: list = field(default_factory=list)  # node/way -> relations reverse
+    parent_relation_ids: list = field(default_factory=list)
+    child_relation_ids: list = field(default_factory=list)
+
+
+@dataclass
+class OracleData:
+    nodes: dict
+    ways: dict
+    relations: dict
+
+    @classmethod
+    def build(cls, nodes_pdf, ways_pdf, relations_pdf) -> "OracleData":
+        nodes = {}
+        for r in nodes_pdf.itertuples():
+            nodes[r.id] = Feat(
+                "node", r.id, dict(r.tags), lon=r.lon, lat=r.lat,
+                bbox=(r.lon, r.lat, r.lon, r.lat),
+            )
+        ways = {}
+        for r in ways_pdf.itertuples():
+            lons = [nodes[n].lon for n in r.node_ids]
+            lats = [nodes[n].lat for n in r.node_ids]
+            ways[r.id] = Feat(
+                "way", r.id, dict(r.tags), node_ids=list(r.node_ids),
+                bbox=(min(lons), min(lats), max(lons), max(lats)),
+            )
+            for n in r.node_ids:
+                if r.id not in nodes[n].way_ids:
+                    nodes[n].way_ids.append(r.id)
+        relations = {}
+        for r in relations_pdf.itertuples():
+            relations[r.id] = Feat(
+                "relation", r.id, dict(r.tags),
+                node_ids=list(r.node_member_ids),
+                way_ids=list(r.way_member_ids),
+                child_relation_ids=list(r.child_relation_ids),
+            )
+            for n in r.node_member_ids:
+                if r.id not in nodes[n].relation_ids:
+                    nodes[n].relation_ids.append(r.id)
+            for w in r.way_member_ids:
+                if r.id not in ways[w].relation_ids:
+                    ways[w].relation_ids.append(r.id)
+            for c in r.child_relation_ids:
+                relations[c].parent_relation_ids.append(r.id)
+        # relation bbox: union of member bboxes, children folded into parents
+        # (children have smaller ids in the fixture => process ascending)
+        for rid in sorted(relations):
+            rel = relations[rid]
+            boxes = [nodes[n].bbox for n in rel.node_ids]
+            boxes += [ways[w].bbox for w in rel.way_ids]
+            boxes += [relations[c].bbox for c in rel.child_relation_ids if relations[c].bbox]
+            if boxes:
+                rel.bbox = (
+                    min(b[0] for b in boxes),
+                    min(b[1] for b in boxes),
+                    max(b[2] for b in boxes),
+                    max(b[3] for b in boxes),
+                )
+        return cls(nodes, ways, relations)
+
+    def of_type(self, object_type: str) -> dict:
+        return {"node": self.nodes, "way": self.ways, "relation": self.relations}[object_type]
+
+
+def _natural_cmp_py(v: str, op: str, lit: str) -> bool:
+    v, lit = v.strip(), lit.strip()
+    if op == "<":
+        return natural_is_less_py(v, lit)
+    if op == ">":
+        return natural_is_less_py(lit, v)
+    if op == "<=":
+        return natural_is_less_py(v, lit) or v == lit
+    if op == ">=":
+        return natural_is_less_py(lit, v) or v == lit
+    raise ValueError(op)
+
+
+_ADJ = {
+    ("node", "ways"): "way_ids",
+    ("node", "relations"): "relation_ids",
+    ("way", "nodes"): "node_ids",
+    ("way", "relations"): "relation_ids",
+    ("relation", "nodes"): "node_ids",
+    ("relation", "ways"): "way_ids",
+    ("relation", "relations"): "parent_relation_ids",
+    ("relation", "child_relations"): "child_relation_ids",
+}
+
+
+def applies(feat: Feat, expr: ast.FilterExpr, data: OracleData) -> bool:
+    if isinstance(expr, ast.TagFilter):
+        v = feat.tags.get(expr.key)
+        if v is None:
+            return False  # filter.go:108-110: no key => false for EVERY op
+        if expr.op == "=":
+            return v == expr.value
+        if expr.op == "!=":
+            return v != expr.value
+        return _natural_cmp_py(v, expr.op, expr.value)
+    if isinstance(expr, ast.KeyFilter):
+        return (expr.key in feat.tags) == expr.present
+    if isinstance(expr, ast.Not):
+        return not applies(feat, expr.expr, data)
+    if isinstance(expr, ast.And):
+        return applies(feat, expr.a, data) and applies(feat, expr.b, data)
+    if isinstance(expr, ast.Or):
+        return applies(feat, expr.a, data) or applies(feat, expr.b, data)
+    if isinstance(expr, ast.SubStatement):
+        stmt = expr.statement
+        inner = data.of_type(ast.BASE_TYPE[stmt.query_type])
+        qualifying = {f.id for f in inner.values() if applies(f, stmt.filter, data)}
+        adj = getattr(feat, _ADJ[(feat.osm_type, stmt.query_type)])
+        return any(i in qualifying for i in adj)
+    raise ValueError(expr)
+
+
+def _bbox_intersects(fb: tuple, qb: ast.Bbox) -> bool:
+    return (
+        fb[0] <= qb.max_lon and fb[2] >= qb.min_lon and fb[1] <= qb.max_lat and fb[3] >= qb.min_lat
+    )
+
+
+def run_oracle(query: ast.Query, data: OracleData) -> list[tuple[str, int]]:
+    out = []
+    for stmt in query.statements:
+        assert isinstance(stmt.location, ast.Bbox)
+        feats = data.of_type(ast.BASE_TYPE[stmt.query_type])
+        for f in feats.values():
+            if f.bbox is None or not _bbox_intersects(f.bbox, stmt.location):
+                continue
+            if applies(f, stmt.filter, data):
+                out.append((f.osm_type, f.id))
+    return out
