@@ -1,0 +1,382 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, each a first-class distributed operator over a documents /
+embeddings table:
+
+* exact        — md5 fingerprint groupBy (hash partitionable, one shuffle);
+* ngram-jaccard— exact pairwise Jaccard over word n-gram shingles via an
+                 INVERTED INDEX join (explode shingle -> self-join ->
+                 count/union math). Fully SQL-expressible -> DuckDB oracle.
+* minhash+LSH  — signature = per-permutation min over universal-hash of
+                 shingles (pure column math, xxhash64 + modular arithmetic),
+                 banded bucketing -> candidate pairs -> estimate/verify;
+* simhash      — 64-bit sign-of-weighted-bit-sums (Arrow-batched pandas UDF
+                 over JVM-computed word hashes), chunk-banded Hamming pairs
+                 (pigeonhole: hamming<=c-1 guarantees an equal chunk among c);
+* embedding    — cosine near-dup with hyperplane-LSH candidates and exact
+                 column-math cosine verification.
+
+Scale notes: every candidate generator is an equi-join on a derived key
+(fingerprint / shingle / band bucket), so the plans shuffle on keys with
+bounded fan-out. ``max_df`` caps inverted-index hot keys (stop-shingles) —
+the dedup analogue of hot-cell salting; dropped shingles are excluded from
+BOTH candidate generation and the Jaccard estimate so the estimator stays
+consistent.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# --- exact -------------------------------------------------------------------
+
+
+def fingerprint_col(*cols: Column) -> Column:
+    return F.md5(F.concat_ws("\x1f", *cols))
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, *cols: str) -> DataFrame:
+    """One row per duplicate group: fingerprint, group size, survivor id."""
+    return (
+        df.withColumn("fingerprint", fingerprint_col(*[F.col(c) for c in cols]))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str, *cols: str) -> DataFrame:
+    """Drop exact duplicates, keeping the smallest id per fingerprint."""
+    keep = exact_dup_groups(df, id_col, *cols).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# --- shingles ------------------------------------------------------------------
+
+
+def words_col(text: Column) -> Column:
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def shingles_col(text: Column, n: int) -> Column:
+    """Distinct word n-gram shingles; a doc shorter than n words yields its
+    whole text as one shingle."""
+    w = words_col(text)
+    ngrams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+    )
+    return F.array_distinct(ngrams)
+
+
+# --- n-gram jaccard (inverted index; SQL-expressible) --------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """All pairs with Jaccard(shingles_a, shingles_b) >= threshold.
+
+    Candidates come from sharing at least one shingle (inverted index), so
+    recall is exact for threshold > 0. ``max_df`` drops shingles occurring
+    in more than max_df docs from index AND estimate (hot-key control).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles_col(F.col(text_col), n)).alias("sh")
+    )
+    if max_df is not None:
+        rare = sh.groupBy("sh").count().filter(F.col("count") <= max_df).select("sh")
+        sh = sh.join(rare, "sh", "left_semi")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("id").alias("id_a"), "sh")
+    b = sh.select(F.col("id").alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard")
+    )
+
+
+# --- minhash + LSH -------------------------------------------------------------
+
+_MH_PRIME = 4_294_967_311  # smallest prime > 2^32
+
+
+def _perm_params(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic universal-hash parameters (a odd, < 2^31)."""
+    params = []
+    a, b = 1_103_515_245, 12_345
+    x = 42
+    for _ in range(num_perm):
+        x = (a * x + b) % (1 << 31)
+        pa = (x | 1) % (1 << 31)
+        x = (a * x + b) % (1 << 31)
+        pb = x % (1 << 31)
+        params.append((pa, pb))
+    return params
+
+
+def minhash_signature_col(text: Column, n: int = 3, num_perm: int = 64) -> Column:
+    """array<long> MinHash signature, pure column math.
+
+    Shingle hash: xxhash64 masked to 32 bits so a*h+b stays in long range.
+    """
+    hashes = F.transform(
+        shingles_col(text, n), lambda s: F.xxhash64(s).bitwiseAND(F.lit(0xFFFFFFFF))
+    )
+
+    def perm_min(pa: int, pb: int):
+        # NB: a plain lambda with default args (h, pa=pa, ...) breaks pyspark's
+        # lambda-arity inspection — close over the params instead
+        return F.array_min(
+            F.transform(hashes, lambda h: (F.lit(pa) * h + F.lit(pb)) % F.lit(_MH_PRIME))
+        )
+
+    return F.array(*[perm_min(pa, pb) for pa, pb in _perm_params(num_perm)])
+
+
+def lsh_candidate_pairs(
+    signed: DataFrame, id_col: str = "id", sig_col: str = "sig", bands: int = 16
+) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing at least one LSH band bucket."""
+    num_perm_col = F.size(F.col(sig_col))
+    rows_per_band = (num_perm_col / bands).cast("int")
+    buckets = signed.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.struct(
+                    bi.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col(sig_col), bi * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = buckets.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = buckets.select(F.col("id").alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs with signature-based Jaccard estimate."""
+    signed = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature_col(F.col(text_col), n, num_perm).alias("sig"),
+    )
+    pairs = lsh_candidate_pairs(signed, "id", "sig", bands)
+    sa = signed.withColumnsRenamed({"id": "id_a", "sig": "sig_a"})
+    sb = signed.withColumnsRenamed({"id": "id_b", "sig": "sig_b"})
+    est = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard_est",
+            F.size(
+                F.filter(
+                    F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                    lambda eq: eq,
+                )
+            )
+            / F.lit(num_perm),
+        )
+        .filter(F.col("jaccard_est") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard_est")
+    )
+    return est
+
+
+# --- simhash ---------------------------------------------------------------------
+
+
+def simhash_col(text: Column, bits: int = 64) -> Column:
+    """SimHash over word hashes. Word hashing stays JVM-side (xxhash64);
+    only the bit-vote reduction is a pandas UDF (Arrow-batched)."""
+
+    @F.pandas_udf(T.LongType())
+    def _votes(hashes: pd.Series) -> pd.Series:
+        out = np.empty(len(hashes), dtype=np.int64)
+        for i, hs in enumerate(hashes):
+            if hs is None or len(hs) == 0:
+                out[i] = 0
+                continue
+            arr = np.asarray(hs, dtype=np.uint64)
+            votes = np.zeros(bits, dtype=np.int64)
+            for b in range(bits):
+                bit = (arr >> np.uint64(b)) & np.uint64(1)
+                votes[b] = int(bit.sum()) * 2 - len(arr)
+            sig = np.uint64(0)
+            for b in range(bits):
+                if votes[b] > 0:
+                    sig |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(sig.astype(np.int64))
+        return pd.Series(out)
+
+    word_hashes = F.transform(words_col(text), lambda w: F.xxhash64(w))
+    return _votes(word_hashes)
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Pairs with Hamming(simhash) <= max_hamming.
+
+    Candidates: equal 16-bit chunk in any of ``chunks`` positions —
+    pigeonhole-complete for max_hamming <= chunks-1.
+    """
+    assert max_hamming <= chunks - 1, "pigeonhole completeness requires max_hamming < chunks"
+    sh = df.select(F.col(id_col).alias("id"), simhash_col(F.col(text_col)).alias("sim"))
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    chunked = sh.select(
+        "id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("sim", c * width).bitwiseAND(F.lit(mask)).alias("val"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("cv"),
+    ).select("id", "sim", F.col("cv.chunk").alias("chunk"), F.col("cv.val").alias("val"))
+    a = chunked.select(F.col("id").alias("id_a"), F.col("sim").alias("sim_a"), "chunk", "val")
+    b = chunked.select(F.col("id").alias("id_b"), F.col("sim").alias("sim_b"), "chunk", "val")
+    return (
+        a.join(b, ["chunk", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .filter(F.col("hamming") <= F.lit(max_hamming))
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# --- embedding cosine near-dup -----------------------------------------------------
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def hyperplane_signature_col(vec: Column, dim: int, bits: int = 32, seed: int = 42) -> Column:
+    """Random-hyperplane LSH signature as a long — hyperplanes are
+    deterministic +/-1 matrices derived from (seed, bit, dim index), pure
+    column math (sign of dot with a +/-1 vector = sign of a signed sum)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    planes = rng.choice([-1.0, 1.0], size=(bits, dim))
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        plane = F.array(*[F.lit(float(x)) for x in planes[b]])
+        positive = dot_col(vec.cast("array<double>"), plane) > 0
+        sig = sig + F.when(positive, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.9,
+    sig_bits: int = 32,
+    chunks: int = 4,
+) -> DataFrame:
+    """Cosine >= threshold pairs: hyperplane-LSH chunk candidates, exact
+    column-math cosine verification. Approximate recall (LSH), exact
+    precision (verification)."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        hyperplane_signature_col(F.col(vec_col), dim, sig_bits).alias("sim"),
+    )
+    width = sig_bits // chunks
+    mask = (1 << width) - 1
+    chunked = sh.select(
+        "id",
+        "vec",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("sim", c * width).bitwiseAND(F.lit(mask)).alias("val"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("cv"),
+    ).select("id", "vec", F.col("cv.chunk").alias("chunk"), F.col("cv.val").alias("val"))
+    a = chunked.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "chunk", "val")
+    b = chunked.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "chunk", "val")
+    return (
+        a.join(b, ["chunk", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "vec_a", "vec_b")
+        .distinct()
+        .withColumn("cosine", cosine_col(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select("id_a", "id_b", "cosine")
+    )

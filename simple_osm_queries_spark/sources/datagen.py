@@ -30,7 +30,8 @@ from pyspark.sql import DataFrame, SparkSession
 from simple_osm_queries_spark.sources.codecs import encode_image
 
 PHI = 0.6180339887
-PHI2 = PHI * PHI
+PSI = 0.41421356237  # frac(sqrt(2)); NOT phi^2 = 1-phi, which would put every
+# point on the anti-diagonal line (lat fractionally = 1 - lon)
 
 LON0, LAT0, SPAN = 9.90, 53.50, 0.20
 HOT_LON0, HOT_LAT0, HOT_SPAN = 9.95, 53.55, 0.001
@@ -66,10 +67,10 @@ def _frac(x: np.ndarray) -> np.ndarray:
 def node_lonlat(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     i = ids.astype(np.float64)
     lon = LON0 + SPAN * _frac(i * PHI)
-    lat = LAT0 + SPAN * _frac(i * PHI2)
+    lat = LAT0 + SPAN * _frac(i * PSI)
     hot = ids % 100 == 0
     lon = np.where(hot, HOT_LON0 + HOT_SPAN * _frac(i * PHI), lon)
-    lat = np.where(hot, HOT_LAT0 + HOT_SPAN * _frac(i * PHI2), lat)
+    lat = np.where(hot, HOT_LAT0 + HOT_SPAN * _frac(i * PSI), lat)
     # float32 storage quantization, computed back as float64
     return lon.astype(np.float32).astype(np.float64), lat.astype(np.float32).astype(np.float64)
 

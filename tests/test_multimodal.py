@@ -1,0 +1,78 @@
+"""Multimodal plumbing: decode / verify / resize over mapInPandas, plus the
+video stub (NotImplementedError without a decoder; fake decoder exercises
+the real Spark-side flow)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from simple_osm_queries_spark.operators import multimodal
+from simple_osm_queries_spark.sources import codecs, datagen
+
+
+@pytest.fixture(scope="module")
+def image_nodes(spark):
+    return datagen.gen_nodes(spark, 60, partitions=2, with_images=True).cache()
+
+
+def test_decode_stats(image_nodes):
+    rows = {r.image_id: r for r in multimodal.decode_stats(image_nodes).collect()}
+    assert len(rows) == 60
+    assert all(r.ok for r in rows.values())
+    assert all(r.width == 32 and r.height == 32 for r in rows.values())
+    # spot-check channel means against the generation rule
+    px = datagen.image_pixels(0)
+    r0 = rows["img0000000000"]
+    assert r0.mean_r == pytest.approx(px[:, :, 0].mean())
+    assert r0.mean_b == pytest.approx(px[:, :, 2].mean())
+
+
+def test_verify_invariants_all_pass(image_nodes):
+    res = multimodal.verify_invariants(image_nodes)
+    bad = res.filter(~F.col("pixels_ok") | ~F.col("caption_ok")).collect()
+    assert bad == []
+    by_fmt = {r.fmt: r for r in res.collect()}
+    assert by_fmt["png"].psnr >= 1e9  # inf clamped
+    assert 40.0 <= by_fmt["jpeg"].psnr < 1e9  # genuinely lossy
+
+
+def test_verify_catches_corruption(spark, image_nodes):
+    corrupted = image_nodes.withColumn(
+        "caption", F.when(F.col("id") == 5, F.lit("wrong")).otherwise(F.col("caption"))
+    )
+    res = multimodal.verify_invariants(corrupted)
+    bad = [r.id for r in res.filter(~F.col("caption_ok")).collect()]
+    assert bad == [5]
+
+
+def test_resize(image_nodes):
+    out = multimodal.resize_images(image_nodes.limit(4), 16, 8).collect()
+    assert len(out) == 4
+    for r in out:
+        px = codecs.decode_png(bytes(r.bytes))
+        assert px.shape == (8, 16, 3)
+        assert r.w == 16 and r.h == 8 and r.fmt == "png"
+
+
+def test_sample_frames_stub_raises(spark):
+    df = spark.createDataFrame([("v0", b"fakevideo")], "media_id string, bytes binary")
+    with pytest.raises(NotImplementedError):
+        multimodal.sample_frames(df)
+
+
+def test_sample_frames_with_fake_decoder(spark):
+    def fake_decoder(data: bytes) -> np.ndarray:
+        n = data[0]  # first byte = frame count
+        frames = np.zeros((n, 4, 4, 3), dtype=np.uint8)
+        for i in range(n):
+            frames[i] += i
+        return frames
+
+    df = spark.createDataFrame(
+        [("v0", bytes([25])), ("v1", bytes([7]))], "media_id string, bytes binary"
+    )
+    rows = multimodal.sample_frames(df, every_n=10, decoder=fake_decoder).collect()
+    got = {(r.media_id, r.frame_idx) for r in rows}
+    assert got == {("v0", 0), ("v0", 10), ("v0", 20), ("v1", 0)}
+    px = codecs.decode_png(bytes([r for r in rows if r.frame_idx == 10][0].frame_png))
+    assert px.shape == (4, 4, 3) and px[0, 0, 0] == 10

@@ -1,0 +1,85 @@
+"""Similarity search vs numpy oracles, on the driver's embeddings table."""
+
+import numpy as np
+import pytest
+
+from simple_osm_queries_spark.operators import similarity
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embs_np(embs):
+    rows = embs.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def _topk_oracle(ids, mat, q, k):
+    q = np.asarray(q, dtype=np.float64)
+    cos = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = sorted(zip(-cos, ids))
+    return [(int(i), float(-c)) for c, i in order[:k]]
+
+
+def test_cosine_topk_matches_numpy(embs, embs_np):
+    ids, mat = embs_np
+    q = mat[0]
+    got = [(r.vec_id, r.cosine) for r in similarity.cosine_topk(embs, q, k=10).collect()]
+    expected = _topk_oracle(ids, mat, q, 10)
+    assert [i for i, _ in got] == [i for i, _ in expected]
+    for (_, c), (_, e) in zip(got, expected):
+        assert c == pytest.approx(e, abs=1e-9)
+    assert got[0][0] == 0 and got[0][1] == pytest.approx(1.0)  # itself first
+
+
+def test_cosine_topk_ann_self_hit(embs, embs_np):
+    """On near-orthogonal random vectors LSH recall is inherently low (that's
+    the math, not a bug) — assert the structural guarantees only."""
+    ids, mat = embs_np
+    q = mat[3]
+    ann = {r.vec_id for r in similarity.cosine_topk_ann(embs, q, k=10, dim=64).collect()}
+    assert 3 in ann  # identical vector shares every chunk
+    assert len(ann) <= 10
+
+
+def test_cosine_topk_ann_recall_on_clusters(spark):
+    """High-cosine neighborhoods (the actual near-dup use case) must be
+    recalled: cluster members at cosine>0.95, 8 bands of 4 bits."""
+    rng = np.random.RandomState(11)
+    centers = rng.randn(5, 64)
+    rows = []
+    for i in range(200):
+        c = centers[i % 5]
+        v = c + rng.randn(64) * 0.05
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    ids = np.array([r[0] for r in rows])
+    mat = np.array([r[1] for r in rows])
+    q = mat[0]
+    exact = {i for i, _ in _topk_oracle(ids, mat, q, 10)}
+    ann = {
+        r.vec_id
+        for r in similarity.cosine_topk_ann(df, q, k=10, dim=64, chunks=8).collect()
+    }
+    assert len(ann & exact) >= 8  # >=80% recall on clustered data
+
+
+def test_knn_join(spark, embs, embs_np):
+    ids, mat = embs_np
+    left = embs.limit(5)
+    res = similarity.knn_join(left, embs, k=3)
+    got = {}
+    for r in res.collect():
+        got.setdefault(r.qid, []).append((r.rank, r.id, r.cosine))
+    for qid, rows in got.items():
+        assert len(rows) == 3
+        qvec = mat[list(ids).index(qid)]
+        expected = [i for i, _ in _topk_oracle(ids, mat, qvec, 4) if i != qid][:3]
+        assert [i for _, i, _ in sorted(rows)] == expected

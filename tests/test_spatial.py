@@ -1,0 +1,169 @@
+"""North-rule spatial operators vs independent Python/numpy oracles."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from simple_osm_queries_spark.functions import cells as C
+from simple_osm_queries_spark.operators import knn, spatial_join, tiles
+
+# fixture geometry per FIXTURES.md §5 --------------------------------------------
+
+BBOXES = [
+    (0, 9.95, 53.55, 10.05, 53.65),           # middle
+    (1, 9.90, 53.50, 10.10, 53.70),           # whole window
+    (2, 9.95, 53.55, 9.96, 53.56),            # hot cell
+    (3, 10.0, 53.6, 10.0, 53.6),              # degenerate (min==max)
+    (4, 11.0, 54.0, 12.0, 55.0),              # empty
+    (5, 9.93, 53.52, 10.02, 53.61),
+]
+
+PENTAGON = [  # convex 5-gon around the window center
+    (9.98, 53.55), (10.06, 53.58), (10.03, 53.66), (9.95, 53.66), (9.92, 53.58),
+]
+STAR = [  # concave star (self-intersection-free, non-convex)
+    (10.00, 53.52), (10.01, 53.58), (10.07, 53.58), (10.02, 53.61),
+    (10.04, 53.67), (10.00, 53.62), (9.96, 53.67), (9.98, 53.61),
+    (9.93, 53.58), (9.99, 53.58),
+]
+CROSSING = [  # crosses the 10.0 cell boundary
+    (9.99, 53.54), (10.02, 53.54), (10.02, 53.57), (9.99, 53.57),
+]
+
+
+def _pip_oracle(x, y, ring):
+    inside = False
+    n = len(ring)
+    for i in range(n):
+        ax, ay = ring[i]
+        bx, by = ring[(i + 1) % n]
+        if (ay > y) != (by > y) and x < (bx - ax) * (y - ay) / (by - ay) + ax:
+            inside = not inside
+    return inside
+
+
+@pytest.fixture(scope="module")
+def points(dataset):
+    return dataset.nodes.select("id", "lon", "lat", "cell", "cell_x", "cell_y").cache()
+
+
+@pytest.fixture(scope="module")
+def points_pd(points):
+    return points.toPandas().sort_values("id").reset_index(drop=True)
+
+
+def test_bbox_join_matches_oracle(spark, points, points_pd):
+    boxes = spark.createDataFrame(
+        pd.DataFrame(BBOXES, columns=["qid", "min_lon", "min_lat", "max_lon", "max_lat"])
+    )
+    got = {
+        (r.qid, r.id)
+        for r in spatial_join.bbox_join(points, boxes).select("qid", "id").collect()
+    }
+    expected = set()
+    for qid, mnx, mny, mxx, mxy in BBOXES:
+        sel = points_pd[
+            (points_pd.lon >= mnx) & (points_pd.lon <= mxx)
+            & (points_pd.lat >= mny) & (points_pd.lat <= mxy)
+        ]
+        expected |= {(qid, i) for i in sel.id}
+    assert got == expected
+    assert any(q == 2 for q, _ in got)  # hot cell exercised
+    assert not any(q == 4 for q, _ in got)  # empty box empty
+
+
+@pytest.mark.parametrize("ring", [PENTAGON, STAR, CROSSING], ids=["pentagon", "star", "crossing"])
+def test_point_in_polygon_matches_oracle(spark, points, points_pd, ring):
+    polys = spark.createDataFrame(
+        [(0, [{"lon": x, "lat": y} for x, y in ring])],
+        "qid long, ring array<struct<lon:double,lat:double>>",
+    )
+    got = {
+        r.id for r in spatial_join.point_in_polygon_join(points, polys).select("id").collect()
+    }
+    expected = {
+        int(r.id) for r in points_pd.itertuples() if _pip_oracle(r.lon, r.lat, ring)
+    }
+    assert expected, "fixture polygon contains no points"
+    assert got == expected
+
+
+def _knn_oracle(points_pd, qlon, qlat, k):
+    d2 = (points_pd.lon - qlon) ** 2 + (points_pd.lat - qlat) ** 2
+    order = sorted(zip(d2, points_pd.id))
+    return [(i, d) for d, i in order[:k]]
+
+
+QUERY_POINTS = [
+    (0, 9.951, 53.551, 5),    # hot cell
+    (1, 10.05, 53.65, 1),
+    (2, 9.901, 53.501, 20),   # window corner
+    (3, 10.0, 53.6, 5),
+    (4, 10.2, 53.8, 3),       # outside the data window
+]
+
+
+def _queries_df(spark):
+    return spark.createDataFrame(
+        pd.DataFrame(QUERY_POINTS, columns=["qid", "lon", "lat", "k"])
+    )
+
+
+def test_knn_brute_matches_oracle(spark, points, points_pd):
+    res = knn.knn_brute(points, _queries_df(spark))
+    got = {}
+    for r in res.collect():
+        got.setdefault(r.qid, []).append((r.rank, r.id, r.dist2))
+    for qid, qlon, qlat, k in QUERY_POINTS:
+        expected = _knn_oracle(points_pd, qlon, qlat, k)
+        rows = sorted(got[qid])
+        assert len(rows) == k
+        assert [i for _, i, _ in rows] == [i for i, _ in expected]
+        for (_, _, d2), (_, ed) in zip(rows, expected):
+            assert d2 == pytest.approx(ed)
+
+
+def test_knn_kring_exact_matches_brute(spark, points, points_pd):
+    res = knn.knn_kring_exact(points, _queries_df(spark), ring=1)
+    got = {}
+    for r in res.collect():
+        assert r.exact
+        got.setdefault(r.qid, []).append((r.rank, r.id))
+    for qid, qlon, qlat, k in QUERY_POINTS:
+        expected = [i for i, _ in _knn_oracle(points_pd, qlon, qlat, k)]
+        assert [i for _, i in sorted(got[qid])] == expected, f"qid={qid}"
+
+
+def test_knn_kring_salted_same_result(spark, points, points_pd):
+    plain = knn.knn_kring(points, _queries_df(spark), ring=2, salt=1)
+    salted = knn.knn_kring(points, _queries_df(spark), ring=2, salt=4)
+    a = sorted((r.qid, r.rank, r.id) for r in plain.collect())
+    b = sorted((r.qid, r.rank, r.id) for r in salted.collect())
+    assert a == b
+
+
+def test_tile_assignment_matches_python(points, points_pd):
+    z = 13
+    got = {r.id: r.tile_id for r in tiles.assign_tiles(points, z).select("id", "tile_id").collect()}
+    for r in points_pd.itertuples():
+        tx, ty = C.tile_xy_py(r.lon, r.lat, z)
+        assert got[r.id] == C.tile_id_py(tx, ty, z)
+
+
+def test_tile_join_and_stats(spark, points, points_pd):
+    z = 12
+    catalog = tiles.make_tile_catalog(spark, z, 9.90, 53.50, 10.10, 53.70)
+    joined = tiles.tile_join(points, catalog, z)
+    assert joined.count() == len(points_pd)  # catalog covers the window
+    stats = {r.tile_id: r.n for r in tiles.tile_stats(points, z).collect()}
+    stats_salted = {r.tile_id: r.n for r in tiles.tile_stats(points, z, salt=8).collect()}
+    assert stats == stats_salted
+    expected = {}
+    for r in points_pd.itertuples():
+        tx, ty = C.tile_xy_py(r.lon, r.lat, z)
+        tid = C.tile_id_py(tx, ty, z)
+        expected[tid] = expected.get(tid, 0) + 1
+    assert stats == expected
