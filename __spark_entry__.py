@@ -1,38 +1,607 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship OSM-language query end-to-end (lexer ->
+parser -> DataFrame planner) over a spatial table derived deterministically
+from /root/testdata/sf0.001/documents.parquet.
+
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 plus the north-rule spatial operators and the training-data
+pipeline operators; ``oracle_sql()`` gives the DuckDB-equivalent SQL for
+every SQL-expressible one (hash-based LSH variants are rows-only by nature:
+Spark's xxhash64 does not exist in DuckDB).
+
+Derivation rule (both engines compute it identically in IEEE doubles):
+    lon = 9.90 + 0.20 * frac(doc_id * PHI)
+    lat = 53.50 + 0.20 * frac(doc_id * PSI)
+plus the FIXTURES.md tag model keyed on doc_id, so the reference's
+bbox/tag/natural-order semantics are exercised against a SQL oracle.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from simple_osm_queries_spark.functions import cells as C  # noqa: E402
+from simple_osm_queries_spark.functions.natural_sort import natural_cmp_sql  # noqa: E402
+from simple_osm_queries_spark.operators import dedup, knn, similarity, spatial_join  # noqa: E402
+from simple_osm_queries_spark.operators import text as textops  # noqa: E402
+from simple_osm_queries_spark.query.planner import run_query  # noqa: E402
+from simple_osm_queries_spark.sources.dataset import prepare  # noqa: E402
+
+PHI = 0.6180339887
+PSI = 0.41421356237
+AMEN = ["bench", "waste_basket", "restaurant", "cafe"]
+SEATS = ["2", "3", "4"]
+HEIGHT = ["1", "1m", "1.5 m", "2.5", "10.5"]
+
+WINDOW = (9.90, 53.50, 10.10, 53.70)
+
+# --- derived spatial table (Spark side) ---------------------------------------
+
+
+def _frac(col):
+    return col - F.floor(col)
+
+
+def _pick(values: list[str], idx_col) -> F.Column:
+    return F.element_at(F.array(*[F.lit(v) for v in values]), (idx_col % len(values) + 1).cast("int"))
+
+
+def _derived_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    i = F.col("doc_id")
+    empty = F.create_map().cast("map<string,string>")
+    tags = F.map_concat(
+        F.when(i % 4 == 0, F.create_map(F.lit("amenity"), _pick(AMEN, F.floor(i / 4)))).otherwise(empty),
+        F.when(i % 12 == 0, F.create_map(F.lit("seats"), _pick(SEATS, F.floor(i / 12)))).otherwise(empty),
+        F.when(i % 5 == 1, F.create_map(F.lit("height"), _pick(HEIGHT, F.floor(i / 5)))).otherwise(empty),
+    )
+    return d.select(
+        F.col("doc_id").alias("id"),
+        (F.lit(9.90) + F.lit(0.20) * _frac(i * F.lit(PHI))).alias("lon"),
+        (F.lit(53.50) + F.lit(0.20) * _frac(i * F.lit(PSI))).alias("lat"),
+        tags.alias("tags"),
+    )
+
+
+def _derived_dataset(spark: SparkSession, sf_dir: str):
+    ways = spark.createDataFrame([], "id long, node_ids array<long>, tags map<string,string>")
+    rels = spark.createDataFrame(
+        [],
+        "id long, node_member_ids array<long>, way_member_ids array<long>, "
+        "child_relation_ids array<long>, tags map<string,string>",
+    )
+    return prepare(_derived_points(spark, sf_dir), ways, rels)
+
+
+# --- derived spatial table (SQL side) ------------------------------------------
+
+# every literal cast to DOUBLE: DuckDB otherwise parses decimals as DECIMAL
+# and computes exact-decimal arithmetic, which is not IEEE-double parity
+SQL_LON = (
+    f"(CAST(9.90 AS DOUBLE) + CAST(0.20 AS DOUBLE) * "
+    f"((doc_id * CAST({PHI} AS DOUBLE)) - floor(doc_id * CAST({PHI} AS DOUBLE))))"
+)
+SQL_LAT = (
+    f"(CAST(53.50 AS DOUBLE) + CAST(0.20 AS DOUBLE) * "
+    f"((doc_id * CAST({PSI} AS DOUBLE)) - floor(doc_id * CAST({PSI} AS DOUBLE))))"
+)
+
+
+def _sql_pick(values: list[str], idx_expr: str) -> str:
+    arms = " ".join(f"WHEN {k} THEN '{v}'" for k, v in enumerate(values))
+    return f"(CASE ({idx_expr}) % {len(values)} {arms} END)"
+
+
+SQL_AMENITY = _sql_pick(AMEN, "doc_id // 4")
+SQL_SEATS = _sql_pick(SEATS, "doc_id // 12")
+SQL_HEIGHT = _sql_pick(HEIGHT, "doc_id // 5")
+SQL_HAS_AMENITY = "(doc_id % 4 = 0)"
+SQL_HAS_SEATS = "(doc_id % 12 = 0)"
+SQL_HAS_HEIGHT = "(doc_id % 5 = 1)"
+
+SQL_POINTS = f"SELECT doc_id AS id, {SQL_LON} AS lon, {SQL_LAT} AS lat FROM documents"
+
+
+# --- OSM query-language entries -------------------------------------------------
+
+
+def _osm(qtext: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ds = _derived_dataset(spark, sf_dir)
+        return run_query(qtext, ds).select("id", "lon", "lat").orderBy("id")
+
+    return run
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the README.md:46-shaped query through the full pipeline."""
+    ds = _derived_dataset(spark, "/root/testdata/sf0.001")
+    return run_query(
+        "bbox(9.90, 53.50, 10.10, 53.70).nodes{ amenity=bench AND seats=* }", ds
+    ).select("id", "lon", "lat", "tags")
+
+
+# --- spatial fixtures (literal; shared by Spark and SQL) -------------------------
+
+QUERY_BOXES = [
+    (0, 9.95, 53.55, 10.05, 53.65),
+    (1, 9.90, 53.50, 10.10, 53.70),
+    (2, 9.95, 53.55, 9.96, 53.56),
+    (3, 10.00, 53.60, 10.00, 53.60),
+]
+
+PENTAGON = [(9.98, 53.55), (10.06, 53.58), (10.03, 53.66), (9.95, 53.66), (9.92, 53.58)]
+
+KNN_QUERIES = [(0, 9.951, 53.551), (1, 10.05, 53.65), (2, 9.901, 53.501)]
+KNN_K = 5
+
+
+def _sql_pip(lon_expr: str, lat_expr: str, ring: list[tuple[float, float]]) -> str:
+    """Ray-casting parity SQL: identical arithmetic to point_in_polygon_col."""
+    terms = []
+    n = len(ring)
+    for i in range(n):
+        ax, ay = ring[i]
+        bx, by = ring[(i + 1) % n]
+        terms.append(
+            f"(CASE WHEN (({ay} > {lat_expr}) != ({by} > {lat_expr})) AND "
+            f"({lon_expr} < ({bx} - {ax}) * ({lat_expr} - {ay}) / ({by} - {ay}) + {ax}) "
+            f"THEN 1 ELSE 0 END)"
+        )
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
+# --- queries -------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # S2/F1/F4/F6/F8 through the full language pipeline
+    q["osm_flagship"] = _osm(
+        "bbox(9.90, 53.50, 10.10, 53.70).nodes{ amenity=bench AND seats=* }"
+    )
+    # F5 natural ordering on numeric strings
+    q["osm_seats_ge3"] = _osm("bbox(9.90, 53.50, 10.10, 53.70).nodes{ seats>=3 }")
+    # F5 on the mixed numeric/string height dictionary, absent literal
+    q["osm_height_gt"] = _osm("bbox(9.90, 53.50, 10.10, 53.70).nodes{ height>1.2 }")
+    # F7/F8 negation + parens + OR
+    q["osm_bool_algebra"] = _osm(
+        "bbox(9.90, 53.50, 10.10, 53.70).nodes{ (amenity=cafe OR amenity=restaurant) AND !(seats=2) }"
+    )
+    # A4: multiple top-level statements = UNION ALL
+    q["osm_union"] = _osm(
+        "bbox(9.95, 53.55, 10.05, 53.65).nodes{ amenity=cafe } "
+        "bbox(9.95, 53.55, 10.05, 53.65).nodes{ amenity=restaurant }"
+    )
+    # partial bbox (cell pruning + refine)
+    q["osm_bbox_partial"] = _osm("bbox(9.95, 53.55, 9.99, 53.62).nodes{ amenity=* }")
+
+    # A1: per-cell density (the import pass-1 histogram)
+    def cell_count(spark, sf_dir):
+        pts = _derived_points(spark, sf_dir)
+        return (
+            pts.select(C.cell_x(F.col("lon")).alias("cell_x"), C.cell_y(F.col("lat")).alias("cell_y"))
+            .groupBy("cell_x", "cell_y")
+            .agg(F.count("*").alias("n"))
+        )
+
+    q["cell_count"] = cell_count
+
+    # north rule: bbox join
+    def q_bbox_join(spark, sf_dir):
+        pts = _derived_points(spark, sf_dir)
+        boxes = spark.createDataFrame(
+            QUERY_BOXES, "qid long, min_lon double, min_lat double, max_lon double, max_lat double"
+        )
+        return spatial_join.bbox_join(pts, boxes).select("qid", "id")
+
+    q["bbox_join"] = q_bbox_join
+
+    # north rule: point-in-polygon (ray casting + bbox prefilter)
+    def q_pip(spark, sf_dir):
+        pts = _derived_points(spark, sf_dir)
+        polys = spark.createDataFrame(
+            [(0, [{"lon": x, "lat": y} for x, y in PENTAGON])],
+            "qid long, ring array<struct<lon:double,lat:double>>",
+        )
+        return spatial_join.point_in_polygon_join(pts, polys).select("id")
+
+    q["point_in_polygon"] = q_pip
+
+    # north rule: kNN — brute baseline and the k-ring scale path, SAME oracle
+    def _knn_queries_df(spark):
+        return spark.createDataFrame(
+            [(qid, lon, lat, KNN_K) for qid, lon, lat in KNN_QUERIES],
+            "qid long, lon double, lat double, k int",
+        )
+
+    def q_knn_brute(spark, sf_dir):
+        pts = _derived_points(spark, sf_dir)
+        return knn.knn_brute(pts, _knn_queries_df(spark)).select("qid", "id", "rank")
+
+    def q_knn_kring(spark, sf_dir):
+        pts = _derived_points(spark, sf_dir)
+        return knn.knn_kring_exact(
+            pts, _knn_queries_df(spark), ring=2, cell_w=0.01, cell_h=0.01
+        ).select("qid", "id", "rank")
+
+    q["knn_brute"] = q_knn_brute
+    q["knn_kring"] = q_knn_kring
+
+    # north rule: raster<->vector tile assignment rollup
+    def q_tiles(spark, sf_dir):
+        pts = _derived_points(spark, sf_dir)
+        z = 13
+        return (
+            pts.select(C.tile_x(F.col("lon"), z).alias("tile_x"), C.tile_y(F.col("lat"), z).alias("tile_y"))
+            .groupBy("tile_x", "tile_y")
+            .agg(F.count("*").alias("n"))
+        )
+
+    q["tile_assignment"] = q_tiles
+
+    # J1/J2: semi / anti joins
+    def q_semi(spark, sf_dir):
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_totalprice") > 300000
+        )
+        return cust.join(
+            orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_semi"
+        ).select("c_custkey", "c_name")
+
+    def q_anti(spark, sf_dir):
+        # "no order above 400k" — NOT EXISTS with a predicate (plain "no
+        # orders at all" is empty at every sf: all customers have orders)
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_totalprice") > 400000
+        )
+        return cust.join(
+            orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+        ).select("c_custkey")
+
+    q["semi_join_exists"] = q_semi
+    q["anti_join_not_exists"] = q_anti
+
+    # J3: reverse-edge aggregation (adjacency inversion)
+    def q_reverse(spark, sf_dir):
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        return orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.max("o_totalprice"), 4).alias("max_total"),
+            F.min("o_orderkey").alias("first_orderkey"),
+        )
+
+    q["reverse_edges"] = q_reverse
+
+    # window top-k per group (§2.5 gap coverage)
+    def q_topk(spark, sf_dir):
+        from pyspark.sql import Window
+
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+        )
+        return (
+            orders.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("o_custkey", "o_orderkey", "rn")
+        )
+
+    q["window_topk_per_group"] = q_topk
+
+    # A-family: grouped aggregation (TPC-H Q1 shape)
+    def q_agg(spark, sf_dir):
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return (
+            li.filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 3).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 3).alias("sum_base_price"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 3
+                ).alias("sum_disc_price"),
+                F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                F.count("*").alias("count_order"),
+            )
+        )
+
+    q["agg_pricing_summary"] = q_agg
+
+    # event-time tumbling window (batch mirror of the streaming job)
+    def q_events(spark, sf_dir):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+        ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("total_value"))
+
+    q["events_hourly"] = q_events
+
+    # dedup family
+    def q_dedup_exact(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return dedup.exact_dup_groups(docs, "doc_id", "text")
+
+    def q_jaccard(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return dedup.ngram_jaccard_pairs(docs, threshold=0.5).select(
+            "id_a", "id_b", "jaccard"
+        )
+
+    def q_minhash(spark, sf_dir):  # rows-only: xxhash64 has no DuckDB twin
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return dedup.minhash_near_dups(docs, threshold=0.35)
+
+    def q_simhash(spark, sf_dir):  # rows-only
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return dedup.simhash_near_dups(docs, max_hamming=3)
+
+    def q_embed_dup(spark, sf_dir):  # rows-only (LSH candidates)
+        embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return dedup.embedding_near_dups(embs, threshold=0.3)
+
+    q["dedup_exact"] = q_dedup_exact
+    q["dedup_ngram_jaccard"] = q_jaccard
+    q["dedup_minhash_lsh"] = q_minhash
+    q["dedup_simhash"] = q_simhash
+    q["dedup_embedding"] = q_embed_dup
+
+    # text analysis
+    def q_text_quality(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return textops.quality_score(docs).select(
+            "doc_id",
+            "n_tokens",
+            "n_bpe_tokens",
+            F.round("punct_ratio", 9).alias("punct_ratio"),
+            F.round("stopword_ratio", 9).alias("stopword_ratio"),
+            "quality",
+        )
+
+    def q_lang(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return textops.lang_id(docs).select("doc_id", "pred_lang")
+
+    def q_fp(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return docs.select("doc_id", textops.doc_fingerprint(F.col("text")).alias("fp"))
+
+    q["text_quality"] = q_text_quality
+    q["lang_id"] = q_lang
+    q["doc_fingerprint"] = q_fp
+
+    # similarity search
+    def q_sim_topk(spark, sf_dir):
+        embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qvec = embs.filter(F.col("vec_id") == 0).first().embedding
+        res = similarity.cosine_topk(embs, qvec, k=10)
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        return res.withColumn("rank", F.row_number().over(w)).select("vec_id", "rank")
+
+    def q_sim_ann(spark, sf_dir):  # rows-only (LSH recall is probabilistic)
+        embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qvec = embs.filter(F.col("vec_id") == 0).first().embedding
+        return similarity.cosine_topk_ann(embs, qvec, k=10, dim=64, chunks=8)
+
+    q["similarity_topk"] = q_sim_topk
+    q["similarity_ann"] = q_sim_ann
+
+    return q
+
+
+# --- oracle SQL ------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    pts = f"({SQL_POINTS})"
+    in_window = (
+        f"lon >= {WINDOW[0]} AND lon <= {WINDOW[2]} AND lat >= {WINDOW[1]} AND lat <= {WINDOW[3]}"
+    )
+
+    def osm_sql(where: str) -> str:
+        return (
+            f"SELECT doc_id AS id, {SQL_LON} AS lon, {SQL_LAT} AS lat FROM documents "
+            f"WHERE ({where}) AND {SQL_LON} >= {WINDOW[0]} AND {SQL_LON} <= {WINDOW[2]} "
+            f"AND {SQL_LAT} >= {WINDOW[1]} AND {SQL_LAT} <= {WINDOW[3]} ORDER BY id"
+        )
+
+    o: dict[str, str] = {}
+    o["osm_flagship"] = osm_sql(f"{SQL_HAS_AMENITY} AND {SQL_AMENITY} = 'bench' AND {SQL_HAS_SEATS}")
+    o["osm_seats_ge3"] = osm_sql(
+        f"{SQL_HAS_SEATS} AND " + natural_cmp_sql(SQL_SEATS, ">=", "3")
+    )
+    o["osm_height_gt"] = osm_sql(
+        f"{SQL_HAS_HEIGHT} AND " + natural_cmp_sql(SQL_HEIGHT, ">", "1.2")
+    )
+    o["osm_bool_algebra"] = osm_sql(
+        f"({SQL_HAS_AMENITY} AND {SQL_AMENITY} IN ('cafe','restaurant')) "
+        f"AND NOT ({SQL_HAS_SEATS} AND {SQL_SEATS} = '2')"
+    )
+    inner_box = (
+        f"{SQL_LON} >= 9.95 AND {SQL_LON} <= 10.05 AND {SQL_LAT} >= 53.55 AND {SQL_LAT} <= 53.65"
+    )
+    o["osm_union"] = (
+        f"SELECT doc_id AS id, {SQL_LON} AS lon, {SQL_LAT} AS lat FROM documents "
+        f"WHERE {SQL_HAS_AMENITY} AND {SQL_AMENITY} = 'cafe' AND {inner_box} "
+        f"UNION ALL "
+        f"SELECT doc_id AS id, {SQL_LON} AS lon, {SQL_LAT} AS lat FROM documents "
+        f"WHERE {SQL_HAS_AMENITY} AND {SQL_AMENITY} = 'restaurant' AND {inner_box}"
+    )
+    o["osm_bbox_partial"] = (
+        f"SELECT doc_id AS id, {SQL_LON} AS lon, {SQL_LAT} AS lat FROM documents "
+        f"WHERE {SQL_HAS_AMENITY} AND {SQL_LON} >= 9.95 AND {SQL_LON} <= 9.99 "
+        f"AND {SQL_LAT} >= 53.55 AND {SQL_LAT} <= 53.62 ORDER BY id"
+    )
+
+    o["cell_count"] = (
+        f"SELECT CAST(trunc(lon / 0.1) AS INT) AS cell_x, CAST(trunc(lat / 0.1) AS INT) AS cell_y, "
+        f"count(*) AS n FROM {pts} GROUP BY 1, 2"
+    )
+
+    boxes_values = ", ".join(f"({qid}, {a}, {b}, {c}, {d})" for qid, a, b, c, d in QUERY_BOXES)
+    o["bbox_join"] = (
+        f"SELECT b.qid, p.id FROM {pts} p JOIN "
+        f"(VALUES {boxes_values}) AS b(qid, min_lon, min_lat, max_lon, max_lat) "
+        f"ON p.lon >= b.min_lon AND p.lon <= b.max_lon AND p.lat >= b.min_lat AND p.lat <= b.max_lat"
+    )
+
+    o["point_in_polygon"] = (
+        f"SELECT id FROM {pts} WHERE " + _sql_pip("lon", "lat", PENTAGON)
+    )
+
+    knn_parts = []
+    for qid, qlon, qlat in KNN_QUERIES:
+        knn_parts.append(
+            f"SELECT {qid} AS qid, id, rank FROM ("
+            f"SELECT id, row_number() OVER (ORDER BY "
+            f"((lon - {qlon}) * (lon - {qlon}) + (lat - {qlat}) * (lat - {qlat})) ASC, id ASC"
+            f") AS rank FROM {pts}) WHERE rank <= {KNN_K}"
+        )
+    knn_sql = " UNION ALL ".join(knn_parts)
+    o["knn_brute"] = knn_sql
+    o["knn_kring"] = knn_sql  # the optimized path must match the exact oracle
+
+    o["tile_assignment"] = (
+        "SELECT CAST(floor((lon + 180.0) / 360.0 * 8192.0) AS INT) AS tile_x, "
+        "CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 8192.0) AS INT) AS tile_y, "
+        f"count(*) AS n FROM {pts} GROUP BY 1, 2"
+    )
+
+    o["semi_join_exists"] = (
+        "SELECT c_custkey, c_name FROM customer c WHERE EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)"
+    )
+    o["anti_join_not_exists"] = (
+        "SELECT c_custkey FROM customer c WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)"
+    )
+    o["reverse_edges"] = (
+        "SELECT o_custkey AS custkey, count(*) AS n_orders, "
+        "round(max(o_totalprice), 4) AS max_total, min(o_orderkey) AS first_orderkey "
+        "FROM orders GROUP BY 1"
+    )
+    o["window_topk_per_group"] = (
+        "SELECT o_custkey, o_orderkey, rn FROM ("
+        "SELECT o_custkey, o_orderkey, row_number() OVER "
+        "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders"
+        ") WHERE rn <= 3"
+    )
+    o["agg_pricing_summary"] = (
+        "SELECT l_returnflag, l_linestatus, "
+        "round(sum(l_quantity), 3) AS sum_qty, "
+        "round(sum(l_extendedprice), 3) AS sum_base_price, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 3) AS sum_disc_price, "
+        "round(avg(l_quantity), 6) AS avg_qty, "
+        "count(*) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+        "GROUP BY l_returnflag, l_linestatus"
+    )
+    o["events_hourly"] = (
+        "SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, "
+        "round(sum(value), 6) AS total_value FROM events GROUP BY 1, 2"
+    )
+
+    o["dedup_exact"] = (
+        "SELECT md5(text) AS fingerprint, count(*) AS n, min(doc_id) AS keep_id "
+        "FROM documents GROUP BY 1"
+    )
+
+    # inverted-index jaccard, mirroring dedup.shingles_col exactly (n=3)
+    o["dedup_ngram_jaccard"] = """
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, greatest(len(w) - 3, 0) + 1),
+                                 i -> array_to_string(w[i+1 : i+3], ' '))) AS sh
+    FROM words)
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       inter * 1.0 / (sa.sz + sb.sz - inter) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
+"""
+
+    stop_list = ", ".join(f"'{w}'" for w in textops.STOPWORDS)
+    words_expr = "string_split_regex(trim(lower(text)), '\\s+')"
+    bpe = r"len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))"
+    o["text_quality"] = f"""
+WITH feats AS (
+  SELECT doc_id,
+         len({words_expr}) AS n_tokens,
+         {bpe} AS n_bpe_tokens,
+         len(regexp_extract_all(text, '[.,;:!?]')) * 1.0 / length(text) AS punct_ratio,
+         len(list_filter({words_expr}, x -> x IN ({stop_list}))) * 1.0 / len({words_expr}) AS stopword_ratio,
+         length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / len({words_expr}) AS mean_word_len
+  FROM documents)
+SELECT doc_id, n_tokens, n_bpe_tokens,
+       round(punct_ratio, 9) AS punct_ratio,
+       round(stopword_ratio, 9) AS stopword_ratio,
+       round(0.4 * least(n_tokens / 64.0, 1.0)
+           + 0.3 * least(stopword_ratio * 4.0, 1.0)
+           + 0.3 * (CASE WHEN mean_word_len >= 2.0 AND mean_word_len <= 10.0 THEN 1.0 ELSE 0.3 END), 6)
+       AS quality
+FROM feats
+"""
+
+    marker_scores = {
+        lang: f"len(list_filter({words_expr}, x -> x IN ({', '.join(repr(m) for m in ms)})))"
+        for lang, ms in textops.LANG_MARKERS.items()
+    }
+    # same argmax + declaration-order tie-break as textops.lang_id
+    langs = list(textops.LANG_MARKERS)
+    case = "CASE "
+    for i, lang in enumerate(langs):
+        others_not_greater = " AND ".join(
+            f"{marker_scores[lang]} >= {marker_scores[o2]}" for o2 in langs[i + 1 :]
+        ) or "TRUE"
+        earlier_less = " AND ".join(
+            f"{marker_scores[o2]} < {marker_scores[lang]}" for o2 in langs[:i]
+        ) or "TRUE"
+        case += f"WHEN {marker_scores[lang]} > 0 AND {others_not_greater} AND {earlier_less} THEN '{lang}' "
+    case += "ELSE 'und' END"
+    o["lang_id"] = f"SELECT doc_id, {case} AS pred_lang FROM documents"
+
+    o["doc_fingerprint"] = (
+        "SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp "
+        "FROM documents"
+    )
+
+    o["similarity_topk"] = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id, list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) AS cosine
+  FROM embeddings, q)
+SELECT vec_id, row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank
+FROM scored ORDER BY rank LIMIT 10
+"""
+    return o
+
+
+if __name__ == "__main__":
+    from simple_osm_queries_spark.session import get_spark
+
+    spark = get_spark("entry-smoke", cores=4, shuffle_partitions=4)
+    df = entry(spark)
+    df.show(5)
+    print("entry rows:", df.count())

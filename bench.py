@@ -1,0 +1,210 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/
+sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., ...extras}
+
+The headline job is the north-rule pipeline: spatial-join + tile-assignment
+over a generated image-node table of $SPARK_GRAFT_BENCH_N points (default
+2M, deterministic rules from FIXTURES.md — the SAME input regardless of
+parallelism, which is what the scaling-efficiency comparison requires).
+Points are materialized once to a shared parquet dir so the timed queries
+measure compute + scan, not datagen; the dir is keyed by N and reused
+across parallelism levels.
+
+Scaling evidence (north rule: >=0.8 efficiency from N to 4N executors;
+sandbox proxy: local[8] vs local[32]): run
+  SPARK_GRAFT_CPUS=8 python bench.py   and   SPARK_GRAFT_CPUS=32 python bench.py
+on the same machine — see BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from simple_osm_queries_spark.functions import cells as C  # noqa: E402
+from simple_osm_queries_spark.operators import dedup, knn, similarity, spatial_join, tiles  # noqa: E402
+from simple_osm_queries_spark.query.planner import run_query  # noqa: E402
+from simple_osm_queries_spark.session import get_spark  # noqa: E402
+from simple_osm_queries_spark.sources import datagen  # noqa: E402
+from simple_osm_queries_spark.sources.dataset import OsmDataset  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_N = int(os.environ.get("SPARK_GRAFT_BENCH_N", "2000000"))
+POINTS_DIR = os.environ.get("SPARK_GRAFT_POINTS_DIR", f"/tmp/soq_bench_points_{BENCH_N}")
+
+PENTAGON = [(9.98, 53.55), (10.06, 53.58), (10.03, 53.66), (9.95, 53.66), (9.92, 53.58)]
+QUERY_BOXES = [
+    (0, 9.95, 53.55, 10.05, 53.65),
+    (1, 9.90, 53.50, 10.10, 53.70),
+    (2, 9.95, 53.55, 9.96, 53.56),
+    (3, 9.93, 53.52, 10.02, 53.61),
+]
+
+
+def _ensure_points(spark) -> None:
+    """Materialize the bench input once per N: a full node table (for the
+    language pipeline) and a slim (id, lon, lat) spatial projection — the
+    spatial operators never need tags, and scan bytes directly bound the
+    achievable scaling (column pruning would do this too; separate files
+    also keep the page-cache footprint honest)."""
+    if os.path.exists(os.path.join(POINTS_DIR, "full", "_SUCCESS")) and os.path.exists(
+        os.path.join(POINTS_DIR, "slim", "_SUCCESS")
+    ):
+        return
+    nodes = datagen.gen_nodes(spark, BENCH_N, partitions=max(CPUS * 2, 64), with_images=False)
+    pts = nodes.select(
+        "id", "lon", "lat", "tags",
+        C.cell_x(F.col("lon")).alias("cell_x"),
+        C.cell_y(F.col("lat")).alias("cell_y"),
+        C.cell_of(F.col("lon"), F.col("lat")).alias("cell"),
+    )
+    pts.write.mode("overwrite").parquet(os.path.join(POINTS_DIR, "full"))
+    pts.select("id", "lon", "lat").write.mode("overwrite").parquet(
+        os.path.join(POINTS_DIR, "slim")
+    )
+
+
+def main() -> None:
+    # maxPartitionBytes sized to the input: at the default 128MB the ~200MB
+    # bench table packs into ~4 file splits, capping every scan stage at
+    # 4-way parallelism no matter how many cores local[N] offers. 8MB gives
+    # ~CPUS*2 splits here; on a real 100TB table the default is correct.
+    spark = get_spark(
+        "soq-bench",
+        cores=CPUS,
+        shuffle_partitions=CPUS,
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": str(1024 * 1024),
+        },
+    )
+    _ensure_points(spark)
+    points = spark.read.parquet(os.path.join(POINTS_DIR, "full"))
+    slim = spark.read.parquet(os.path.join(POINTS_DIR, "slim"))
+
+    timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        # two runs: the first pays JIT/codegen compilation + page-cache
+        # warming (identical at every parallelism level, so it would mask
+        # the scaling signal); the second is the steady-state number.
+        t0 = time.time()
+        fn()
+        cold[name] = round(time.time() - t0, 3)
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # headline: tile assignment rollup over every point (z13)
+    timed("tile_assignment", lambda: tiles.tile_stats(slim, 13).count())
+
+    # headline: spatial bbox join (broadcast)
+    boxes = spark.createDataFrame(
+        QUERY_BOXES, "qid long, min_lon double, min_lat double, max_lon double, max_lat double"
+    )
+    timed("bbox_join", lambda: spatial_join.bbox_join(slim, boxes).count())
+
+    # point-in-polygon: 8-polygon catalog x 32 edges, ONE scan, scalar
+    # codegen ray casting (see point_in_polygon_literal_join)
+    import math
+
+    catalog = []
+    for p in range(8):
+        cx, cy = 9.925 + (p % 4) * 0.05, 53.54 + (p // 4) * 0.08
+        ring = [
+            (
+                cx + (0.03 if i % 2 == 0 else 0.015) * math.cos(2 * math.pi * i / 32),
+                cy + (0.03 if i % 2 == 0 else 0.015) * math.sin(2 * math.pi * i / 32),
+            )
+            for i in range(32)
+        ]
+        catalog.append((p, ring))
+    timed(
+        "point_in_polygon",
+        lambda: spatial_join.point_in_polygon_literal_join(slim, catalog).count(),
+    )
+
+    # kNN via k-ring over the cell index (100 queries, k=10, hot-cell half)
+    qpts = [(i, 9.9505 + (i % 10) * 1e-4, 53.5505 + (i % 10) * 1e-4, 10) for i in range(50)]
+    qpts += [(50 + i, 9.90 + (i * 0.004) % 0.2, 53.50 + (i * 0.0029) % 0.2, 10) for i in range(50)]
+    queries_df = spark.createDataFrame(qpts, "qid long, lon double, lat double, k int")
+    # fine 0.005-degree kNN grid: the window is only 2x2 reference cells, a
+    # ring over those would degenerate to a full scan per query
+    # salt=1: measured — AQE skew-split beats explicit salting here (1.7s vs
+    # 6.5s at 2M points); salt stays available for pathological hot keys
+    timed(
+        "knn_kring",
+        lambda: knn.knn_kring(
+            slim, queries_df, ring=1, cell_w=0.005, cell_h=0.005, salt=1
+        ).count(),
+    )
+
+    # flagship OSM-language query through the full pipeline (no membership
+    # tables at bench scale: nodes-only statement)
+    empty_w = spark.createDataFrame([], "id long, node_ids array<long>, tags map<string,string>")
+    empty_r = spark.createDataFrame(
+        [], "id long, node_member_ids array<long>, way_member_ids array<long>, "
+        "child_relation_ids array<long>, tags map<string,string>")
+    ds = OsmDataset(nodes=points, ways=empty_w, relations=empty_r)
+    timed(
+        "osm_flagship",
+        lambda: run_query(
+            "bbox(9.90, 53.50, 10.10, 53.70).nodes{ amenity=bench AND seats=* }", ds
+        ).count(),
+    )
+
+    # training-data ops on the driver tables at SF_DIR
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    timed("dedup_minhash_lsh", lambda: dedup.minhash_near_dups(docs, threshold=0.35).count())
+    timed("dedup_ngram_jaccard", lambda: dedup.ngram_jaccard_pairs(docs, threshold=0.5).count())
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    timed(
+        "agg_pricing_summary",
+        lambda: li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity"), F.sum("l_extendedprice"), F.count("*"))
+        .collect(),
+    )
+
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qvec = embs.filter(F.col("vec_id") == 0).first().embedding
+    timed("similarity_topk", lambda: similarity.cosine_topk(embs, qvec, k=10).collect())
+
+    total = round(sum(timings.values()), 3)
+    headline = ["tile_assignment", "bbox_join", "point_in_polygon", "knn_kring", "osm_flagship"]
+    headline_sec = sum(timings[h] for h in headline)
+    # rows processed by the headline spatial jobs: each scans all N points
+    throughput = round(len(headline) * BENCH_N / headline_sec) if headline_sec else None
+    print(
+        json.dumps(
+            {
+                "metric": "spatial-join+tile-assignment suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                "cpus": CPUS,
+                "bench_n_points": BENCH_N,
+                "headline_sec": round(headline_sec, 3),
+                "headline_throughput_rows_per_sec": throughput,
+                "cold_sec": cold,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

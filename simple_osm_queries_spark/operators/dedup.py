@@ -137,14 +137,21 @@ def _perm_params(num_perm: int) -> list[tuple[int, int]]:
     return params
 
 
-def minhash_signature_col(text: Column, n: int = 3, num_perm: int = 64) -> Column:
-    """array<long> MinHash signature, pure column math.
-
-    Shingle hash: xxhash64 masked to 32 bits so a*h+b stays in long range.
-    """
-    hashes = F.transform(
+def shingle_hashes_col(text: Column, n: int = 3) -> Column:
+    """32-bit-masked xxhash64 of each distinct shingle (so a*h+b stays in
+    long range for the universal hash)."""
+    return F.transform(
         shingles_col(text, n), lambda s: F.xxhash64(s).bitwiseAND(F.lit(0xFFFFFFFF))
     )
+
+
+def minhash_from_hashes_col(hashes: Column, num_perm: int = 64) -> Column:
+    """array<long> MinHash signature from a MATERIALIZED hash array.
+
+    Keep the shingle/regex pipeline out of this expression: Catalyst does
+    not CSE subexpressions across lambda bodies, so inlining shingles here
+    would re-tokenize the text once per permutation (measured 60x slowdown).
+    """
 
     def perm_min(pa: int, pb: int):
         # NB: a plain lambda with default args (h, pa=pa, ...) breaks pyspark's
@@ -154,6 +161,40 @@ def minhash_signature_col(text: Column, n: int = 3, num_perm: int = 64) -> Colum
         )
 
     return F.array(*[perm_min(pa, pb) for pa, pb in _perm_params(num_perm)])
+
+
+def minhash_signature_col(text: Column, n: int = 3, num_perm: int = 64) -> Column:
+    """Convenience single-expression form — prefer the two-phase
+    (shingle_hashes_col materialized, then minhash_from_hashes_col) in real
+    plans; see minhash_from_hashes_col for why."""
+    return minhash_from_hashes_col(shingle_hashes_col(text, n), num_perm)
+
+
+def minhash_from_hashes_udf(hashes: Column, num_perm: int = 64) -> Column:
+    """Arrow-batched numpy MinHash (the fast path).
+
+    Spark's higher-order array functions are interpreted (no whole-stage
+    codegen), so 64 transform+array_min passes cost ~100x a vectorized
+    numpy outer-min. Shingle hashing stays JVM-side; only the (num_perm x
+    n_shingles) min-reduction crosses to Arrow.
+    """
+    params = np.array(_perm_params(num_perm), dtype=np.uint64)  # (P, 2)
+    pa = params[:, 0][:, None]
+    pb = params[:, 1][:, None]
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _sig(hs: pd.Series) -> pd.Series:
+        out = []
+        for h in hs:
+            if h is None or len(h) == 0:
+                out.append([int(_MH_PRIME)] * num_perm)
+                continue
+            arr = np.asarray(h, dtype=np.uint64)[None, :]  # (1, S)
+            mins = ((pa * arr + pb) % np.uint64(_MH_PRIME)).min(axis=1)
+            out.append([int(x) for x in mins])
+        return pd.Series(out)
+
+    return _sig(hashes)
 
 
 def lsh_candidate_pairs(
@@ -192,6 +233,43 @@ def lsh_candidate_pairs(
     )
 
 
+def minhash_signatures_py(text: Column, n: int = 3, num_perm: int = 64) -> Column:
+    """Whole MinHash pipeline (tokenize -> shingle -> crc32 -> perm-min) in
+    ONE Arrow-batched pandas UDF — the production path.
+
+    Rationale: Spark evaluates higher-order array lambdas interpreted (no
+    codegen), so the JVM shingle pipeline costs ~1.6 ms/doc; this numpy path
+    is ~30x cheaper and crosses Python exactly once. Shingle hash is crc32
+    (32-bit) — different constants than the JVM xxhash64 variant, same
+    estimator properties.
+    """
+    import re
+    import zlib
+
+    params = np.array(_perm_params(num_perm), dtype=np.uint64)
+    pa = params[:, 0][:, None]
+    pb = params[:, 1][:, None]
+    ws = re.compile(r"\s+")
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            w = ws.split(t.strip().lower()) if t else [""]
+            if len(w) <= n:
+                sh = {" ".join(w)}
+            else:
+                sh = {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+            arr = np.fromiter(
+                (zlib.crc32(s.encode()) for s in sh), dtype=np.uint64, count=len(sh)
+            )[None, :]
+            mins = ((pa * arr + pb) % np.uint64(_MH_PRIME)).min(axis=1)
+            out.append([int(x) for x in mins])
+        return pd.Series(out)
+
+    return _sig(text)
+
+
 def minhash_near_dups(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -202,10 +280,13 @@ def minhash_near_dups(
     threshold: float = 0.5,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs with signature-based Jaccard estimate."""
+    # cached: the signature table is consumed three times (bucketing + both
+    # sides of the pair join); signatures are tiny (num_perm longs/doc) and
+    # recomputing the tokenizer per use would triple the dominant cost
     signed = df.select(
         F.col(id_col).alias("id"),
-        minhash_signature_col(F.col(text_col), n, num_perm).alias("sig"),
-    )
+        minhash_signatures_py(F.col(text_col), n, num_perm).alias("sig"),
+    ).persist()
     pairs = lsh_candidate_pairs(signed, "id", "sig", bands)
     sa = signed.withColumnsRenamed({"id": "id_a", "sig": "sig_a"})
     sb = signed.withColumnsRenamed({"id": "id_b", "sig": "sig_b"})

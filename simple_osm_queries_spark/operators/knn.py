@@ -62,7 +62,14 @@ def knn_brute(points: DataFrame, queries: DataFrame, k: int | None = None) -> Da
 def _kring_candidates(
     points: DataFrame, q: DataFrame, ring: int, cell_w: float, cell_h: float, salt: int
 ) -> DataFrame:
-    """Explode each query into its k-ring cells, equi-join on the cell key."""
+    """Explode each query into its k-ring cells, equi-join on the cell key.
+
+    The cell key is recomputed from lon/lat at THIS operator's granularity —
+    kNN wants a much finer grid than the reference's 0.1-degree query grid
+    (a ring over coarse cells degenerates to a full scan per query), and the
+    key must be consistent between both join sides regardless of what cell
+    column the table was partitioned by.
+    """
     offsets = [(dx, dy) for dx in range(-ring, ring + 1) for dy in range(-ring, ring + 1)]
     qx = C.cell_x(F.col("qlon"), cell_w)
     qy = C.cell_y(F.col("qlat"), cell_h)
@@ -72,7 +79,10 @@ def _kring_candidates(
             F.array(*[C.pack_cell(qx + F.lit(dx), qy + F.lit(dy)) for dx, dy in offsets])
         ),
     )
-    pts = points.select("id", "lon", "lat", "cell")
+    pts = points.select(
+        "id", "lon", "lat",
+        C.cell_of(F.col("lon"), F.col("lat"), cell_w, cell_h).alias("cell"),
+    )
     if salt > 1:
         # replicate each query row over every salt bucket; points pick one
         # bucket — bounds the per-(cell,salt) partition size for hot cells
@@ -108,11 +118,16 @@ def knn_kring(
     cand = _kring_candidates(points, q, ring, cell_w, cell_h, salt)
     safe2 = (ring * min(cell_w, cell_h)) ** 2
     found = _topk(cand)
-    counts = found.groupBy("qid").agg(
-        F.max("dist2").alias("__maxd"), F.count("*").alias("__n")
+    # per-query max-dist and count as window aggregates over the SAME
+    # partitioning the top-k window just created — one pass, no re-shuffle,
+    # no recomputation of the candidate join (groupBy+join-back would
+    # evaluate `found` twice)
+    w_all = Window.partitionBy("qid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     return (
-        found.join(counts, "qid")
+        found.withColumn("__maxd", F.max("dist2").over(w_all))
+        .withColumn("__n", F.count("*").over(w_all))
         .withColumn("exact", (F.col("__n") >= F.col("k")) & (F.col("__maxd") <= F.lit(safe2)))
         .select("qid", "id", "lon", "lat", "dist2", "rank", "exact")
     )

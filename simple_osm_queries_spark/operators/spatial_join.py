@@ -18,8 +18,11 @@ Design for scale:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def bbox_join(
@@ -69,6 +72,132 @@ def point_in_polygon_col(lon: Column, lat: Column, ring: Column) -> Column:
         return straddles & (lon < x_at_y)
 
     return F.size(F.filter(edges, crosses)) % 2 == 1
+
+
+def point_in_polygon_literal(
+    lon: Column, lat: Column, ring: list[tuple[float, float]]
+) -> Column:
+    """Ray casting against a DRIVER-SIDE literal ring, expanded to scalar
+    per-edge CASE arithmetic.
+
+    Prefer this over :func:`point_in_polygon_col` whenever the polygon is
+    known at plan time: the array/lambda form allocates per-row edge
+    structs (higher-order functions are interpreted, and the garbage they
+    generate makes GC the bottleneck — measured >3x total CPU on 20M rows);
+    this form is pure whole-stage-codegen scalar math with zero allocation.
+    """
+    crossings = None
+    n = len(ring)
+    for i in range(n):
+        ax, ay = ring[i]
+        bx, by = ring[(i + 1) % n]
+        if ay == by:
+            continue  # horizontal edge never crosses the horizontal ray
+        straddles = (F.lit(ay) > lat) != (F.lit(by) > lat)
+        x_at_y = F.lit((bx - ax)) * (lat - F.lit(ay)) / F.lit(by - ay) + F.lit(ax)
+        term = F.when(straddles & (lon < x_at_y), F.lit(1)).otherwise(F.lit(0))
+        crossings = term if crossings is None else crossings + term
+    if crossings is None:
+        return F.lit(False)
+    return crossings % 2 == 1
+
+
+def point_in_polygon_mask_np(
+    lon: Column, lat: Column, polygons: list[tuple[int, list[tuple[float, float]]]]
+) -> Column:
+    """Bitmask of catalog polygons containing the point — ONE Arrow-batched
+    numpy UDF for the whole catalog (bit j set <=> inside polygons[j]).
+
+    The JVM unrolled form is fastest for 1-2 polygons, but a multi-polygon
+    composite expression exceeds codegen method limits and silently falls
+    back to interpreted eval (~4x slower than this, measured at 8x32-gon on
+    20M rows). The numpy path does bbox masking + vectorized ray casts per
+    Arrow batch — per-row Python never runs."""
+    rings = [np.asarray(r, dtype=np.float64) for _, r in polygons]
+    boxes = [
+        (r[:, 0].min(), r[:, 1].min(), r[:, 0].max(), r[:, 1].max()) for r in rings
+    ]
+
+    @F.pandas_udf(T.LongType())
+    def _mask(lo: pd.Series, la: pd.Series) -> pd.Series:
+        x = lo.to_numpy()
+        y = la.to_numpy()
+        mask = np.zeros(len(x), dtype=np.int64)
+        for j, r in enumerate(rings):
+            mnx, mny, mxx, mxy = boxes[j]
+            cand = (x >= mnx) & (x <= mxx) & (y >= mny) & (y <= mxy)
+            if not cand.any():
+                continue
+            cx = x[cand][:, None]
+            cy = y[cand][:, None]
+            ax, ay = r[:, 0], r[:, 1]
+            bx, by = np.roll(ax, -1), np.roll(ay, -1)
+            straddle = (ay[None, :] > cy) != (by[None, :] > cy)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xs = (bx - ax)[None, :] * (cy - ay[None, :]) / (by - ay)[None, :] + ax[None, :]
+            inside = ((straddle & (cx < xs)).sum(axis=1) % 2).astype(bool)
+            mask[cand] |= inside.astype(np.int64) << j
+        return pd.Series(mask)
+
+    return _mask(lon, lat)
+
+
+def point_in_polygon_literal_join(
+    points: DataFrame,
+    polygons: list[tuple[int, list[tuple[float, float]]]],
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Join points against a small literal polygon catalog in ONE scan.
+
+    Matches come out as (point columns..., qid) rows. One pass over the data
+    regardless of catalog size — a per-polygon union would re-scan the table
+    |catalog| times (measured 16 polygons = 16x the I/O). Strategy by
+    catalog size (measured on 20M rows, 32 cores):
+    * <= 2 polygons: unrolled whole-stage-codegen ray cast (~1.4s/polygon)
+    * larger:        numpy bitmask UDF (~3.2s for 8x32-gon) — the JVM
+                     composite would fall back to interpreted eval (~12s)
+    """
+    assert polygons, "empty polygon list"
+    if len(polygons) <= 2:
+        hits = []
+        for qid, ring in polygons:
+            mnx = min(p[0] for p in ring)
+            mxx = max(p[0] for p in ring)
+            mny = min(p[1] for p in ring)
+            mxy = max(p[1] for p in ring)
+            in_bbox = (
+                (points[lon] >= F.lit(mnx))
+                & (points[lon] <= F.lit(mxx))
+                & (points[lat] >= F.lit(mny))
+                & (points[lat] <= F.lit(mxy))
+            )
+            hits.append(
+                F.when(
+                    in_bbox & point_in_polygon_literal(points[lon], points[lat], ring),
+                    F.lit(qid),
+                )
+            )
+        return points.withColumn("qid", F.explode(F.array_compact(F.array(*hits))))
+
+    mask = point_in_polygon_mask_np(points[lon], points[lat], polygons)
+    qid_of_bit = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    F.shiftright(F.col("__pipmask"), j).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(qid),
+                )
+                for j, (qid, _) in enumerate(polygons)
+            ]
+        )
+    )
+    return (
+        points.withColumn("__pipmask", mask)
+        .filter(F.col("__pipmask") != 0)
+        .withColumn("qid", F.explode(qid_of_bit))
+        .drop("__pipmask")
+    )
 
 
 def polygon_bounds(ring: Column) -> tuple[Column, Column, Column, Column]:

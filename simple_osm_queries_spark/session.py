@@ -36,6 +36,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SOQ_DRIVER_MEM", "8g"))
+        # wide whole-stage-codegen methods (e.g. a literal polygon catalog's
+        # unrolled ray cast) exceed HotSpot's 8KB DontCompileHugeMethods
+        # threshold and would run interpreted — measured 13x slower; lifting
+        # the limit lets the JIT compile them (standard Spark prod setting)
+        .config("spark.driver.extraJavaOptions", "-XX:-DontCompileHugeMethods")
+        .config("spark.executor.extraJavaOptions", "-XX:-DontCompileHugeMethods")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

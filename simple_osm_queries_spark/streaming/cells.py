@@ -1,0 +1,57 @@
+"""Structured Streaming variants.
+
+The reference is batch-only (SURVEY.md §2.7); these exist because a 10^12-
+scale ingest is in practice a continuously-arriving stream. Two canonical
+jobs:
+
+* ``streaming_cell_counts`` — the density aggregation (A1,
+  /root/reference/src/osm/density.go:33-49) as an incremental streaming agg:
+  per-cell running counts with ``update`` output (complete per-cell state is
+  exactly the import pass-1 histogram that drives band planning);
+* ``streaming_window_events`` — event-time tumbling-window counts with
+  watermarked late-data handling over a timestamped table (the generic
+  windowed rollup).
+
+Tests drive them from parquet directories with processAllAvailable() — the
+same plan runs against kafka/file sources on a cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from simple_osm_queries_spark.functions import cells as C
+
+
+def streaming_cell_counts(stream: DataFrame) -> DataFrame:
+    """Per-cell running node counts from a (lon, lat)-bearing stream."""
+    return (
+        stream.withColumn("cell", C.cell_of(F.col("lon"), F.col("lat")))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def streaming_window_events(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window event counts with a watermark for late data."""
+    # watermarks require TIMESTAMP (with zone); NTZ sources are cast — the
+    # session timezone is pinned to UTC so values are unchanged
+    return (
+        stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )

@@ -1,0 +1,66 @@
+"""Checkpointed index build: band planning, atomic manifests, resume skips
+completed bands, changed input fingerprint forces recompute."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from simple_osm_queries_spark.index import build
+
+
+def test_plan_bands_respects_cap_and_skew(dataset):
+    bands = build.plan_bands(dataset.nodes, max_rows_per_band=200)
+    assert bands
+    # contiguous, ordered, covering
+    for a, b in zip(bands, bands[1:]):
+        assert a.max_x < b.min_x
+    assert sum(b.rows for b in bands) == dataset.nodes.count()
+    # the cap holds except for single oversize columns (hot cell column)
+    for b in bands:
+        if b.min_x != b.max_x:
+            assert b.rows <= 200
+
+
+def test_build_resume_and_invalidate(dataset, tmp_path, spark):
+    out = str(tmp_path / "idx")
+    r1 = build.build_index(dataset.nodes, out, input_fingerprint="fp1", max_rows_per_band=300)
+    assert r1["bands"] > 0 and r1["skipped"] == 0
+
+    # manifests exist and carry metrics
+    mdir = os.path.join(out, "_manifests")
+    manifests = [json.load(open(os.path.join(mdir, f))) for f in os.listdir(mdir)]
+    assert all("rows" in m and "duration_sec" in m for m in manifests)
+
+    # resume: everything skipped, nothing recomputed
+    r2 = build.build_index(dataset.nodes, out, input_fingerprint="fp1", max_rows_per_band=300)
+    assert r2["bands"] == 0 and r2["skipped"] == len(manifests)
+    assert r2["rows"] == r1["rows"]
+
+    # index reads back complete and partition-pruned
+    idx = build.read_index(spark, out)
+    assert idx.count() == dataset.nodes.count()
+    some_x = idx.select("cell_x").first().cell_x
+    pruned = idx.filter(F.col("cell_x") == some_x)
+    assert pruned.count() == dataset.nodes.filter(F.col("cell_x") == some_x).count()
+
+    # different input fingerprint invalidates manifests
+    r3 = build.build_index(dataset.nodes, out, input_fingerprint="fp2", max_rows_per_band=300)
+    assert r3["bands"] == len(manifests) and r3["skipped"] == 0
+
+
+def test_partial_build_resumes_where_it_stopped(dataset, tmp_path):
+    out = str(tmp_path / "idx2")
+    bands = build.plan_bands(dataset.nodes, max_rows_per_band=300)
+    assert len(bands) >= 2
+    # simulate a killed job: pre-write a manifest for the first band only
+    first = bands[0]
+    build._write_manifest_atomic(
+        build._manifest_path(out, first),
+        {"band": first.key, "min_x": first.min_x, "max_x": first.max_x,
+         "rows": first.rows, "input_fingerprint": "fp", "duration_sec": 0.0},
+    )
+    r = build.build_index(dataset.nodes, out, input_fingerprint="fp", max_rows_per_band=300)
+    assert r["skipped"] == 1
+    assert r["bands"] == len(bands) - 1

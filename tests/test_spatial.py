@@ -91,6 +91,36 @@ def test_point_in_polygon_matches_oracle(spark, points, points_pd, ring):
     assert got == expected
 
 
+def test_point_in_polygon_literal_paths_match_oracle(points, points_pd):
+    """Both literal-join strategies (unrolled codegen for small catalogs,
+    numpy bitmask for larger ones) must agree with the Python oracle."""
+    catalog = [(0, PENTAGON), (1, STAR), (2, CROSSING)]
+    expected = {
+        (qid, int(r.id))
+        for qid, ring in catalog
+        for r in points_pd.itertuples()
+        if _pip_oracle(r.lon, r.lat, ring)
+    }
+    # numpy path (3 polygons > 2)
+    got_np = {
+        (r.qid, r.id)
+        for r in spatial_join.point_in_polygon_literal_join(points, catalog)
+        .select("qid", "id")
+        .collect()
+    }
+    assert got_np == expected
+    # unrolled codegen path (per polygon)
+    got_jvm = set()
+    for qid, ring in catalog:
+        got_jvm |= {
+            (r.qid, r.id)
+            for r in spatial_join.point_in_polygon_literal_join(points, [(qid, ring)])
+            .select("qid", "id")
+            .collect()
+        }
+    assert got_jvm == expected
+
+
 def _knn_oracle(points_pd, qlon, qlat, k):
     d2 = (points_pd.lon - qlon) ** 2 + (points_pd.lat - qlat) ** 2
     order = sorted(zip(d2, points_pd.id))
