@@ -1,0 +1,113 @@
+"""CLI entry point — the reference's three commands (SURVEY.md §3;
+/root/reference/src/main.go):
+
+  python -m simple_osm_queries_spark import <file.osm> --out <index_dir>
+  python -m simple_osm_queries_spark query '<query>' [--data <index_dir>|generate] [--out output.geojson]
+  python -m simple_osm_queries_spark server [--port 8080] [--data ...]
+
+`import` builds the cell-partitioned parquet index + the reference-format
+tag-index file from an .osm XML file (or from the deterministic generator
+with `--generate N`). `query` mirrors main.go:95-111 (parse -> execute ->
+output.geojson). `server` mirrors the HTTP entry point.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+
+def _build_dataset(spark, args):
+    from simple_osm_queries_spark.sources import datagen
+    from simple_osm_queries_spark.sources.dataset import from_generator, prepare
+
+    if args.data == "generate":
+        return from_generator(spark, n_nodes=args.generate, with_images=False)
+    nodes_path = os.path.join(args.data, "nodes")
+    if os.path.exists(nodes_path):
+        nodes = spark.read.parquet(nodes_path)
+        ways = spark.read.parquet(os.path.join(args.data, "ways"))
+        relations = spark.read.parquet(os.path.join(args.data, "relations"))
+        return prepare(nodes, ways, relations)
+    raise SystemExit(f"no index at {args.data}; run the import command first")
+
+
+def cmd_import(spark, args) -> None:
+    from simple_osm_queries_spark.index.build import build_index
+    from simple_osm_queries_spark.sources import tag_index
+    from simple_osm_queries_spark.sources.dataset import prepare
+    from simple_osm_queries_spark.sources.osm_xml import read_osm_xml
+
+    nodes_raw, ways_raw, rels_raw = read_osm_xml(spark, args.file)
+    ds = prepare(nodes_raw, ways_raw, rels_raw)
+    os.makedirs(args.out, exist_ok=True)
+    # raw tables for reload (prepare() recomputes derived columns on load)
+    nodes_raw.write.mode("overwrite").parquet(os.path.join(args.out, "nodes"))
+    ways_raw.write.mode("overwrite").parquet(os.path.join(args.out, "ways"))
+    rels_raw.write.mode("overwrite").parquet(os.path.join(args.out, "relations"))
+    # checkpointed cell-partitioned node index (the scan-optimized layout)
+    report = build_index(
+        ds.nodes, os.path.join(args.out, "grid-index"), input_fingerprint=args.file
+    )
+    # reference-format tag dictionary (tag.go text format)
+    idx = tag_index.build_tag_index(ds.nodes, ds.ways, ds.relations)
+    tag_index.save_tag_index(idx, os.path.join(args.out, "tag-index"))
+    print(f"imported {report['rows']} nodes in {report['t_sec']:.1f}s -> {args.out}")
+
+
+def cmd_query(spark, args) -> None:
+    from simple_osm_queries_spark.query.planner import run_query
+    from simple_osm_queries_spark.sources.geojson import write_geojson_file
+
+    ds = _build_dataset(spark, args)
+    result = run_query(args.query, ds)
+    write_geojson_file(result, args.out)
+    print(f"wrote {result.count()} features -> {args.out}")
+
+
+def cmd_server(spark, args) -> None:
+    from simple_osm_queries_spark.web import serve
+
+    ds = _build_dataset(spark, args).cache()
+    ds.nodes.count()  # warm the cache before accepting requests
+    httpd = serve(ds, port=args.port)
+    print(f"listening on http://127.0.0.1:{args.port}/app")
+    httpd.serve_forever()
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="simple_osm_queries_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("import", help="build an index from an .osm XML file")
+    pi.add_argument("file")
+    pi.add_argument("--out", default="soq-index")
+
+    pq = sub.add_parser("query", help="run a query, write GeoJSON")
+    pq.add_argument("query")
+    pq.add_argument("--data", default="soq-index", help="index dir or 'generate'")
+    pq.add_argument("--generate", type=int, default=100_000)
+    pq.add_argument("--out", default="output.geojson")
+
+    ps = sub.add_parser("server", help="HTTP server with POST /query")
+    ps.add_argument("--port", type=int, default=8080)
+    ps.add_argument("--data", default="generate")
+    ps.add_argument("--generate", type=int, default=100_000)
+
+    args = p.parse_args(argv)
+
+    from simple_osm_queries_spark.session import get_spark
+
+    spark = get_spark("soq-cli")
+    try:
+        {"import": cmd_import, "query": cmd_query, "server": cmd_server}[args.cmd](spark, args)
+    finally:
+        if args.cmd != "server":
+            spark.stop()
+
+
+if __name__ == "__main__":
+    main()

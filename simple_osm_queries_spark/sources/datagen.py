@@ -50,6 +50,7 @@ NODE_SCHEMA = (
     "id long, image_id string, bytes binary, w int, h int, fmt string, "
     "caption string, phash long, lon double, lat double, tags map<string,string>"
 )
+NODE_SCHEMA_MINIMAL = "id long, lon double, lat double, tags map<string,string>"
 WAY_SCHEMA = "id long, node_ids array<long>, tags map<string,string>"
 RELATION_SCHEMA = (
     "id long, node_member_ids array<long>, way_member_ids array<long>, "

@@ -1,0 +1,97 @@
+"""HTTP server entry point (SURVEY.md §3.2).
+
+Mirrors the reference's API (/root/reference/src/web/api.go): the index is
+loaded once at startup; `POST /query` takes the query text as the request
+body and answers GeoJSON; parse and execution errors come back as JSON
+envelopes with 400/500 (api.go:84-96,100-113). `GET /app` serves a minimal
+textarea UI posting to /query (stand-in for the reference's OpenLayers page,
+src/web/index.html).
+
+stdlib ThreadingHTTPServer — the Spark driver is the server process, the
+cluster does the work, exactly like the reference's single process plus
+goroutines (but distributed underneath).
+"""
+
+from __future__ import annotations
+
+import json
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from simple_osm_queries_spark.query.parser import ParseError, parse_query
+from simple_osm_queries_spark.query.planner import PlanError, plan_query
+from simple_osm_queries_spark.sources.dataset import OsmDataset
+from simple_osm_queries_spark.sources.geojson import to_geojson
+
+_APP_HTML = b"""<!doctype html>
+<html><head><title>simple_osm_queries_spark</title></head>
+<body>
+<h3>simple_osm_queries_spark</h3>
+<textarea id="q" rows="8" cols="80">bbox(9.90, 53.50, 10.10, 53.70).nodes{ amenity=bench AND seats=* }</textarea><br>
+<button onclick="run()">Run</button>
+<pre id="out"></pre>
+<script>
+async function run() {
+  const r = await fetch('/query', {method: 'POST', body: document.getElementById('q').value});
+  document.getElementById('out').textContent = JSON.stringify(await r.json(), null, 2);
+}
+</script>
+</body></html>"""
+
+
+def make_handler(dataset: OsmDataset):
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: bytes, content_type: str) -> None:
+            self.send_response(code)
+            self.send_header("Content-Type", content_type)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def do_GET(self):  # noqa: N802 (http.server API)
+            if self.path.rstrip("/") in ("", "/app"):
+                self._send(200, _APP_HTML, "text/html")
+            else:
+                self._send(404, b'{"error": "not found"}', "application/json")
+
+        def do_POST(self):  # noqa: N802
+            if self.path != "/query":
+                self._send(404, b'{"error": "not found"}', "application/json")
+                return
+            length = int(self.headers.get("Content-Length", "0"))
+            body = self.rfile.read(length).decode("utf-8", errors="replace")
+            try:
+                query = parse_query(body)
+            except ParseError as e:
+                self._send(
+                    400,
+                    json.dumps({"error": "parse error", "message": str(e)}).encode(),
+                    "application/json",
+                )
+                return
+            try:
+                fc = to_geojson(plan_query(query, dataset))
+            except PlanError as e:
+                self._send(
+                    400,
+                    json.dumps({"error": "plan error", "message": str(e)}).encode(),
+                    "application/json",
+                )
+                return
+            except Exception as e:  # execution error envelope (api.go:100-113)
+                self._send(
+                    500,
+                    json.dumps({"error": "execution error", "message": str(e)}).encode(),
+                    "application/json",
+                )
+                return
+            self._send(200, json.dumps(fc).encode(), "application/geo+json")
+
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+    return Handler
+
+
+def serve(dataset: OsmDataset, port: int = 8080) -> ThreadingHTTPServer:
+    """Build the server (caller decides serve_forever vs background thread)."""
+    return ThreadingHTTPServer(("127.0.0.1", port), make_handler(dataset))

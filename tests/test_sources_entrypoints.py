@@ -1,0 +1,123 @@
+"""OSM XML source (on the reference's own fixture file), tag-index format
+round-trip, and the HTTP server endpoint."""
+
+import json
+import threading
+import urllib.request
+
+import pytest
+from pyspark.sql import functions as F
+
+from simple_osm_queries_spark.query.planner import run_query
+from simple_osm_queries_spark.sources import tag_index
+from simple_osm_queries_spark.sources.dataset import prepare
+from simple_osm_queries_spark.sources.osm_xml import parse_osm_xml, read_osm_pbf, read_osm_xml
+
+REF_FIXTURE = "/root/reference/test-small.osm"
+
+
+@pytest.fixture(scope="module")
+def ref_dataset(spark):
+    nodes, ways, rels = read_osm_xml(spark, REF_FIXTURE)
+    return prepare(nodes, ways, rels)
+
+
+def test_parse_reference_fixture():
+    nodes, ways, rels = parse_osm_xml(REF_FIXTURE)
+    assert len(nodes) == 3 and len(ways) == 0 and len(rels) == 0
+    by_id = {r.id: r for r in nodes.itertuples()}
+    # the three nodes documented in FIXTURES.md §4
+    assert by_id[1].tags == {"height": "10.5", "natural": "tree"}
+    assert by_id[2].tags == {"amenity": "bench", "backrest": "no", "name": "Testbank"}
+    assert by_id[3].tags == {"amenity": "bench", "backrest": "yes", "material": "wood"}
+    assert by_id[1].lon == pytest.approx(9.9330, abs=1e-3)
+
+
+def test_query_reference_fixture_end_to_end(ref_dataset):
+    def ids(q):
+        return sorted(r.id for r in run_query(q, ref_dataset).collect())
+
+    assert ids("bbox(9.9, 53.5, 10.0, 53.6).nodes{ amenity=bench }") == [2, 3]
+    assert ids("bbox(9.9, 53.5, 10.0, 53.6).nodes{ height>=10.5 }") == [1]
+    assert ids("bbox(9.9, 53.5, 10.0, 53.6).nodes{ backrest=yes OR name=Testbank }") == [2, 3]
+
+
+def test_pbf_stub_raises(spark):
+    with pytest.raises(NotImplementedError):
+        read_osm_pbf(spark, "/nonexistent.osm.pbf")
+
+
+def test_tag_index_build_and_roundtrip(dataset, tmp_path):
+    idx = tag_index.build_tag_index(dataset.nodes, dataset.ways, dataset.relations)
+    # natural order per key (the mixed height dictionary)
+    assert idx["height"] == ["1", "1m", "1.5 m", "2.5", "10.5"]
+    assert idx["seats"] == ["2", "3", "4"]
+    assert "highway" in idx and "route" in idx  # ways + relations included
+    path = str(tmp_path / "tag-index")
+    tag_index.save_tag_index(idx, path)
+    assert tag_index.load_tag_index(path) == idx
+    # position helpers (tag.go:190-230 semantics)
+    assert tag_index.value_index(idx, "height", "2.5") == 3
+    assert tag_index.value_index(idx, "height", "nope") is None
+    assert tag_index.next_lower_value_index(idx, "height", "2.7") == 3
+    assert tag_index.next_lower_value_index(idx, "height", "0") is None
+
+
+def test_tag_index_escaping(tmp_path):
+    idx = {"weird=key": ["a|b", "line\nbreak", "eq=val"]}
+    path = str(tmp_path / "tag-index")
+    tag_index.save_tag_index(idx, path)
+    assert tag_index.load_tag_index(path) == idx
+
+
+def test_http_server_query_and_errors(ref_dataset):
+    from simple_osm_queries_spark.web import serve
+
+    httpd = serve(ref_dataset, port=18099)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        req = urllib.request.Request(
+            "http://127.0.0.1:18099/query",
+            data=b"bbox(9.9, 53.5, 10.0, 53.6).nodes{ amenity=bench }",
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as resp:
+            fc = json.loads(resp.read())
+        assert resp.status == 200
+        assert {f["properties"]["@osm_id"] for f in fc["features"]} == {2, 3}
+
+        bad = urllib.request.Request(
+            "http://127.0.0.1:18099/query", data=b"bbox(1,2,3).nodes{a=b}", method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(bad)
+        assert e.value.code == 400
+        assert json.loads(e.value.read())["error"] == "parse error"
+
+        with urllib.request.urlopen("http://127.0.0.1:18099/app") as resp:
+            assert b"textarea" in resp.read()
+    finally:
+        httpd.shutdown()
+
+
+def test_cli_import_and_query(spark, tmp_path, monkeypatch):
+    """Drive the CLI functions directly (shared test session instead of a
+    fresh one)."""
+    from simple_osm_queries_spark import cli
+
+    from types import SimpleNamespace
+
+    idx_dir = str(tmp_path / "idx")
+    cli.cmd_import(spark, SimpleNamespace(file=REF_FIXTURE, out=idx_dir))
+    assert (tmp_path / "idx" / "tag-index").exists()
+
+    q = SimpleNamespace(
+        query="bbox(9.9, 53.5, 10.0, 53.6).nodes{ amenity=bench }",
+        data=idx_dir,
+        generate=0,
+        out=str(tmp_path / "out.geojson"),
+    )
+    cli.cmd_query(spark, q)
+    fc = json.load(open(q.out))
+    assert {f["properties"]["@osm_id"] for f in fc["features"]} == {2, 3}
