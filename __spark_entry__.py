@@ -184,6 +184,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     # partial bbox (cell pruning + refine)
     q["osm_bbox_partial"] = _osm("bbox(9.95, 53.55, 9.99, 53.62).nodes{ amenity=* }")
+    # this.buffer(D) — the reference's documented-but-unimplemented proximity
+    # operator (README.md:154-181), implemented as a distance semi join
+    q["osm_buffer"] = _osm(
+        "bbox(9.90, 53.50, 10.10, 53.70).nodes{ amenity=* AND this.buffer(2km).nodes{ seats=* } }"
+    )
 
     # A1: per-cell density (the import pass-1 histogram)
     def cell_count(spark, sf_dir):
@@ -445,6 +450,20 @@ def oracle_sql() -> dict[str, str]:
         f"WHERE {SQL_HAS_AMENITY} AND {SQL_LON} >= 9.95 AND {SQL_LON} <= 9.99 "
         f"AND {SQL_LAT} >= 53.55 AND {SQL_LAT} <= 53.62 ORDER BY id"
     )
+    # buffer: EXISTS a seats-bearing point within 2km (same equirectangular
+    # meter model as operators/buffer.py, self excluded)
+    o["osm_buffer"] = f"""
+WITH p AS (SELECT doc_id AS id, {SQL_LON} AS lon, {SQL_LAT} AS lat,
+                  {SQL_HAS_AMENITY} AS has_amenity, {SQL_HAS_SEATS} AS has_seats
+           FROM documents)
+SELECT a.id, a.lon, a.lat FROM p a
+WHERE a.has_amenity AND EXISTS (
+  SELECT 1 FROM p b WHERE b.has_seats AND b.id != a.id
+  AND (  ((a.lon - b.lon) * (111320.0 * cos(radians(a.lat)))) * ((a.lon - b.lon) * (111320.0 * cos(radians(a.lat))))
+       + ((a.lat - b.lat) * 111320.0) * ((a.lat - b.lat) * 111320.0) ) <= 4000000.0
+)
+ORDER BY a.id
+"""
 
     o["cell_count"] = (
         f"SELECT CAST(trunc(lon / 0.1) AS INT) AS cell_x, CAST(trunc(lat / 0.1) AS INT) AS cell_y, "

@@ -1,0 +1,154 @@
+"""Distance-buffer spatial semi-join — `this.buffer(5m).<type>{...}`.
+
+The reference DOCUMENTS this operator as a future feature and never
+implemented it (/root/reference/README.md:154-181: "find all benches that
+have any highway-way within a 5m radius"). We implement it as a first-class
+distributed operator; semantics:
+
+    EXISTS inner feature f of <type>, satisfying the inner filter, with
+    geometric distance(outer, f) <= D meters.
+
+Distance model: local equirectangular meters —
+    dx = dlon * 111320 * cos(lat_point),  dy = dlat * 111320
+(exact enough at buffer scales of meters-to-kilometers; swap in haversine
+for global-scale buffers). Point-to-way distance is the minimum over the
+way's stored segments (point-to-segment projection), matching how the
+reference stores way geometry as node polylines.
+
+Physical shapes:
+* node<->node — equi-join on a buffer-sized grid key with ring-1 expansion
+  (shuffle-hash/broadcast on the cell key; exact: grid size >= D ensures a
+  point's 3x3 neighborhood covers its whole buffer disk);
+* node<->way (either direction) — broadcast the filtered way side with
+  expanded-bbox candidate predicate, then the exact segment-distance refine
+  (ways-after-filter is the small dim in every realistic query; for a huge
+  way side, pre-bucket ways by vertex cells like the reference's storage).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from simple_osm_queries_spark.functions import cells as C
+
+M_PER_DEG = 111320.0
+
+
+def _meters_k(lat: Column) -> tuple[Column, Column]:
+    """(meters per deg lon at lat, meters per deg lat)."""
+    return F.lit(M_PER_DEG) * F.cos(F.radians(lat)), F.lit(M_PER_DEG)
+
+
+def point_dist2_m(lon_a: Column, lat_a: Column, lon_b: Column, lat_b: Column) -> Column:
+    kx, ky = _meters_k(lat_a)
+    dx = (lon_a - lon_b) * kx
+    dy = (lat_a - lat_b) * ky
+    return dx * dx + dy * dy
+
+
+def point_to_way_dist2_m(lon: Column, lat: Column, way_nodes: Column) -> Column:
+    """Min squared meter-distance from a point to a way's segment polyline.
+
+    ``way_nodes``: array<struct<id,lon,lat>> in path order.
+    """
+    kx, ky = _meters_k(lat)
+    n = F.size(way_nodes)
+    segs = F.zip_with(
+        F.slice(way_nodes, 1, n - 1),
+        F.slice(way_nodes, 2, n - 1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+
+    def seg_dist2(s: Column) -> Column:
+        ax = (s["a"]["lon"] - lon) * kx
+        ay = (s["a"]["lat"] - lat) * ky
+        bx = (s["b"]["lon"] - lon) * kx
+        by = (s["b"]["lat"] - lat) * ky
+        dx = bx - ax
+        dy = by - ay
+        len2 = dx * dx + dy * dy
+        t_raw = F.when(len2 > 0, -(ax * dx + ay * dy) / len2).otherwise(F.lit(0.0))
+        t = F.least(F.greatest(t_raw, F.lit(0.0)), F.lit(1.0))
+        cx = ax + t * dx
+        cy = ay + t * dy
+        return cx * cx + cy * cy
+
+    first = way_nodes[0]
+    single_dist = point_dist2_m(lon, lat, first["lon"], first["lat"])
+    return F.coalesce(F.array_min(F.transform(segs, seg_dist2)), single_dist)
+
+
+def within_buffer_node_node(
+    outer_nodes: DataFrame,
+    inner_nodes: DataFrame,
+    buffer_m: float,
+    ref_lat: float = 70.0,
+) -> DataFrame:
+    """Outer node ids having >=1 inner node within buffer_m meters.
+
+    ``ref_lat`` bounds the data's |latitude| for the lon grid sizing (the
+    grid must be at least D meters wide at every data latitude).
+    """
+    s_lat = buffer_m / M_PER_DEG
+    s_lon = buffer_m / (M_PER_DEG * math.cos(math.radians(ref_lat)))
+    inner = inner_nodes.select(
+        F.col("id").alias("iid"),
+        F.col("lon").alias("ilon"),
+        F.col("lat").alias("ilat"),
+        C.pack_cell(C.cell_x(F.col("lon"), s_lon), C.cell_y(F.col("lat"), s_lat)).alias("cell"),
+    )
+    ox = C.cell_x(F.col("lon"), s_lon)
+    oy = C.cell_y(F.col("lat"), s_lat)
+    ring = [
+        C.pack_cell(ox + F.lit(dx), oy + F.lit(dy))
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    ]
+    outer = outer_nodes.select("id", "lon", "lat").withColumn(
+        "cell", F.explode(F.array(*ring))
+    )
+    d2 = point_dist2_m(F.col("lon"), F.col("lat"), F.col("ilon"), F.col("ilat"))
+    return (
+        outer.join(inner, "cell")
+        .filter((F.col("id") != F.col("iid")) & (d2 <= F.lit(float(buffer_m) ** 2)))
+        .select("id")
+        .distinct()
+    )
+
+
+def within_buffer_node_way(
+    nodes: DataFrame, ways: DataFrame, buffer_m: float, output: str = "node"
+) -> DataFrame:
+    """Ids of nodes with a way within buffer_m (output='node'), or ids of
+    ways with a node within buffer_m (output='way').
+
+    ``ways`` must carry (id, nodes, min_lon, min_lat, max_lon, max_lat).
+    The way side (post-filter) is broadcast with D-expanded bbox candidates;
+    the exact refine is the column-math point-to-polyline distance.
+    """
+    d_lat = buffer_m / M_PER_DEG
+    w = ways.select(
+        F.col("id").alias("wid"),
+        F.col("nodes").alias("wnodes"),
+        "min_lon",
+        "min_lat",
+        "max_lon",
+        "max_lat",
+    )
+    pt = nodes.select(F.col("id").alias("nid"), "lon", "lat")
+    d_lon = F.lit(buffer_m) / (F.lit(M_PER_DEG) * F.cos(F.radians(F.col("lat"))))
+    cand = (
+        (F.col("lon") >= F.col("min_lon") - d_lon)
+        & (F.col("lon") <= F.col("max_lon") + d_lon)
+        & (F.col("lat") >= F.col("min_lat") - F.lit(d_lat))
+        & (F.col("lat") <= F.col("max_lat") + F.lit(d_lat))
+    )
+    exact = point_to_way_dist2_m(F.col("lon"), F.col("lat"), F.col("wnodes")) <= F.lit(
+        float(buffer_m) ** 2
+    )
+    matched = pt.join(F.broadcast(w), cand & exact, "inner")
+    out_col = "nid" if output == "node" else "wid"
+    return matched.select(F.col(out_col).alias("id")).distinct()

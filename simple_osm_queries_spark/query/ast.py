@@ -81,9 +81,16 @@ class Statement:
 
 @dataclass(frozen=True)
 class SubStatement:
-    """Correlated existential membership check `this.<type>{...}` (filter.go:166-337)."""
+    """Correlated existential check `this.<type>{...}` (filter.go:166-337).
+
+    ``buffer_m`` set => the reference's DOCUMENTED-BUT-UNIMPLEMENTED
+    `this.buffer(5m).<type>{...}` form (README.md:154-181): EXISTS a feature
+    of <type> within buffer_m meters of the outer feature's geometry that
+    satisfies the inner filter (spatial proximity instead of membership).
+    """
 
     statement: Statement
+    buffer_m: float | None = None
 
 
 FilterExpr = Union[TagFilter, KeyFilter, Not, And, Or, SubStatement]

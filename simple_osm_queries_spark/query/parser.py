@@ -152,10 +152,64 @@ class _Parser:
             return ast.Not(self.parse_next_expression())
         if tok.kind == TokenKind.KEYWORD:
             if tok.lexeme == "this":
+                # `this.buffer(5m).ways{...}` (README.md:154-181; the
+                # reference documents this form but never implemented it)
+                nxt2 = self.tokens[self.i + 1] if self.i + 1 < len(self.tokens) else None
+                if (
+                    self.peek() is not None
+                    and self.peek().kind == TokenKind.DOT
+                    and nxt2 is not None
+                    and nxt2.kind == TokenKind.KEYWORD
+                    and nxt2.lexeme == "buffer"
+                ):
+                    self.i += 2  # consume '.' 'buffer'
+                    buffer_m = self.parse_buffer_args()
+                    # remainder parses like a context-aware statement body:
+                    # '.' <type> '{' filter '}'
+                    self.expect(TokenKind.DOT)
+                    type_tok = self.expect(TokenKind.KEYWORD)
+                    if type_tok.lexeme not in ast.QUERY_TYPES:
+                        raise ParseError(
+                            f"Unknown object type {type_tok.lexeme!r} at position {type_tok.pos}"
+                        )
+                    self.expect(TokenKind.OPEN_BRACE)
+                    filt = self.parse_filter_expressions()
+                    self.expect(TokenKind.CLOSE_BRACE)
+                    stmt = ast.Statement(ast.ContextAware(), type_tok.lexeme, filt)
+                    return ast.SubStatement(stmt, buffer_m=buffer_m)
                 self.i -= 1  # parse_statement re-reads the 'this' token
                 return ast.SubStatement(self.parse_statement(top_level=False))
             return self.parse_normal_expression(tok)
         raise ParseError(f"Unexpected token {tok.lexeme!r} at position {tok.pos}")
+
+    def parse_buffer_args(self) -> float:
+        """`(5m)` / `(5.5 m)` / `(250)` — number + optional unit keyword.
+        Units: m (default) and km; the lexer splits `5m` into NUMBER+KEYWORD."""
+        self.expect(TokenKind.OPEN_PAREN)
+        num_tok = self.next("buffer distance")
+        if num_tok.kind != TokenKind.NUMBER:
+            raise ParseError(
+                f"Expected a number in buffer() at position {num_tok.pos}"
+            )
+        try:
+            value = float(num_tok.lexeme)
+        except ValueError:
+            raise ParseError(f"Invalid number {num_tok.lexeme!r} at position {num_tok.pos}")
+        unit_tok = self.peek()
+        if unit_tok is not None and unit_tok.kind == TokenKind.KEYWORD:
+            self.i += 1
+            if unit_tok.lexeme == "m":
+                pass
+            elif unit_tok.lexeme == "km":
+                value *= 1000.0
+            else:
+                raise ParseError(
+                    f"Unknown buffer unit {unit_tok.lexeme!r} at position {unit_tok.pos}"
+                )
+        self.expect(TokenKind.CLOSE_PAREN)
+        if value <= 0:
+            raise ParseError("buffer() distance must be positive")
+        return value
 
     def parse_normal_expression(self, key_tok: Token) -> ast.FilterExpr:
         op_tok = self.next("binary operator")

@@ -109,6 +109,8 @@ def compile_filter(
         df, b = compile_filter(df, expr.b, outer_type, dataset)
         return df, a | b
     if isinstance(expr, ast.SubStatement):
+        if expr.buffer_m is not None:
+            return _compile_buffer(df, expr.statement, expr.buffer_m, outer_type, dataset)
         return _compile_substatement(df, expr.statement, outer_type, dataset)
     raise PlanError(f"Unknown filter expression {expr!r}")
 
@@ -142,6 +144,38 @@ def _compile_substatement(
         .withColumn(flag, F.lit(True))
     )
     df = df.join(matched, "id", "left")
+    return df, F.coalesce(F.col(flag), F.lit(False))
+
+
+def _compile_buffer(
+    df: DataFrame, stmt: ast.Statement, buffer_m: float, outer_type: str, dataset: OsmDataset
+) -> tuple[DataFrame, Column]:
+    """`this.buffer(Dm).<type>{...}` — the reference's documented-but-
+    unimplemented proximity form (README.md:154-181), as a distance-buffer
+    spatial semi join (operators/buffer.py). Supported geometry pairs:
+    node<->node, node->way, way->node."""
+    from simple_osm_queries_spark.operators import buffer as B
+
+    inner_qtype = stmt.query_type
+    inner_base = ast.BASE_TYPE[inner_qtype]
+    inner_df = dataset.df_for(inner_base)
+    inner_df, inner_pred = compile_filter(inner_df, stmt.filter, inner_base, dataset)
+    inner_df = inner_df.filter(inner_pred)
+
+    if outer_type == "node" and inner_base == "node":
+        matched = B.within_buffer_node_node(df, inner_df, buffer_m)
+    elif outer_type == "node" and inner_base == "way":
+        matched = B.within_buffer_node_way(df, inner_df, buffer_m, output="node")
+    elif outer_type == "way" and inner_base == "node":
+        matched = B.within_buffer_node_way(inner_df, df, buffer_m, output="way")
+    else:
+        raise PlanError(
+            f"this.buffer(...).{inner_qtype} inside a {outer_type} statement is "
+            "not supported (supported pairs: node<->node, node->ways, way->nodes)"
+        )
+
+    flag = f"__buf_{next(_FLAG)}"
+    df = df.join(matched.withColumn(flag, F.lit(True)), "id", "left")
     return df, F.coalesce(F.col(flag), F.lit(False))
 
 

@@ -8,10 +8,13 @@ engine's results feature-for-feature.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
 
 from simple_osm_queries_spark.functions.natural_sort import natural_is_less_py
 from simple_osm_queries_spark.query import ast
+
+M_PER_DEG = 111320.0
 
 
 @dataclass
@@ -23,6 +26,7 @@ class Feat:
     lat: float | None = None
     bbox: tuple | None = None  # (min_lon, min_lat, max_lon, max_lat)
     node_ids: list = field(default_factory=list)  # way members / relation node members
+    node_lonlats: list = field(default_factory=list)  # way vertex coords, path order
     way_ids: list = field(default_factory=list)  # node->ways reverse / relation way members
     relation_ids: list = field(default_factory=list)  # node/way -> relations reverse
     parent_relation_ids: list = field(default_factory=list)
@@ -49,6 +53,7 @@ class OracleData:
             lats = [nodes[n].lat for n in r.node_ids]
             ways[r.id] = Feat(
                 "way", r.id, dict(r.tags), node_ids=list(r.node_ids),
+                node_lonlats=[(nodes[n].lon, nodes[n].lat) for n in r.node_ids],
                 bbox=(min(lons), min(lats), max(lons), max(lats)),
             )
             for n in r.node_ids:
@@ -136,10 +141,56 @@ def applies(feat: Feat, expr: ast.FilterExpr, data: OracleData) -> bool:
     if isinstance(expr, ast.SubStatement):
         stmt = expr.statement
         inner = data.of_type(ast.BASE_TYPE[stmt.query_type])
-        qualifying = {f.id for f in inner.values() if applies(f, stmt.filter, data)}
+        qualifying = [f for f in inner.values() if applies(f, stmt.filter, data)]
+        if expr.buffer_m is not None:
+            return _any_within_buffer(feat, qualifying, expr.buffer_m)
+        qset = {f.id for f in qualifying}
         adj = getattr(feat, _ADJ[(feat.osm_type, stmt.query_type)])
-        return any(i in qualifying for i in adj)
+        return any(i in qset for i in adj)
     raise ValueError(expr)
+
+
+def _dist2_m(lon_a, lat_a, lon_b, lat_b) -> float:
+    kx = M_PER_DEG * math.cos(math.radians(lat_a))
+    dx = (lon_a - lon_b) * kx
+    dy = (lat_a - lat_b) * M_PER_DEG
+    return dx * dx + dy * dy
+
+
+def _pt_way_dist2_m(lon, lat, way_coords) -> float:
+    kx = M_PER_DEG * math.cos(math.radians(lat))
+    ky = M_PER_DEG
+    best = None
+    for (alon, alat), (blon, blat) in zip(way_coords, way_coords[1:]):
+        ax, ay = (alon - lon) * kx, (alat - lat) * ky
+        bx, by = (blon - lon) * kx, (blat - lat) * ky
+        dx, dy = bx - ax, by - ay
+        len2 = dx * dx + dy * dy
+        t = 0.0 if len2 == 0 else max(0.0, min(1.0, -(ax * dx + ay * dy) / len2))
+        cx, cy = ax + t * dx, ay + t * dy
+        d2 = cx * cx + cy * cy
+        best = d2 if best is None else min(best, d2)
+    if best is None:  # single-vertex way
+        alon, alat = way_coords[0]
+        best = _dist2_m(lon, lat, alon, alat)
+    return best
+
+
+def _any_within_buffer(feat: Feat, qualifying: list, buffer_m: float) -> bool:
+    d2max = buffer_m * buffer_m
+    for q in qualifying:
+        if feat.osm_type == "node" and q.osm_type == "node":
+            if q.id != feat.id and _dist2_m(feat.lon, feat.lat, q.lon, q.lat) <= d2max:
+                return True
+        elif feat.osm_type == "node" and q.osm_type == "way":
+            if _pt_way_dist2_m(feat.lon, feat.lat, q.node_lonlats) <= d2max:
+                return True
+        elif feat.osm_type == "way" and q.osm_type == "node":
+            if _pt_way_dist2_m(q.lon, q.lat, feat.node_lonlats) <= d2max:
+                return True
+        else:
+            raise ValueError(f"unsupported buffer pair {feat.osm_type}->{q.osm_type}")
+    return False
 
 
 def _bbox_intersects(fb: tuple, qb: ast.Bbox) -> bool:

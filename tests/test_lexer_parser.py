@@ -140,6 +140,25 @@ def test_nested_substatements():
     assert inner.statement.query_type == "ways"
 
 
+def test_buffer_substatement():
+    f = _stmt("bbox(1,2,3,4).nodes{ this.buffer(5m).ways{ highway=* } }").filter
+    assert isinstance(f, ast.SubStatement) and f.buffer_m == 5.0
+    assert f.statement.query_type == "ways"
+    f = _stmt("bbox(1,2,3,4).nodes{ this.buffer(2km).ways{ a=b } }").filter
+    assert f.buffer_m == 2000.0
+    f = _stmt("bbox(1,2,3,4).nodes{ this.buffer(250).ways{ a=b } }").filter
+    assert f.buffer_m == 250.0  # bare number defaults to meters
+    f = _stmt("bbox(1,2,3,4).nodes{ !this.buffer(5m).ways{ a=b } }").filter
+    assert isinstance(f, ast.Not) and f.expr.buffer_m == 5.0
+    for bad in [
+        "bbox(1,2,3,4).nodes{ this.buffer(5ft).ways{ a=b } }",
+        "bbox(1,2,3,4).nodes{ this.buffer(m).ways{ a=b } }",
+        "bbox(1,2,3,4).nodes{ this.buffer(5m).trees{ a=b } }",
+    ]:
+        with pytest.raises(ParseError):
+            parse_query(bad)
+
+
 def test_multiple_top_level_statements():
     q = parse_query("bbox(1,2,3,4).nodes{ a=1 }\nbbox(5,6,7,8).ways{ b=2 }")
     assert len(q.statements) == 2

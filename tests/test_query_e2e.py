@@ -55,11 +55,18 @@ QUERIES = {
     "nested_sub": f"bbox({WINDOW}).ways{{ highway=* AND this.nodes{{ this.ways{{ highway=secondary }} }} }}",
     # multiple top-level statements (implicit UNION ALL, query.go:29-35)
     "union": f"bbox({WINDOW}).nodes{{ natural=tree }} bbox({WINDOW}).ways{{ highway=rail }}",
+    # this.buffer(D) — the reference's documented-but-unimplemented
+    # proximity operator (README.md:154-181), ours for real
+    "buffer_node_way": f"bbox({WINDOW}).nodes{{ amenity=* AND this.buffer(1km).ways{{ highway=primary }} }}",
+    "buffer_node_node": f"bbox({WINDOW}).nodes{{ amenity=bench AND this.buffer(500m).nodes{{ natural=tree }} }}",
+    "buffer_way_node": f"bbox({WINDOW}).ways{{ building=yes AND this.buffer(200m).nodes{{ seats=* }} }}",
+    # the README's own future-feature example shape: negated buffer
+    "buffer_negated": f"bbox({WINDOW}).nodes{{ amenity=bench AND !this.buffer(800m).ways{{ highway=* }} }}",
 }
 
 # queries where an empty result is expected to be non-empty (sanity: the
 # fixture must actually exercise the operator)
-MUST_BE_NONEMPTY = set(QUERIES) - {"nodes_no_way"}
+MUST_BE_NONEMPTY = set(QUERIES) - {"nodes_no_way", "buffer_negated"}
 
 
 @pytest.mark.parametrize("name", list(QUERIES))
