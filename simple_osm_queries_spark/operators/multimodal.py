@@ -57,7 +57,10 @@ def decode_stats(df: DataFrame) -> DataFrame:
     return df.select("image_id", "bytes", "fmt").mapInPandas(run, DECODE_STATS_SCHEMA)
 
 
-VERIFY_SCHEMA = "id long, image_id string, fmt string, psnr double, pixels_ok boolean, caption_ok boolean"
+VERIFY_SCHEMA = (
+    "id long, image_id string, fmt string, psnr double, pixels_ok boolean, "
+    "caption_ok boolean, phash_ok boolean"
+)
 
 
 def verify_invariants(df: DataFrame, min_psnr: float = 40.0) -> DataFrame:
@@ -69,8 +72,8 @@ def verify_invariants(df: DataFrame, min_psnr: float = 40.0) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for rid, image_id, data, fmt, caption in zip(
-                pdf["id"], pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["caption"]
+            for rid, image_id, data, fmt, caption, phash in zip(
+                pdf["id"], pdf["image_id"], pdf["bytes"], pdf["fmt"], pdf["caption"], pdf["phash"]
             ):
                 ref = datagen.image_pixels(int(rid))
                 try:
@@ -84,12 +87,25 @@ def verify_invariants(df: DataFrame, min_psnr: float = 40.0) -> DataFrame:
                     f"a {datagen._COLORS[int(rid) % 8]} "
                     f"{datagen._NOUNS[(int(rid) // 8) % 8]} at site {int(rid)}"
                 )
-                rows.append((int(rid), image_id, fmt, float(min(p, 1e9)), pixels_ok, caption == expected_caption))
+                rows.append(
+                    (
+                        int(rid),
+                        image_id,
+                        fmt,
+                        float(min(p, 1e9)),
+                        pixels_ok,
+                        caption == expected_caption,
+                        int(phash) == datagen.phash_of(image_id),
+                    )
+                )
             yield pd.DataFrame(
-                rows, columns=["id", "image_id", "fmt", "psnr", "pixels_ok", "caption_ok"]
+                rows,
+                columns=["id", "image_id", "fmt", "psnr", "pixels_ok", "caption_ok", "phash_ok"],
             )
 
-    return df.select("id", "image_id", "bytes", "fmt", "caption").mapInPandas(run, VERIFY_SCHEMA)
+    return df.select("id", "image_id", "bytes", "fmt", "caption", "phash").mapInPandas(
+        run, VERIFY_SCHEMA
+    )
 
 
 def resize_images(df: DataFrame, new_w: int, new_h: int, out_fmt: str = "png") -> DataFrame:

@@ -29,7 +29,7 @@ def test_decode_stats(image_nodes):
 
 def test_verify_invariants_all_pass(image_nodes):
     res = multimodal.verify_invariants(image_nodes)
-    bad = res.filter(~F.col("pixels_ok") | ~F.col("caption_ok")).collect()
+    bad = res.filter(~F.col("pixels_ok") | ~F.col("caption_ok") | ~F.col("phash_ok")).collect()
     assert bad == []
     by_fmt = {r.fmt: r for r in res.collect()}
     assert by_fmt["png"].psnr >= 1e9  # inf clamped
