@@ -356,6 +356,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         return dedup.embedding_near_dups(embs, threshold=0.3)
 
+    def q_phash(spark, sf_dir):
+        # synthetic perceptual hashes: doc groups of 8 share all high bits,
+        # exercising the chunk-band + popcount machinery (input_hint phash)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.col("doc_id").alias("id"),
+            (F.floor(F.col("doc_id") / 8).cast("long") * 1024 + F.col("doc_id") % 8).alias("ph"),
+        )
+        return dedup.phash_near_dups(docs, id_col="id", phash_col="ph", max_hamming=3)
+
+    q["dedup_phash"] = q_phash
+
     q["dedup_exact"] = q_dedup_exact
     q["dedup_ngram_jaccard"] = q_jaccard
     q["dedup_minhash_lsh"] = q_minhash
@@ -532,6 +543,15 @@ ORDER BY a.id
         "SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, "
         "round(sum(value), 6) AS total_value FROM events GROUP BY 1, 2"
     )
+
+    # candidate generation is pigeonhole-complete for hamming <= chunks-1,
+    # so exhaustive pairwise hamming is an exact oracle
+    o["dedup_phash"] = """
+WITH p AS (SELECT doc_id AS id, (doc_id // 8) * 1024 + doc_id % 8 AS ph FROM documents)
+SELECT a.id AS id_a, b.id AS id_b, bit_count(xor(a.ph, b.ph)) AS hamming
+FROM p a JOIN p b ON a.id < b.id
+WHERE bit_count(xor(a.ph, b.ph)) <= 3
+"""
 
     o["dedup_exact"] = (
         "SELECT md5(text) AS fingerprint, count(*) AS n, min(doc_id) AS keep_id "

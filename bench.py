@@ -206,5 +206,38 @@ def main() -> None:
     spark.stop()
 
 
+def scaling_main() -> None:
+    """`python bench.py --scaling` — run the suite at N and 4N cores in
+    subprocesses (same input; materialized once) and report efficiency."""
+    import subprocess
+
+    results = {}
+    for cores in (2, 8):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores), SPARK_GRAFT_BENCH_N=str(BENCH_N))
+        out = subprocess.run(
+            [sys.executable, __file__], env=env, capture_output=True, text=True, check=True
+        )
+        results[cores] = json.loads(out.stdout.strip().splitlines()[-1])
+    t2 = results[2]["headline_sec"]
+    t8 = results[8]["headline_sec"]
+    print(
+        json.dumps(
+            {
+                "metric": "scaling efficiency N->4N (local[2]->local[8])",
+                "value": round(t2 / t8 / 4.0, 3),
+                "unit": "efficiency",
+                "headline_sec": {"cores2": t2, "cores8": t8},
+                "throughput_rows_per_sec": {
+                    "cores2": results[2]["headline_throughput_rows_per_sec"],
+                    "cores8": results[8]["headline_throughput_rows_per_sec"],
+                },
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    main()
+    if "--scaling" in sys.argv:
+        scaling_main()
+    else:
+        main()

@@ -367,22 +367,24 @@ def simhash_col(text: Column, bits: int = 64) -> Column:
     return _votes(word_hashes)
 
 
-def simhash_near_dups(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+def hamming_pairs(
+    signed: DataFrame,
+    id_col: str = "id",
+    sig_col: str = "sim",
     max_hamming: int = 3,
     chunks: int = 4,
+    bits: int = 64,
 ) -> DataFrame:
-    """Pairs with Hamming(simhash) <= max_hamming.
+    """Pairs with Hamming(sig) <= max_hamming over a 64-bit signature column.
 
-    Candidates: equal 16-bit chunk in any of ``chunks`` positions —
-    pigeonhole-complete for max_hamming <= chunks-1.
+    Candidates: equal (bits/chunks)-bit chunk in any of ``chunks`` positions
+    — pigeonhole-complete for max_hamming <= chunks-1. Shared by SimHash
+    (text) and pHash (image) near-dup detection.
     """
     assert max_hamming <= chunks - 1, "pigeonhole completeness requires max_hamming < chunks"
-    sh = df.select(F.col(id_col).alias("id"), simhash_col(F.col(text_col)).alias("sim"))
-    width = 64 // chunks
+    width = bits // chunks
     mask = (1 << width) - 1
+    sh = signed.select(F.col(id_col).alias("id"), F.col(sig_col).alias("sim"))
     chunked = sh.select(
         "id",
         "sim",
@@ -409,6 +411,32 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= F.lit(max_hamming))
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Text near-dup pairs with Hamming(simhash) <= max_hamming."""
+    sh = df.select(F.col(id_col).alias("id"), simhash_col(F.col(text_col)).alias("sim"))
+    return hamming_pairs(sh, "id", "sim", max_hamming, chunks)
+
+
+def phash_near_dups(
+    df: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Image near-dup pairs on a perceptual-hash column (the input_hint
+    `phash: int64`): chunk-banded candidates + exact popcount verify —
+    the image twin of simhash_near_dups, all integer column math."""
+    sh = df.select(F.col(id_col).alias("id"), F.col(phash_col).alias("sim"))
+    return hamming_pairs(sh, "id", "sim", max_hamming, chunks)
 
 
 # --- embedding cosine near-dup -----------------------------------------------------
