@@ -97,15 +97,19 @@ def main() -> None:
     cold: dict[str, float] = {}
 
     def timed(name: str, fn) -> None:
-        # two runs: the first pays JIT/codegen compilation + page-cache
-        # warming (identical at every parallelism level, so it would mask
-        # the scaling signal); the second is the steady-state number.
+        # cold + two warm runs: the first pays JIT/codegen compilation and
+        # page-cache warming (identical at every parallelism level, so it
+        # would mask the scaling signal); steady state = min of the warm
+        # runs (JIT tiering needs a couple of iterations on the bigger jobs).
         t0 = time.time()
         fn()
         cold[name] = round(time.time() - t0, 3)
-        t0 = time.time()
-        fn()
-        timings[name] = round(time.time() - t0, 3)
+        warm = []
+        for _ in range(2):
+            t0 = time.time()
+            fn()
+            warm.append(time.time() - t0)
+        timings[name] = round(min(warm), 3)
 
     # headline: tile assignment rollup over every point (z13)
     timed("tile_assignment", lambda: tiles.tile_stats(slim, 13).count())

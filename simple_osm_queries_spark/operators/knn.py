@@ -37,7 +37,22 @@ def _dist2(qlon, qlat, plon, plat):
     return (qlon - plon) * (qlon - plon) + (qlat - plat) * (qlat - plat)
 
 
-def _topk(cand: DataFrame, k_col: str = "k") -> DataFrame:
+def _topk(cand: DataFrame, k_col: str = "k", prefilter_buckets: int = 16) -> DataFrame:
+    """Per-query top-k. Two-phase: a local top-k per (qid, id-bucket) first,
+    so a hot query's candidate pile (hundreds of thousands of rows for a
+    query inside a dense cell) is sorted in ``prefilter_buckets`` parallel
+    partitions instead of one; the global window then ranks at most
+    buckets*k rows per query."""
+    if prefilter_buckets > 1:
+        w_local = Window.partitionBy("qid", "__b").orderBy(
+            F.col("dist2").asc(), F.col("id").asc()
+        )
+        cand = (
+            cand.withColumn("__b", F.pmod(F.col("id"), F.lit(prefilter_buckets)))
+            .withColumn("__lr", F.row_number().over(w_local))
+            .filter(F.col("__lr") <= F.col(k_col))
+            .drop("__b", "__lr")
+        )
     w = Window.partitionBy("qid").orderBy(F.col("dist2").asc(), F.col("id").asc())
     return (
         cand.withColumn("rank", F.row_number().over(w))
@@ -83,14 +98,17 @@ def _kring_candidates(
         "id", "lon", "lat",
         C.cell_of(F.col("lon"), F.col("lat"), cell_w, cell_h).alias("cell"),
     )
+    # the exploded query-cell side is tiny (|queries| * ring cells) but comes
+    # from a local relation Spark won't size-estimate — without the explicit
+    # broadcast it plans a SortMergeJoin that shuffles the whole point table
     if salt > 1:
         # replicate each query row over every salt bucket; points pick one
         # bucket — bounds the per-(cell,salt) partition size for hot cells
         qcells = qcells.withColumn("__salt", F.explode(F.array(*[F.lit(s) for s in range(salt)])))
         pts = pts.withColumn("__salt", (F.pmod(F.col("id"), F.lit(salt))).cast("int"))
-        cand = pts.join(qcells, ["cell", "__salt"]).drop("__salt")
+        cand = pts.join(F.broadcast(qcells), ["cell", "__salt"]).drop("__salt")
     else:
-        cand = pts.join(qcells, "cell")
+        cand = pts.join(F.broadcast(qcells), "cell")
     return cand.withColumn(
         "dist2", _dist2(F.col("qlon"), F.col("qlat"), F.col("lon"), F.col("lat"))
     )
