@@ -333,6 +333,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_hourly"] = q_events
 
+    # temporal: as-of join (Spark has no native one; union+window impl) and
+    # gap sessionization
+    def q_asof(spark, sf_dir):
+        from simple_osm_queries_spark.operators import temporal
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        clicks = ev.filter(F.col("event_type") == "click")
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", F.col("event_id").alias("purchase_id")
+        )
+        return temporal.asof_join(
+            clicks, purchases, key="user_id", left_ts="ts", right_ts="ts",
+            payload=["purchase_id"], right_tiebreak="purchase_id",
+        ).select("event_id", "user_id", "purchase_id")
+
+    def q_sessions(spark, sf_dir):
+        from simple_osm_queries_spark.operators import temporal
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        stats = temporal.session_stats(ev, "user_id", "ts", gap_seconds=3600)
+        return stats.groupBy("user_id").agg(
+            F.max("session_id").alias("n_sessions"),
+            F.sum("n_events").alias("total_events"),
+            F.max("n_events").alias("max_session_events"),
+        )
+
+    q["asof_join"] = q_asof
+    q["sessionize"] = q_sessions
+
     # dedup family
     def q_dedup_exact(spark, sf_dir):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -543,6 +576,32 @@ ORDER BY a.id
         "SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, "
         "round(sum(value), 6) AS total_value FROM events GROUP BY 1, 2"
     )
+
+    o["asof_join"] = """
+SELECT e.event_id, e.user_id,
+       (SELECT p.event_id FROM events p
+        WHERE p.event_type = 'purchase' AND p.user_id = e.user_id AND p.ts <= e.ts
+        ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS purchase_id
+FROM events e WHERE e.event_type = 'click'
+"""
+    o["sessionize"] = """
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 3600 THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+), sessions AS (
+  SELECT user_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps
+), per_session AS (
+  SELECT user_id, session_id, count(*) AS n FROM sessions GROUP BY 1, 2
+)
+SELECT user_id, max(session_id) AS n_sessions, sum(n) AS total_events,
+       max(n) AS max_session_events
+FROM per_session GROUP BY 1
+"""
 
     # candidate generation is pigeonhole-complete for hamming <= chunks-1,
     # so exhaustive pairwise hamming is an exact oracle
