@@ -324,6 +324,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["agg_pricing_summary"] = q_agg
 
+    # grouping sets (reference has none; Spark/DuckDB both native)
+    def q_cube(spark, sf_dir):
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return (
+            li.cube("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("n"))
+            .select(
+                F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("rf"),
+                F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("ls"),
+                "n",
+            )
+        )
+
+    q["cube_counts"] = q_cube
+
     # event-time tumbling window (batch mirror of the streaming job)
     def q_events(spark, sf_dir):
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -571,6 +586,10 @@ ORDER BY a.id
         "count(*) AS count_order "
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
         "GROUP BY l_returnflag, l_linestatus"
+    )
+    o["cube_counts"] = (
+        "SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls, "
+        "count(*) AS n FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
     )
     o["events_hourly"] = (
         "SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, "

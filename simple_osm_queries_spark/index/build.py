@@ -115,8 +115,13 @@ def build_index(
         band_df = nodes.filter(
             (F.col("cell_x") >= band.min_x) & (F.col("cell_x") <= band.max_x)
         )
+        # cluster rows by cell_y (and lat) inside each cell_x directory:
+        # parquet row-group min/max stats then prune bbox predicates on
+        # the second dimension too (the z-order-lite for a 2D grid)
+        sort_cols = [c for c in ("cell_x", "cell_y", "lat") if c in band_df.columns]
         (
             band_df.repartition("cell_x")
+            .sortWithinPartitions(*sort_cols)
             .write.mode("overwrite")
             # dynamic overwrite: a re-run band replaces exactly its own
             # cell_x=... directories in the shared root — idempotent restarts
