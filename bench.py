@@ -40,7 +40,7 @@ from simple_osm_queries_spark.sources.dataset import OsmDataset  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_N = int(os.environ.get("SPARK_GRAFT_BENCH_N", "2000000"))
+BENCH_N = int(os.environ.get("SPARK_GRAFT_BENCH_N", "10000000"))
 POINTS_DIR = os.environ.get("SPARK_GRAFT_POINTS_DIR", f"/tmp/soq_bench_points_{BENCH_N}")
 
 PENTAGON = [(9.98, 53.55), (10.06, 53.58), (10.03, 53.66), (9.95, 53.66), (9.92, 53.58)]
