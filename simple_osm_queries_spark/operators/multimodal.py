@@ -135,6 +135,45 @@ def resize_images(df: DataFrame, new_w: int, new_h: int, out_fmt: str = "png") -
     )
 
 
+def ahash_images(df: DataFrame, grid: int = 8) -> DataFrame:
+    """Compute a REAL perceptual hash (average hash) from the pixel data:
+    downsample the decoded image to grid x grid via box means, threshold at
+    the mean of the gray image, pack the bits into an int64.
+
+    Output: (image_id, ahash long). Feed into
+    operators.dedup.phash_near_dups(id_col='image_id', phash_col='ahash')
+    for content-based image near-dup detection — robust to re-encoding and
+    small noise (unlike the byte-level fingerprints).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for image_id, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                px = codecs.decode_image(bytes(data), fmt)
+                gray = px.astype(np.float64).mean(axis=2)
+                h, w = gray.shape
+                # box-mean downsample to grid x grid
+                ys = (np.arange(grid + 1) * h // grid).clip(1, h)
+                xs = (np.arange(grid + 1) * w // grid).clip(1, w)
+                cells = np.empty((grid, grid))
+                for i in range(grid):
+                    for j in range(grid):
+                        cells[i, j] = gray[ys[i] if i else 0 : ys[i + 1], xs[j] if j else 0 : xs[j + 1]].mean()
+                bits = (cells > cells.mean()).flatten()
+                val = 0
+                for b in range(grid * grid):
+                    if bits[b]:
+                        val |= 1 << b
+                # wrap into signed int64
+                if val >= 1 << 63:
+                    val -= 1 << 64
+                out.append((image_id, val))
+            yield pd.DataFrame(out, columns=["image_id", "ahash"])
+
+    return df.select("image_id", "bytes", "fmt").mapInPandas(run, "image_id string, ahash long")
+
+
 FRAME_SCHEMA = "media_id string, frame_idx int, frame_png binary"
 
 

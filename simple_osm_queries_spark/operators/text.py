@@ -8,8 +8,11 @@ correctness gate checks implementation parity row-for-row.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
 
@@ -101,6 +104,37 @@ def doc_fingerprint(text: Column) -> Column:
     """Normalization-stable fingerprint: md5 of lowercased,
     whitespace-collapsed text. (Exact-dedup key that survives reflow.)"""
     return F.md5(F.regexp_replace(F.trim(F.lower(text)), r"\s+", " "))
+
+
+def hashing_embedding(text: Column, dim: int = 64) -> Column:
+    """Hashing-trick text embedding: each word hashes to a dimension and a
+    sign; the L2-normalized bag-of-words vector comes out as array<float>.
+
+    No vocabulary, no model — deterministic and streamable, the standard
+    baseline featurizer that bridges the text table into the similarity /
+    embedding-dedup operators. One Arrow-batched numpy UDF.
+    """
+    import re
+    import zlib
+
+    ws = re.compile(r"\s+")
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def _emb(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            vec = np.zeros(dim, dtype=np.float64)
+            if t:
+                for w in ws.split(t.strip().lower()):
+                    h = zlib.crc32(w.encode())
+                    vec[(h >> 1) % dim] += 1.0 if (h & 1) else -1.0
+            norm = float(np.linalg.norm(vec))
+            if norm > 0:
+                vec /= norm
+            out.append([float(x) for x in vec])
+        return pd.Series(out)
+
+    return _emb(text)
 
 
 def rolling_fingerprints(text: Column, n: int = 8, keep: int = 4) -> Column:
