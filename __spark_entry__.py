@@ -617,8 +617,9 @@ WITH gaps AS (
 ), per_session AS (
   SELECT user_id, session_id, count(*) AS n FROM sessions GROUP BY 1, 2
 )
-SELECT user_id, max(session_id) AS n_sessions, sum(n) AS total_events,
-       max(n) AS max_session_events
+SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+       CAST(sum(n) AS BIGINT) AS total_events,
+       CAST(max(n) AS BIGINT) AS max_session_events
 FROM per_session GROUP BY 1
 """
 

@@ -29,6 +29,60 @@ def _norm(v):
     return str(v)
 
 
+# -- type-faithful schema compare ------------------------------------------
+# The driver's value hash is type-sensitive: a DuckDB HUGEINT (sum/agg over
+# ints -> arrow decimal128) hashes differently from Spark's BIGINT even when
+# values stringify identically (VERDICT r01 "What's wrong" #1). Compare type
+# *categories* so the local gate predicts the driver's result.
+
+def _arrow_category(t) -> str:
+    import pyarrow as pa
+
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{_arrow_category(t.value_type)}>"
+    return str(t)
+
+
+def _spark_category(dt) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.StringType):
+        return "str"
+    if isinstance(dt, T.BinaryType):
+        return "binary"
+    if isinstance(dt, T.TimestampType):
+        return "timestamp"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.ArrayType):
+        return f"list<{_spark_category(dt.elementType)}>"
+    return dt.simpleString()
+
+
 def _rowset(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
@@ -61,11 +115,18 @@ def main() -> int:
             print(f"  {name:28s} rows-only: {len(srows)} rows")
             continue
         drel = con.sql(os_[name])
-        drows = drel.fetchall()
-        dcols = [d[0] for d in drel.description]
+        dtab = drel.arrow()
+        drows = [tuple(r.values()) for r in dtab.to_pylist()]
+        dcols = dtab.schema.names
         status = []
         if sorted(scols) != sorted(dcols):
             status.append(f"SCHEMA spark={scols} duck={dcols}")
+        else:
+            stypes = {f.name: _spark_category(f.dataType) for f in sdf.schema.fields}
+            dtypes = {f.name: _arrow_category(f.type) for f in dtab.schema}
+            mism = {c: (stypes[c], dtypes[c]) for c in stypes if stypes[c] != dtypes[c]}
+            if mism:
+                status.append(f"TYPES spark-vs-duck {mism}")
         if len(srows) != len(drows):
             status.append(f"COUNT spark={len(srows)} duck={len(drows)}")
         if not status:
