@@ -190,6 +190,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox(9.90, 53.50, 10.10, 53.70).nodes{ amenity=* AND this.buffer(2km).nodes{ seats=* } }"
     )
 
+    # S1: real .osm.pbf scan — write the derived points to a PBF file
+    # (driver-side fixture synthesis, cached per sf_dir), then read it back
+    # through the distributed blob decoder and query the quantized coords.
+    def q_pbf(spark, sf_dir):
+        import os
+
+        from simple_osm_queries_spark.sources import osm_pbf as pbf
+
+        pts = _derived_points(spark, sf_dir)
+        os.makedirs("/tmp/soq_pbf_gate", exist_ok=True)
+        key = sf_dir.strip("/").replace("/", "_")
+        path = f"/tmp/soq_pbf_gate/{key}.osm.pbf"
+        if not os.path.exists(path):
+            # .collect() here is fixture WRITING (driver-side encoder by
+            # design), not query execution — the read side is distributed
+            rows = sorted(
+                (r.id, r.lon, r.lat, r.tags) for r in pts.collect()
+            )
+            pbf.write_osm_pbf(path + ".tmp", nodes=rows, entities_per_block=997)
+            os.replace(path + ".tmp", path)
+        nodes, _w, _r = pbf.read_osm_pbf(spark, path, persist=False)
+        return (
+            nodes.filter(F.col("lon") <= 10.0)
+            .select(
+                "id", "lon", "lat",
+                F.element_at(F.col("tags"), "amenity").alias("amenity"),
+            )
+        )
+
+    q["pbf_scan"] = q_pbf
+
     # A1: per-cell density (the import pass-1 histogram)
     def cell_count(spark, sf_dir):
         pts = _derived_points(spark, sf_dir)
@@ -483,6 +514,15 @@ def oracle_sql() -> dict[str, str]:
         )
 
     o: dict[str, str] = {}
+    # pbf_scan: coordinates round-trip PBF nanodegree quantization —
+    # round(x*1e9) (writer) then nano*1e-9 (reader); mirrored exactly in SQL
+    qlon = f"(CAST(round({SQL_LON} * 1e9) AS BIGINT) * 1e-9)"
+    qlat = f"(CAST(round({SQL_LAT} * 1e9) AS BIGINT) * 1e-9)"
+    o["pbf_scan"] = (
+        f"SELECT doc_id AS id, {qlon} AS lon, {qlat} AS lat, "
+        f"CASE WHEN {SQL_HAS_AMENITY} THEN {SQL_AMENITY} END AS amenity "
+        f"FROM documents WHERE {qlon} <= 10.0"
+    )
     o["osm_flagship"] = osm_sql(f"{SQL_HAS_AMENITY} AND {SQL_AMENITY} = 'bench' AND {SQL_HAS_SEATS}")
     o["osm_seats_ge3"] = osm_sql(
         f"{SQL_HAS_SEATS} AND " + natural_cmp_sql(SQL_SEATS, ">=", "3")

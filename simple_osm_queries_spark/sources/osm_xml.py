@@ -7,10 +7,9 @@ The reference streams `.osm.pbf`/`.osm` through the osmium visitor pipeline
   tables — the small-file path (fixtures, extracts). It is a driver-side
   parse by design: XML is not splittable, and the reference itself requires
   an osmium preprocessing pass for real data.
-* `.osm.pbf` needs a protobuf decoder; none ships in this container, so
-  `read_osm_pbf` raises with guidance (import-try for `osmium` if present).
-  The documented scale path is upstream conversion to parquet/Iceberg (or
-  the deterministic generator), after which everything is distributed.
+* `.osm.pbf` decodes via the pure-Python, numpy-vectorized blob codec in
+  sources/osm_pbf.py — distributed by blob offset (PBF's natural split
+  unit), so real extracts scale across executors.
 
 Unlike the reference we do NOT require `osmium add-locations-to-ways`
 (README.md:28): way geometry is derived by the prepare() join against nodes.
@@ -91,14 +90,12 @@ def read_osm_xml(
     return nodes, ways, rels
 
 
-def read_osm_pbf(spark: SparkSession, path: str):
-    """PBF scan — requires an external decoder (STUB without one)."""
-    try:  # pragma: no cover - env-dependent
-        import osmium  # type: ignore # noqa: F401
-    except ImportError:
-        raise NotImplementedError(
-            ".osm.pbf decoding requires the 'osmium' package (not in this "
-            "container); convert to .osm XML or parquet upstream, or install "
-            "osmium — the rest of the pipeline is format-agnostic"
-        )
-    raise NotImplementedError("osmium-backed PBF reader not wired yet")
+def read_osm_pbf(spark: SparkSession, path: str, persist: bool = True):
+    """Distributed `.osm.pbf` scan — pure-Python blob decoder, split by blob.
+
+    See sources/osm_pbf.py for the format notes and scale design (driver
+    scans blob headers only; mapInPandas decodes blobs in parallel).
+    """
+    from simple_osm_queries_spark.sources.osm_pbf import read_osm_pbf as _read
+
+    return _read(spark, path, persist=persist)

@@ -1,0 +1,201 @@
+"""PBF source: codec round-trips (XML-path parity), packed-varint decode vs a
+pure-Python oracle, blob chunking / parallel scan, raw (uncompressed) blobs,
+and an end-to-end query over PBF-imported data.
+
+Reference parity target: /root/reference/src/osm/reader.go:40-112 (osmpbf
+blob scan feeding the import handlers)."""
+
+import random
+import zlib
+
+import numpy as np
+import pytest
+
+from simple_osm_queries_spark.query.planner import run_query
+from simple_osm_queries_spark.sources import osm_pbf as P
+from simple_osm_queries_spark.sources.dataset import prepare
+from simple_osm_queries_spark.sources.osm_xml import parse_osm_xml, read_osm_xml
+
+REF_FIXTURE = "/root/reference/test-small.osm"
+
+
+# ---------------------------------------------------------------------------
+# varint / packed decode vs an independent per-byte oracle
+# ---------------------------------------------------------------------------
+
+
+def _oracle_decode_packed(buf: bytes, signed: bool, delta: bool) -> list[int]:
+    out, pos, prev = [], 0, 0
+    while pos < len(buf):
+        v, shift = 0, 0
+        while True:
+            b = buf[pos]
+            pos += 1
+            v |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        if signed:
+            v = (v >> 1) ^ -(v & 1)
+        if delta:
+            v += prev
+            prev = v
+        out.append(v)
+    return out
+
+
+@pytest.mark.parametrize("signed,delta", [(False, False), (True, False), (True, True)])
+def test_packed_varint_fuzz(signed, delta):
+    rng = random.Random(42)
+    for trial in range(20):
+        n = rng.randrange(0, 200)
+        if signed:
+            vals = [rng.randrange(-(2**62), 2**62) for _ in range(n)]
+        else:
+            vals = [rng.randrange(0, 2**63) for _ in range(n)]
+        if delta:
+            raw = [vals[0]] + [b - a for a, b in zip(vals, vals[1:])] if vals else []
+        else:
+            raw = vals
+        enc = b"".join(
+            P._enc_zigzag(v) if signed else P._enc_varint(v) for v in raw
+        )
+        got = P._decode_packed(memoryview(enc), signed=signed, delta=delta).tolist()
+        assert got == _oracle_decode_packed(enc, signed, delta)
+        assert got == vals
+
+
+# ---------------------------------------------------------------------------
+# round-trips
+# ---------------------------------------------------------------------------
+
+
+def _norm_nodes(rows):
+    return sorted(
+        (int(i), round(lo, 9), round(la, 9), tuple(sorted((t or {}).items())))
+        for i, lo, la, t in rows
+    )
+
+
+def _norm_ways(rows):
+    return sorted(
+        (int(i), tuple(int(x) for x in ns), tuple(sorted((t or {}).items())))
+        for i, ns, t in rows
+    )
+
+
+def _norm_rels(rows):
+    return sorted(
+        (
+            int(i),
+            tuple(int(x) for x in a),
+            tuple(int(x) for x in b),
+            tuple(int(x) for x in c),
+            tuple(sorted((t or {}).items())),
+        )
+        for i, a, b, c, t in rows
+    )
+
+
+def test_reference_fixture_pbf_equals_xml(spark, tmp_path):
+    n, w, r = parse_osm_xml(REF_FIXTURE)
+    path = str(tmp_path / "ref.osm.pbf")
+    P.write_osm_pbf(
+        path,
+        nodes=n.itertuples(index=False),
+        ways=w.itertuples(index=False),
+        relations=r.itertuples(index=False),
+    )
+    xn, xw, xr = read_osm_xml(spark, REF_FIXTURE)
+    pn, pw, pr = P.read_osm_pbf(spark, path)
+    assert _norm_nodes(pn.collect()) == _norm_nodes(xn.collect())
+    assert pw.count() == xw.count() == 0
+    assert pr.count() == xr.count() == 0
+
+
+def test_generated_dataset_round_trip(spark, small_pdfs, tmp_path):
+    nodes, ways, relations = small_pdfs
+    path = str(tmp_path / "gen.osm.pbf")
+    # small blocks force many blobs -> exercises the parallel blob scan
+    P.write_osm_pbf(
+        path,
+        nodes=nodes[["id", "lon", "lat", "tags"]].itertuples(index=False),
+        ways=ways.itertuples(index=False),
+        relations=relations.itertuples(index=False),
+        entities_per_block=97,
+    )
+    assert len([1 for t, _, _ in P.scan_blob_index(path) if t == "OSMData"]) > 8
+    pn, pw, pr = P.read_osm_pbf(spark, path)
+    assert _norm_nodes(pn.collect()) == _norm_nodes(
+        nodes[["id", "lon", "lat", "tags"]].itertuples(index=False)
+    )
+    assert _norm_ways(pw.collect()) == _norm_ways(ways.itertuples(index=False))
+    assert _norm_rels(pr.collect()) == _norm_rels(relations.itertuples(index=False))
+
+
+def test_coordinate_quantization_nanodegrees(tmp_path):
+    # granularity=1 keeps 1e-9 degrees; a value off-grid rounds to nearest
+    path = str(tmp_path / "q.osm.pbf")
+    P.write_osm_pbf(path, nodes=[(1, 9.1234567894, 53.9876543216, {})])
+    (_, off, size), = [b for b in P.scan_blob_index(path) if b[0] == "OSMData"]
+    (nid, lon, lat, tags), = P.decode_blob_at(path, off, size)[0]
+    assert nid == 1 and tags == {}
+    assert lon == pytest.approx(9.123456789, abs=5e-10)
+    assert lat == pytest.approx(53.987654322, abs=5e-10)
+
+
+def test_raw_uncompressed_blob(tmp_path):
+    # hand-frame a blob that uses field 1 (raw) instead of zlib_data
+    path = str(tmp_path / "z.osm.pbf")
+    P.write_osm_pbf(path, nodes=[(7, 1.0, 2.0, {"a": "b"})])
+    (_, off, size), = [b for b in P.scan_blob_index(path) if b[0] == "OSMData"]
+    with open(path, "rb") as f:
+        f.seek(off)
+        blob = f.read(size)
+    block = P._decompress_blob(blob)
+    raw_blob = P._enc_field_bytes(1, block)
+    path2 = str(tmp_path / "raw.osm.pbf")
+    with open(path2, "wb") as f:
+        f.write(P._framed("OSMData", raw_blob))
+    (nid, lon, lat, tags), = P.decode_blob_at(
+        path2, *[(o, s) for _, o, s in P.scan_blob_index(path2)][0]
+    )[0]
+    assert (nid, lon, lat, tags) == (7, 1.0, 2.0, {"a": "b"})
+
+
+def test_query_over_pbf_import(spark, small_pdfs, tmp_path):
+    """End-to-end: PBF import -> prepare() -> query equals the direct path."""
+    nodes, ways, relations = small_pdfs
+    path = str(tmp_path / "e2e.osm.pbf")
+    P.write_osm_pbf(
+        path,
+        nodes=nodes[["id", "lon", "lat", "tags"]].itertuples(index=False),
+        ways=ways.itertuples(index=False),
+        relations=relations.itertuples(index=False),
+    )
+    pn, pw, pr = P.read_osm_pbf(spark, path)
+    ds = prepare(pn, pw, pr)
+    q = "bbox(9.90, 53.50, 10.10, 53.70).nodes{ amenity=bench AND seats=* }"
+    got = sorted(r.id for r in run_query(q, ds).collect())
+
+    sn = spark.createDataFrame(
+        nodes[["id", "lon", "lat", "tags"]],
+        "id long, lon double, lat double, tags map<string,string>",
+    )
+    sw = spark.createDataFrame(ways, "id long, node_ids array<long>, tags map<string,string>")
+    sr = spark.createDataFrame(
+        relations,
+        "id long, node_member_ids array<long>, way_member_ids array<long>, "
+        "child_relation_ids array<long>, tags map<string,string>",
+    )
+    want = sorted(r.id for r in run_query(q, prepare(sn, sw, sr)).collect())
+    assert got == want and len(got) > 0
+
+
+def test_decode_packed_empty_and_single():
+    assert P._decode_packed(memoryview(b""), signed=True).tolist() == []
+    assert P._decode_packed(memoryview(P._enc_varint(0)), signed=False).tolist() == [0]
+    big = 2**63 - 1
+    assert P._decode_packed(
+        memoryview(P._enc_zigzag(-big)), signed=True
+    ).tolist() == [-big]
