@@ -418,8 +418,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.exact_dup_groups(docs, "doc_id", "text")
 
     def q_jaccard(spark, sf_dir):
+        # max_df=100 exercises the hot-shingle cap path (mirrored in SQL)
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        return dedup.ngram_jaccard_pairs(docs, threshold=0.5).select(
+        return dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_df=100).select(
             "id_a", "id_b", "jaccard"
         )
 
@@ -687,11 +688,15 @@ WITH words AS (
            unnest(list_transform(range(0, greatest(len(w) - 3, 0) + 1),
                                  i -> array_to_string(w[i+1 : i+3], ' '))) AS sh
     FROM words)
+), rare AS (
+  SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 100
+), sh2 AS (
+  SELECT s.doc_id, s.sh FROM sh s JOIN rare USING (sh)
 ), sizes AS (
-  SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+  SELECT doc_id, count(*) AS sz FROM sh2 GROUP BY 1
 ), inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  FROM sh2 a JOIN sh2 b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT id_a, id_b,

@@ -32,6 +32,25 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+
+def _track_persisted(result: DataFrame, handles: list[DataFrame]) -> DataFrame:
+    """Attach persisted intermediates to the returned plan for cleanup.
+
+    Operators persist() intermediates that their plan consumes 2-3 times;
+    Spark has no unpersist-on-materialize hook, so long-lived drivers (the
+    web server, notebook sessions) call :func:`unpersist_intermediates`
+    after collecting/writing the result to release executor storage.
+    """
+    result._soq_persisted = handles  # type: ignore[attr-defined]
+    return result
+
+
+def unpersist_intermediates(result: DataFrame) -> None:
+    """Release cached intermediates attached by dedup operators (safe to
+    call after the result has been materialized; no-op otherwise)."""
+    for h in getattr(result, "_soq_persisted", []):
+        h.unpersist()
+
 # --- exact -------------------------------------------------------------------
 
 
@@ -109,13 +128,19 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
-    max_df: int | None = None,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """All pairs with Jaccard(shingles_a, shingles_b) >= threshold.
 
     Candidates come from sharing at least one shingle (inverted index), so
     recall is exact for threshold > 0. ``max_df`` drops shingles occurring
-    in more than max_df docs from index AND estimate (hot-key control).
+    in more than max_df docs from index AND estimate (hot-key control) —
+    ON BY DEFAULT: one stop-shingle shared by k docs contributes O(k^2)
+    candidate pairs to the self-join, so an uncapped index goes quadratic
+    on the hottest key at corpus scale. The cap bounds per-shingle fan-out
+    at C(max_df,2) and, because dropped shingles leave BOTH the index and
+    the size estimate, the Jaccard over surviving shingles stays exact.
+    Pass ``max_df=None`` only for corpora known to have no hot shingles.
     """
     # persisted: the inverted index is consumed three times (sizes + both
     # sides of the pair join); recomputing the tokenizer would triple cost
@@ -134,7 +159,7 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )
-    return (
+    out = (
         inter.join(sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"}), "id_a")
         .join(sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"}), "id_b")
         .withColumn(
@@ -144,6 +169,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard")
     )
+    return _track_persisted(out, [sh])
 
 
 # --- minhash + LSH -------------------------------------------------------------
@@ -226,9 +252,24 @@ def minhash_from_hashes_udf(hashes: Column, num_perm: int = 64) -> Column:
 
 
 def lsh_candidate_pairs(
-    signed: DataFrame, id_col: str = "id", sig_col: str = "sig", bands: int = 16
+    signed: DataFrame,
+    id_col: str = "id",
+    sig_col: str = "sig",
+    bands: int = 16,
+    num_perm: int | None = None,
 ) -> DataFrame:
-    """Distinct (id_a < id_b) pairs sharing at least one LSH band bucket."""
+    """Distinct (id_a < id_b) pairs sharing at least one LSH band bucket.
+
+    ``bands`` must divide the signature length: a non-divisor would silently
+    drop the trailing num_perm % bands signature entries from every bucket
+    key, reducing recall with no error. Pass ``num_perm`` to validate at
+    plan time (callers that built the signature know it).
+    """
+    if num_perm is not None and num_perm % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide num_perm={num_perm} "
+            f"(remainder {num_perm % bands} signature entries would be ignored)"
+        )
     num_perm_col = F.size(F.col(sig_col))
     rows_per_band = (num_perm_col / bands).cast("int")
     buckets = signed.select(
@@ -315,7 +356,7 @@ def minhash_near_dups(
         F.col(id_col).alias("id"),
         minhash_signatures_py(F.col(text_col), n, num_perm).alias("sig"),
     ).persist()
-    pairs = lsh_candidate_pairs(signed, "id", "sig", bands)
+    pairs = lsh_candidate_pairs(signed, "id", "sig", bands, num_perm=num_perm)
     sa = signed.withColumnsRenamed({"id": "id_a", "sig": "sig_a"})
     sb = signed.withColumnsRenamed({"id": "id_b", "sig": "sig_b"})
     est = (
@@ -334,7 +375,7 @@ def minhash_near_dups(
         .filter(F.col("jaccard_est") >= F.lit(threshold))
         .select("id_a", "id_b", "jaccard_est")
     )
-    return est
+    return _track_persisted(est, [signed])
 
 
 # --- simhash ---------------------------------------------------------------------
@@ -483,17 +524,22 @@ def embedding_near_dups(
 ) -> DataFrame:
     """Cosine >= threshold pairs: hyperplane-LSH chunk candidates, exact
     column-math cosine verification. Approximate recall (LSH), exact
-    precision (verification)."""
+    precision (verification).
+
+    Shuffle shape: candidate generation (chunk explode x`chunks`, the
+    equi-join, and the distinct) carries ONLY (id, chunk, val) — 24 bytes a
+    row — never the embedding. Vectors join back onto the deduplicated
+    (id_a, id_b) pairs for the cosine verify, so shuffle bytes scale with
+    candidate count, not candidate count x vector dim.
+    """
     sh = df.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
         hyperplane_signature_col(F.col(vec_col), dim, sig_bits).alias("sim"),
     )
     width = sig_bits // chunks
     mask = (1 << width) - 1
     chunked = sh.select(
         "id",
-        "vec",
         F.explode(
             F.array(
                 *[
@@ -505,14 +551,21 @@ def embedding_near_dups(
                 ]
             )
         ).alias("cv"),
-    ).select("id", "vec", F.col("cv.chunk").alias("chunk"), F.col("cv.val").alias("val"))
-    a = chunked.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "chunk", "val")
-    b = chunked.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "chunk", "val")
-    return (
+    ).select("id", F.col("cv.chunk").alias("chunk"), F.col("cv.val").alias("val"))
+    a = chunked.select(F.col("id").alias("id_a"), "chunk", "val")
+    b = chunked.select(F.col("id").alias("id_b"), "chunk", "val")
+    pairs = (
         a.join(b, ["chunk", "val"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "vec_a", "vec_b")
+        .select("id_a", "id_b")
         .distinct()
+    )
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    va = vecs.withColumnsRenamed({"id": "id_a", "vec": "vec_a"})
+    vb = vecs.withColumnsRenamed({"id": "id_b", "vec": "vec_b"})
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("cosine", cosine_col(F.col("vec_a"), F.col("vec_b")))
         .filter(F.col("cosine") >= F.lit(threshold))
         .select("id_a", "id_b", "cosine")

@@ -171,10 +171,16 @@ def knn_kring_exact(
     results: list[DataFrame] = []
     r = ring
     while r <= max_ring:
+        # cache the round (consumed by done_q, survivors, pending), cut the
+        # survivors'/pending's lineage with an eager localCheckpoint (both
+        # are <= n_queries x k rows — tiny next to the candidate join), then
+        # unpersist immediately: at most ONE round's candidates are cached
+        # at a time instead of accumulating executor-memory leaks per round
         res = knn_kring(points, pending, k, r, cell_w, cell_h, salt).cache()
         done_q = res.filter(F.col("exact")).select("qid").distinct()
-        results.append(res.join(done_q, "qid", "left_semi"))
-        pending = pending.join(done_q, "qid", "left_anti")
+        results.append(res.join(done_q, "qid", "left_semi").localCheckpoint())
+        pending = pending.join(done_q, "qid", "left_anti").localCheckpoint()
+        res.unpersist()
         if pending.isEmpty():
             break
         r *= 2

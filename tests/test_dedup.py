@@ -111,3 +111,81 @@ def test_embedding_near_dups(spark):
         va, vb = base[a].astype(np.float64), base[b].astype(np.float64)
         expected = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
         assert c == pytest.approx(expected, abs=1e-6)
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """One stop-shingle shared by 50% of docs: the default max_df cap bounds
+    the inverted-index self-join instead of going quadratic on that key."""
+    n_docs = 200
+    rows = []
+    for i in range(n_docs):
+        uniq = f"unique{i} token{i} word{i} extra{i}"
+        if i % 2 == 0:
+            rows.append((i, f"common stop shingle {uniq}"))  # hot 3-gram
+        else:
+            rows.append((i, uniq))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    capped = dedup.ngram_jaccard_pairs(df, threshold=0.1, max_df=10)
+    got = capped.collect()
+    # the hot shingle is dropped everywhere -> docs share nothing -> no pairs
+    assert got == []
+
+    # candidate volume with the cap is bounded: rebuild the capped inverted
+    # index independently and count candidate pairs per shingle
+    from collections import Counter
+
+    shingle_docs = Counter()
+    for i, text in rows:
+        for s in _shingles(text, 3):
+            shingle_docs[s] += 1
+    assert max(shingle_docs.values()) == n_docs // 2  # skew is real
+    surviving = {s for s, c in shingle_docs.items() if c <= 10}
+    assert all(shingle_docs[s] <= 10 for s in surviving)
+
+    # and without the cap the same fixture WOULD pair the hot half
+    uncapped = dedup.ngram_jaccard_pairs(df, threshold=0.1, max_df=None).collect()
+    assert len(uncapped) > 1000
+    dedup.unpersist_intermediates(capped)
+
+
+def test_lsh_bands_must_divide_num_perm(docs):
+    with pytest.raises(ValueError, match="must divide"):
+        dedup.minhash_near_dups(docs, num_perm=64, bands=15)
+
+
+def test_embedding_candidates_shuffle_excludes_vectors(spark):
+    """Scale guard: the candidate explode/join/distinct must not carry the
+    embedding column — vectors join back only for the cosine verify."""
+    import contextlib
+    import io
+    import re
+
+    rows = [(i, [float(i)] * 64) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        dedup.embedding_near_dups(df, threshold=0.5).explain("formatted")
+    plan = buf.getvalue()
+    # formatted explain lists each node with its Input/Output attribute sets;
+    # every Exchange partitioned on candidate keys (chunk/val or id pairs)
+    # must carry no vec/embedding attribute — vectors may only ride the two
+    # join-back exchanges of the vecs side
+    sections = re.split(r"\n\(\d+\) ", plan)
+    for sec in sections:
+        if not sec.startswith("Exchange"):
+            continue
+        keys = sec.splitlines()[0]
+        carried = "".join(ln for ln in sec.splitlines() if ln.startswith("Input"))
+        if "chunk" in keys or ("id_a" in keys and "id_b" in keys):
+            assert "embedding" not in carried and "vec_a" not in carried, sec
+    assert "Exchange" in plan  # the guard actually inspected something
+
+
+def test_unpersist_intermediates_releases_storage(spark, docs):
+    res = dedup.minhash_near_dups(docs, threshold=0.4)
+    res.collect()
+    handles = getattr(res, "_soq_persisted")
+    assert handles and all(h.storageLevel.useMemory for h in handles)
+    dedup.unpersist_intermediates(res)
+    assert all(not h.storageLevel.useMemory for h in handles)
