@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 from dataclasses import dataclass
 
@@ -84,6 +85,34 @@ def _write_manifest_atomic(path: str, payload: dict) -> None:
     os.rename(tmp, path)  # atomic on POSIX
 
 
+def _wipe_if_input_changed(out_path: str, input_fingerprint: str) -> bool:
+    """Rebuilding over a DIFFERENT input must start clean: dynamic partition
+    overwrite only replaces cell_x directories present in the NEW input, so
+    partitions that existed only in the old input would otherwise survive
+    and read_index() would mix stale rows into the new build. Any manifest
+    with a mismatched (or unreadable) fingerprint wipes data/ + _manifests/.
+    """
+    mdir = os.path.join(out_path, "_manifests")
+    if not os.path.isdir(mdir):
+        return False
+    stale = False
+    for fn in os.listdir(mdir):
+        if not fn.endswith(".json"):
+            continue
+        try:
+            with open(os.path.join(mdir, fn)) as f:
+                if json.load(f).get("input_fingerprint") != input_fingerprint:
+                    stale = True
+                    break
+        except (OSError, json.JSONDecodeError):
+            stale = True
+            break
+    if stale:
+        shutil.rmtree(os.path.join(out_path, "data"), ignore_errors=True)
+        shutil.rmtree(mdir, ignore_errors=True)
+    return stale
+
+
 def build_index(
     nodes: DataFrame,
     out_path: str,
@@ -99,8 +128,9 @@ def build_index(
     when its fingerprint matches, so resuming against different input
     recomputes (north rule: deterministic partition identity).
     """
-    report = {"bands": 0, "skipped": 0, "rows": 0, "t_sec": 0.0}
+    report = {"bands": 0, "skipped": 0, "rows": 0, "t_sec": 0.0, "wiped": False}
     t0 = time.time()
+    report["wiped"] = _wipe_if_input_changed(out_path, input_fingerprint)
     bands = plan_bands(nodes, max_rows_per_band)
     for band in bands:
         mpath = _manifest_path(out_path, band)

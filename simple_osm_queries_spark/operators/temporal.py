@@ -34,15 +34,25 @@ def asof_join(
     row (rights sort before lefts at equal timestamps); among right rows
     sharing the same timestamp, the one with the largest ``right_tiebreak``
     wins (pass one for deterministic results when right timestamps collide).
+
+    The payload is carried as ONE struct with a single last(ignorenulls) —
+    never per-column: per-column carry could mix values from different right
+    rows when the latest right row holds NULL in one payload column but an
+    earlier row doesn't. The struct is non-null whenever a right row exists,
+    so the whole payload is taken atomically from exactly that row (NULLs
+    inside it stay NULL, as a join would produce).
     """
+    from pyspark.sql import types as T
+
     tb = right_tiebreak
+    payload_type = T.StructType([right.schema[c] for c in payload])
     l_tagged = left.select(
         F.col(key).alias("__k"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),  # lefts after rights at equal ts
         F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
         *([F.lit(None).cast(right.schema[tb].dataType).alias("__tb")] if tb else []),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__p_{c}") for c in payload],
+        F.lit(None).cast(payload_type).alias("__p"),
     )
     r_tagged = right.select(
         F.col(key).alias("__k"),
@@ -50,7 +60,7 @@ def asof_join(
         F.lit(0).alias("__side"),
         F.lit(None).cast(l_tagged.schema["__l"].dataType).alias("__l"),
         *([F.col(tb).alias("__tb")] if tb else []),
-        *[F.col(c).alias(f"__p_{c}") for c in payload],
+        F.struct(*[F.col(c) for c in payload]).alias("__p"),
     )
     unioned = l_tagged.unionByName(r_tagged)
     order = [F.col("__ts").asc(), F.col("__side").asc()]
@@ -64,14 +74,11 @@ def asof_join(
     carried = unioned.select(
         "__side",
         "__l",
-        *[
-            F.last(F.col(f"__p_{c}"), ignorenulls=True).over(w).alias(f"__p_{c}")
-            for c in payload
-        ],
+        F.last(F.col("__p"), ignorenulls=True).over(w).alias("__p"),
     )
     out = carried.filter(F.col("__side") == 1).select(
         *[F.col("__l")[c].alias(c) for c in left.columns],
-        *[F.col(f"__p_{c}").alias(c) for c in payload],
+        *[F.col("__p")[c].alias(c) for c in payload],
     )
     return out
 

@@ -24,19 +24,11 @@ from pyspark.sql import functions as F
 
 from simple_osm_queries_spark.functions.natural_sort import natural_is_less_py
 
-_ESCAPES = [("=", "$$EQUAL$$"), ("|", "$$PIPE$$"), ("\n", "$$NEWLINE$$")]
-
-
-def _escape(s: str) -> str:
-    for raw, esc in _ESCAPES:
-        s = s.replace(raw, esc)
-    return s
-
-
-def _unescape(s: str) -> str:
-    for raw, esc in _ESCAPES:
-        s = s.replace(esc, raw)
-    return s
+# Escaping mirrors the reference EXACTLY (tag.go:301-317 write,
+# tag.go:147-153 load): keys are written UNESCAPED; each value escapes only
+# '|', then '\n' and '=' are escaped on the JOINED value string. A key
+# containing '=' therefore truncates at the first '=' on load — reference
+# behavior (SplitN(line, "=", 2)), preserved for file-level interop.
 
 
 def _natural_sorted(values: list[str]) -> list[str]:
@@ -70,19 +62,27 @@ def build_tag_index(*tag_dfs: DataFrame) -> dict[str, list[str]]:
 def save_tag_index(index: dict[str, list[str]], path: str) -> None:
     with open(path, "w") as f:
         for key in sorted(index):
-            values = "|".join(_escape(v) for v in index[key])
-            f.write(f"{_escape(key)}={values}\n")
+            values = "|".join(v.replace("|", "$$PIPE$$") for v in index[key])
+            values = values.replace("\n", "$$NEWLINE$$").replace("=", "$$EQUAL$$")
+            f.write(f"{key}={values}\n")
 
 
 def load_tag_index(path: str) -> dict[str, list[str]]:
     out: dict[str, list[str]] = {}
     with open(path) as f:
-        for line in f:
+        for lineno, line in enumerate(f):
             line = line.rstrip("\n")
             if not line:
                 continue
-            key, _, values = line.partition("=")
-            out[_unescape(key)] = [_unescape(v) for v in values.split("|") if v != ""]
+            key, sep, values = line.partition("=")
+            if not sep:
+                raise ValueError(
+                    f"wrong format of line {lineno}: '=' expected separating "
+                    f"key and value list"
+                )
+            values = values.replace("$$NEWLINE$$", "\n").replace("$$EQUAL$$", "=")
+            # empty entries are KEPT (reference keeps them: tag.go:150-156)
+            out[key] = [v.replace("$$PIPE$$", "|") for v in values.split("|")]
     return out
 
 

@@ -64,3 +64,28 @@ def test_partial_build_resumes_where_it_stopped(dataset, tmp_path):
     r = build.build_index(dataset.nodes, out, input_fingerprint="fp", max_rows_per_band=300)
     assert r["skipped"] == 1
     assert r["bands"] == len(bands) - 1
+
+
+def test_rebuild_with_shrunken_input_purges_stale_partitions(spark, tmp_path):
+    """Dynamic partition overwrite only replaces cell_x dirs present in the
+    NEW input; a changed fingerprint must wipe the old build so cell_x
+    partitions that existed only in the old input don't leak into reads."""
+    out = str(tmp_path / "idx")
+    old = spark.createDataFrame(
+        [(i, i % 3, 0, 53.5) for i in range(90)], "id long, cell_x int, cell_y int, lat double"
+    )
+    new = spark.createDataFrame(
+        [(i, 1 + i % 2, 0, 53.5) for i in range(40)], "id long, cell_x int, cell_y int, lat double"
+    )
+    build.build_index(old, out, input_fingerprint="fp-old", max_rows_per_band=1000)
+    assert sorted(
+        r.cell_x for r in build.read_index(spark, out).select("cell_x").distinct().collect()
+    ) == [0, 1, 2]
+    r2 = build.build_index(new, out, input_fingerprint="fp-new", max_rows_per_band=1000)
+    assert r2["wiped"] is True and r2["skipped"] == 0
+    got = build.read_index(spark, out)
+    assert sorted(r.cell_x for r in got.select("cell_x").distinct().collect()) == [1, 2]
+    assert got.count() == 40
+    # same fingerprint again -> no wipe, full skip
+    r3 = build.build_index(new, out, input_fingerprint="fp-new", max_rows_per_band=1000)
+    assert r3["wiped"] is False and r3["bands"] == 0 and r3["skipped"] > 0

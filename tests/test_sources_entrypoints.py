@@ -42,8 +42,10 @@ def test_query_reference_fixture_end_to_end(ref_dataset):
     assert ids("bbox(9.9, 53.5, 10.0, 53.6).nodes{ backrest=yes OR name=Testbank }") == [2, 3]
 
 
-def test_pbf_stub_raises(spark):
-    with pytest.raises(NotImplementedError):
+def test_pbf_missing_file_raises(spark):
+    # the PBF reader is real now (see test_osm_pbf.py); a missing file
+    # surfaces as the driver-side open error, not a stub
+    with pytest.raises(FileNotFoundError):
         read_osm_pbf(spark, "/nonexistent.osm.pbf")
 
 
@@ -64,10 +66,33 @@ def test_tag_index_build_and_roundtrip(dataset, tmp_path):
 
 
 def test_tag_index_escaping(tmp_path):
-    idx = {"weird=key": ["a|b", "line\nbreak", "eq=val"]}
+    # values with every special char round-trip (clean keys)
+    idx = {"surface": ["a|b", "line\nbreak", "eq=val", ""]}
     path = str(tmp_path / "tag-index")
     tag_index.save_tag_index(idx, path)
     assert tag_index.load_tag_index(path) == idx
+    # byte-level parity with the reference writer (tag.go:301-317): per-value
+    # PIPE escape, then NEWLINE/EQUAL on the joined string, key unescaped
+    with open(path) as f:
+        assert f.read() == "surface=a$$PIPE$$b|line$$NEWLINE$$break|eq$$EQUAL$$val|\n"
+
+
+def test_tag_index_reference_file_parity(tmp_path):
+    # a file as the reference writes it: empty entries kept on load,
+    # a key containing '=' truncates at the first '=' (SplitN semantics)
+    path = str(tmp_path / "tag-index")
+    with open(path, "w") as f:
+        f.write("amenity=bench|cafe||\n")
+        f.write("odd=key=v1|v2\n")
+    loaded = tag_index.load_tag_index(path)
+    assert loaded["amenity"] == ["bench", "cafe", "", ""]
+    assert loaded["odd"] == ["key=v1", "v2"]
+    import pytest as _pytest
+
+    with open(path, "a") as f:
+        f.write("noequalsline\n")
+    with _pytest.raises(ValueError, match="'=' expected"):
+        tag_index.load_tag_index(path)
 
 
 def test_http_server_query_and_errors(ref_dataset):

@@ -76,3 +76,19 @@ def test_session_stats(spark, events):
     assert row.n_events >= 1 and row.duration_sec >= 0
     total = stats.agg(F.sum("n_events")).first()[0]
     assert total == events.count()
+
+
+def test_asof_payload_taken_atomically_from_one_row(spark):
+    """The latest qualifying right row has NULL in one payload column and
+    non-NULL in another: the output must NOT mix columns across right rows."""
+    left = spark.createDataFrame([(1, 100)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 10, "old_a", "old_b"), (1, 50, None, "new_b")],
+        "k long, ts long, a string, b string",
+    )
+    from simple_osm_queries_spark.operators.temporal import asof_join
+
+    (row,) = asof_join(
+        left, right, key="k", left_ts="ts", right_ts="ts", payload=["a", "b"]
+    ).collect()
+    assert row.a is None and row.b == "new_b"  # all from the ts=50 row
