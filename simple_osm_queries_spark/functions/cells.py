@@ -11,12 +11,14 @@ north rule asks for:
 
 * ``tile_x/tile_y/tile_id`` — Web-Mercator slippy tiles (raster<->vector tile
   assignment, z-order locality),
-* ``cell_h3``/``cell_s2`` — vectorized pandas-UDF adapters; they use the real
-  ``h3``/``s2sphere`` libraries when importable and otherwise fall back to a
-  clearly-documented deterministic aperture-4 quadtree id (slippy tile at an
-  equivalent resolution) so the whole pipeline stays runnable in minimal
-  environments. The fallback is a valid hierarchical cell id with the same
-  containment/k-ring algebra; it is NOT bit-compatible with real H3/S2.
+* ``cell_s2`` — REAL S2 cell ids from the in-repo numpy implementation of
+  the published S2 scheme (functions/s2.py): bit-compatible, vectorized,
+  zero external dependencies.
+* ``cell_h3`` — pandas-UDF adapter over the real ``h3`` library when
+  importable (int-id API, batch fromiter), else a clearly-documented
+  deterministic aperture-4 quadtree id (slippy tile at an equivalent
+  resolution). The fallback keeps the same containment/k-ring algebra but
+  is NOT bit-compatible with real H3.
 
 All hot-path encoders are pure JVM column math (whole-stage codegen); only the
 H3/S2 adapters drop to Arrow-batched pandas UDFs (never per-row Python).
@@ -171,26 +173,25 @@ def tile_id_py(tx: int, ty: int, zoom: int) -> int:
 # ---------------------------------------------------------------------------
 
 try:  # pragma: no cover - depends on environment
-    import h3 as _h3  # type: ignore
+    # prefer the int-id API: no per-row str<->int conversion
+    import h3.api.numpy_int as _h3  # type: ignore
 
     HAVE_H3 = True
+    _H3_INT_API = True
 except ImportError:  # pragma: no cover
-    _h3 = None
-    HAVE_H3 = False
+    try:
+        import h3 as _h3  # type: ignore
 
-try:  # pragma: no cover
-    import s2sphere as _s2  # type: ignore
-
-    HAVE_S2 = True
-except ImportError:  # pragma: no cover
-    _s2 = None
-    HAVE_S2 = False
+        HAVE_H3 = True
+        _H3_INT_API = False
+    except ImportError:
+        _h3 = None
+        HAVE_H3 = False
+        _H3_INT_API = False
 
 # Fallback resolution mapping: H3 res r hexes have ~ the linear size of slippy
 # tiles at zoom r+7 (res 7 edge ~1.2 km ~ z14 tile ~2.4 km).
 _H3_FALLBACK_ZOOM_OFFSET = 7
-# S2 level l cells ~ slippy tiles at zoom l-1.
-_S2_FALLBACK_ZOOM_OFFSET = -1
 
 
 def _fallback_tile_ids(lon: pd.Series, lat: pd.Series, zoom: int) -> pd.Series:
@@ -206,32 +207,44 @@ def _fallback_tile_ids(lon: pd.Series, lat: pd.Series, zoom: int) -> pd.Series:
     return pd.Series((zoom << 58) | (tx << 29) | ty)
 
 
+def _h3_batch(lo, la, res: int):  # pragma: no cover - requires h3
+    """Batch-encode with the installed h3 lib. h3-py v4 exposes no true array
+    API in-core; the int-id API (h3.api.numpy_int) at least avoids the
+    str<->int round-trip per row, and np.fromiter avoids list churn."""
+    import numpy as np
+
+    lo_v, la_v = lo.to_numpy(), la.to_numpy()
+    if _H3_INT_API:
+        it = (_h3.latlng_to_cell(b, a, res) for a, b in zip(lo_v, la_v))
+    else:
+        it = (_h3.str_to_int(_h3.latlng_to_cell(b, a, res)) for a, b in zip(lo_v, la_v))
+    return pd.Series(np.fromiter(it, dtype=np.uint64, count=len(lo_v)).view(np.int64))
+
+
 def cell_h3(lon: Column, lat: Column, res: int = 8) -> Column:
     """H3 cell id (long). Real h3 when available, quadtree fallback otherwise."""
 
     @F.pandas_udf(T.LongType())
     def _enc(lo: pd.Series, la: pd.Series) -> pd.Series:
         if HAVE_H3:
-            return pd.Series(
-                [_h3.str_to_int(_h3.latlng_to_cell(b, a, res)) for a, b in zip(lo, la)],
-                dtype="int64",
-            )
+            return _h3_batch(lo, la, res)
         return _fallback_tile_ids(lo, la, res + _H3_FALLBACK_ZOOM_OFFSET)
 
     return _enc(lon, lat)
 
 
 def cell_s2(lon: Column, lat: Column, level: int = 12) -> Column:
-    """S2 cell id (long). Real s2sphere when available, quadtree fallback otherwise."""
+    """REAL S2 cell id (long, two's-complement of the uint64 id).
+
+    Backed by the in-repo numpy-vectorized implementation of the published
+    S2 scheme (functions/s2.py) — bit-compatible ids with no external
+    dependency, whole-array encode inside one Arrow batch."""
 
     @F.pandas_udf(T.LongType())
     def _enc(lo: pd.Series, la: pd.Series) -> pd.Series:
-        if HAVE_S2:
-            out = []
-            for a, b in zip(lo, la):
-                cid = _s2.CellId.from_lat_lng(_s2.LatLng.from_degrees(b, a)).parent(level)
-                out.append(cid.id() - (1 << 63))  # wrap uint64 into signed long
-            return pd.Series(out, dtype="int64")
-        return _fallback_tile_ids(lo, la, max(level + _S2_FALLBACK_ZOOM_OFFSET, 0))
+        from simple_osm_queries_spark.functions import s2 as _s2impl
+
+        cells = _s2impl.lnglat_to_cell(lo.to_numpy(), la.to_numpy(), level)
+        return pd.Series(_s2impl.to_signed(cells))
 
     return _enc(lon, lat)

@@ -1,0 +1,113 @@
+"""From-scratch S2 cell ids: structural invariants of the published scheme,
+parity with external libraries when installed (skip-if-absent), and the
+Spark column adapter.
+
+The invariants below pin every layer of the construction independently:
+face assignment (the 6 canonical level-0 ids), the Hilbert curve (adjacent
+curve positions must be grid-adjacent — any lookup-table error breaks this
+at 4-bit block boundaries, which random ids hit constantly), the hierarchy
+bit-algebra (parent/contains/level), and the exact encode<->decode inverse.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from simple_osm_queries_spark.functions import cells as C
+from simple_osm_queries_spark.functions import s2
+
+RNG = np.random.RandomState(7)
+LON = RNG.uniform(-180.0, 180.0, 4000)
+LAT = RNG.uniform(-90.0, 90.0, 4000)
+
+
+def test_face_cells():
+    # (lng, lat) -> face per the canonical axis order; level-0 id is
+    # face<<61 | 1<<60
+    for lng, lat, face in [
+        (0, 0, 0), (90, 0, 1), (0, 90, 2), (180, 0, 3), (-90, 0, 4), (0, -90, 5),
+    ]:
+        cid = s2.lnglat_to_cell([lng], [lat], level=0)[0]
+        assert cid == np.uint64(2 * face + 1) << np.uint64(60)
+
+
+def test_hierarchy_and_containment():
+    leaf = s2.lnglat_to_cell(LON, LAT, 30)
+    for level in (0, 5, 12, 20, 29):
+        direct = s2.lnglat_to_cell(LON, LAT, level)
+        assert np.array_equal(direct, s2.parent_id(leaf, level))
+        assert np.all(s2.contains(direct, leaf))
+        assert np.all(s2.cell_level(direct) == level)
+    assert np.all(s2.cell_level(leaf) == 30)
+    # range bounds nest strictly
+    p12 = s2.lnglat_to_cell(LON, LAT, 12)
+    p13 = s2.lnglat_to_cell(LON, LAT, 13)
+    assert np.all(s2.range_min(p12) <= s2.range_min(p13))
+    assert np.all(s2.range_max(p13) <= s2.range_max(p12))
+
+
+def test_encode_decode_inverse():
+    leaf = s2.lnglat_to_cell(LON, LAT, 30)
+    face, i, j = s2.cell_to_face_ij(leaf)
+    assert np.array_equal(leaf, s2.face_ij_to_cell(face, i, j, 30))
+    assert np.all((0 <= i) & (i < (1 << 30)) & (0 <= j) & (j < (1 << 30)))
+
+
+def test_interior_point_reencodes_to_same_cell():
+    for level in (2, 9, 16, 23, 30):
+        cid = s2.lnglat_to_cell(LON, LAT, level)
+        lon2, lat2 = s2.cell_to_lnglat(cid)
+        assert np.array_equal(cid, s2.lnglat_to_cell(lon2, lat2, level)), level
+
+
+def test_hilbert_adjacency():
+    # consecutive leaves along the curve share a grid edge (same face)
+    leaf = s2.lnglat_to_cell(LON, LAT, 30)
+    nxt = leaf + np.uint64(2)
+    fa, ia, ja = s2.cell_to_face_ij(leaf)
+    fb, ib, jb = s2.cell_to_face_ij(nxt)
+    same = fa == fb
+    assert same.sum() > 3900  # crossing a face edge is measure-~0
+    d = np.abs(ia - ib) + np.abs(ja - jb)
+    assert np.all(d[same] == 1)
+
+
+def test_signed_wrap_round_trip():
+    leaf = s2.lnglat_to_cell(LON, LAT, 30)
+    signed = s2.to_signed(leaf)
+    assert np.array_equal(s2.from_signed(signed), leaf)
+    assert (signed < 0).any() and (signed > 0).any()  # faces 4-5 wrap negative
+
+
+def test_quadratic_projection_fixed_points():
+    st = s2._uv_to_st(np.array([-1.0, 0.0, 1.0, 1.0 / 3.0]))
+    assert st == pytest.approx([0.0, 0.5, 1.0, np.sqrt(2.0) / 2.0])
+
+
+def test_parity_with_s2sphere_if_installed():
+    s2sphere = pytest.importorskip("s2sphere")
+    for lng, lat in zip(LON[:200], LAT[:200]):
+        want = s2sphere.CellId.from_lat_lng(
+            s2sphere.LatLng.from_degrees(float(lat), float(lng))
+        ).parent(12).id()
+        got = int(s2.lnglat_to_cell([lng], [lat], 12)[0])
+        assert got == want, (lng, lat)
+
+
+def test_spark_column_matches_numpy(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame({"lon": LON[:500], "lat": LAT[:500]})
+    got = (
+        spark.createDataFrame(pdf)
+        .select(C.cell_s2(F.col("lon"), F.col("lat"), 12).alias("c"))
+        .toPandas()["c"]
+        .to_numpy()
+    )
+    want = s2.to_signed(s2.lnglat_to_cell(LON[:500], LAT[:500], 12))
+    assert np.array_equal(got, want)
+
+
+def test_level_validation():
+    with pytest.raises(ValueError, match="level"):
+        s2.lnglat_to_cell([0.0], [0.0], 31)
