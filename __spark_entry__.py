@@ -71,8 +71,33 @@ def _derived_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WAY_ID_BASE = 1_000_000_000
+
+
+def _derived_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-expressible ways over the derived points: every 20th doc starts a
+    3-node way [d, d+4, d+8]; even way index -> highway=primary, odd ->
+    building=yes. Mirrored verbatim in the DuckDB oracles."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    max_id = d.agg(F.max("doc_id")).first()[0]
+    i = F.col("doc_id")
+    widx = (i / 20).cast("long")
+    return (
+        d.filter((i % 20 == 0) & (i + 8 <= F.lit(max_id)))
+        .select(
+            (F.lit(WAY_ID_BASE) + widx).alias("id"),
+            F.array(i, i + 4, i + 8).alias("node_ids"),
+            F.when(
+                widx % 2 == 0, F.create_map(F.lit("highway"), F.lit("primary"))
+            )
+            .otherwise(F.create_map(F.lit("building"), F.lit("yes")))
+            .alias("tags"),
+        )
+    )
+
+
 def _derived_dataset(spark: SparkSession, sf_dir: str):
-    ways = spark.createDataFrame([], "id long, node_ids array<long>, tags map<string,string>")
+    ways = _derived_ways(spark, sf_dir)
     rels = spark.createDataFrame(
         [],
         "id long, node_member_ids array<long>, way_member_ids array<long>, "
@@ -189,6 +214,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["osm_buffer"] = _osm(
         "bbox(9.90, 53.50, 10.10, 53.70).nodes{ amenity=* AND this.buffer(2km).nodes{ seats=* } }"
     )
+
+    # way<->way buffer: segment-pair min distance (crossing => 0), the last
+    # unsupported geometry pair of the reference's documented proximity form
+    def q_buffer_ways(spark, sf_dir):
+        ds = _derived_dataset(spark, sf_dir)
+        return (
+            run_query(
+                "bbox(9.90, 53.50, 10.10, 53.70).ways"
+                "{ building=yes AND this.buffer(100m).ways{ highway=primary } }",
+                ds,
+            )
+            .select("id")
+            .orderBy("id")
+        )
+
+    q["osm_buffer_way_way"] = q_buffer_ways
 
     # S1: real .osm.pbf scan — write the derived points to a PBF file
     # (driver-side fixture synthesis, cached per sf_dir), then read it back
@@ -524,6 +565,89 @@ def oracle_sql() -> dict[str, str]:
         f"CASE WHEN {SQL_HAS_AMENITY} THEN {SQL_AMENITY} END AS amenity "
         f"FROM documents WHERE {qlon} <= 10.0"
     )
+    # osm_buffer_way_way: full segment-pair distance twin. Helpers build the
+    # point-to-segment / crossing expressions exactly as the Spark operator
+    # computes them (operators/buffer.py::seg_pair_dist2_m): meters via
+    # kx = 111320 * cos(radians(outer segment's first endpoint lat)),
+    # crossing test in degree space, LEAST over the 4 endpoint distances.
+    def _dbl(x: str) -> str:
+        return f"CAST({x} AS DOUBLE)"
+
+    def _pt_seg_d2_sql(px, py, ax, ay, bx, by) -> str:
+        dx, dy = f"(({bx})-({ax}))", f"(({by})-({ay}))"
+        len2 = f"({dx}*{dx}+{dy}*{dy})"
+        t_raw = f"((({px})-({ax}))*{dx}+(({py})-({ay}))*{dy})/{len2}"
+        t = (
+            f"(CASE WHEN {len2} > 0 THEN LEAST(GREATEST({t_raw}, {_dbl('0.0')}), "
+            f"{_dbl('1.0')}) ELSE {_dbl('0.0')} END)"
+        )
+        cx = f"(({ax})+{t}*{dx}-({px}))"
+        cy = f"(({ay})+{t}*{dy}-({py}))"
+        return f"({cx}*{cx}+{cy}*{cy})"
+
+    def _ccw_sql(ax, ay, bx, by, cx, cy) -> str:
+        return f"((({bx})-({ax}))*(({cy})-({ay})) - (({by})-({ay}))*(({cx})-({ax})))"
+
+    _d1 = _pt_seg_d2_sql("a1x", "a1y", "b1x", "b1y", "b2x", "b2y")
+    _d2 = _pt_seg_d2_sql("a2x", "a2y", "b1x", "b1y", "b2x", "b2y")
+    _d3 = _pt_seg_d2_sql("b1x", "b1y", "a1x", "a1y", "a2x", "a2y")
+    _d4 = _pt_seg_d2_sql("b2x", "b2y", "a1x", "a1y", "a2x", "a2y")
+    _o1 = _ccw_sql("oalon", "oalat", "oblon", "oblat", "ialon", "ialat")
+    _o2 = _ccw_sql("oalon", "oalat", "oblon", "oblat", "iblon", "iblat")
+    _o3 = _ccw_sql("ialon", "ialat", "iblon", "iblat", "oalon", "oalat")
+    _o4 = _ccw_sql("ialon", "ialat", "iblon", "iblat", "oblon", "oblat")
+    o["osm_buffer_way_way"] = f"""
+WITH pts AS (SELECT doc_id AS id, {SQL_LON} AS lon, {SQL_LAT} AS lat FROM documents),
+wdef AS (
+  SELECT CAST({WAY_ID_BASE} + doc_id // 20 AS BIGINT) AS wid,
+         (doc_id // 20) % 2 = 0 AS is_primary,
+         doc_id AS n1, doc_id + 4 AS n2, doc_id + 8 AS n3
+  FROM documents
+  WHERE doc_id % 20 = 0 AND doc_id + 8 <= (SELECT max(doc_id) FROM documents)
+),
+wgeo AS (
+  SELECT w.wid, w.is_primary,
+         p1.lon AS lon1, p1.lat AS lat1, p2.lon AS lon2, p2.lat AS lat2,
+         p3.lon AS lon3, p3.lat AS lat3
+  FROM wdef w JOIN pts p1 ON p1.id = w.n1
+              JOIN pts p2 ON p2.id = w.n2
+              JOIN pts p3 ON p3.id = w.n3
+),
+segs AS (
+  SELECT wid, is_primary, lon1 AS alon, lat1 AS alat, lon2 AS blon, lat2 AS blat FROM wgeo
+  UNION ALL
+  SELECT wid, is_primary, lon2, lat2, lon3, lat3 FROM wgeo
+),
+outer_ok AS (
+  SELECT wid FROM wgeo
+  WHERE NOT is_primary
+    AND least(lon1, lon2, lon3) <= {_dbl('10.10')} AND greatest(lon1, lon2, lon3) >= {_dbl('9.90')}
+    AND least(lat1, lat2, lat3) <= {_dbl('53.70')} AND greatest(lat1, lat2, lat3) >= {_dbl('53.50')}
+),
+pairs AS (
+  SELECT o.wid,
+         o.alon AS oalon, o.alat AS oalat, o.blon AS oblon, o.blat AS oblat,
+         i.alon AS ialon, i.alat AS ialat, i.blon AS iblon, i.blat AS iblat,
+         {_dbl('111320.0')} * cos(radians(o.alat)) AS kx
+  FROM segs o JOIN segs i ON i.is_primary AND o.wid <> i.wid
+  WHERE NOT o.is_primary AND o.wid IN (SELECT wid FROM outer_ok)
+),
+scaled AS (
+  SELECT wid, oalon, oalat, oblon, oblat, ialon, ialat, iblon, iblat,
+         oalon * kx AS a1x, oalat * {_dbl('111320.0')} AS a1y,
+         oblon * kx AS a2x, oblat * {_dbl('111320.0')} AS a2y,
+         ialon * kx AS b1x, ialat * {_dbl('111320.0')} AS b1y,
+         iblon * kx AS b2x, iblat * {_dbl('111320.0')} AS b2y
+  FROM pairs
+),
+scored AS (
+  SELECT wid,
+         CASE WHEN {_o1} * {_o2} < 0 AND {_o3} * {_o4} < 0 THEN {_dbl('0.0')}
+              ELSE LEAST({_d1}, {_d2}, {_d3}, {_d4}) END AS d2
+  FROM scaled
+)
+SELECT DISTINCT wid AS id FROM scored WHERE d2 <= {_dbl('10000.0')} ORDER BY id
+"""
     o["osm_flagship"] = osm_sql(f"{SQL_HAS_AMENITY} AND {SQL_AMENITY} = 'bench' AND {SQL_HAS_SEATS}")
     o["osm_seats_ge3"] = osm_sql(
         f"{SQL_HAS_SEATS} AND " + natural_cmp_sql(SQL_SEATS, ">=", "3")

@@ -152,3 +152,125 @@ def within_buffer_node_way(
     matched = pt.join(F.broadcast(w), cand & exact, "inner")
     out_col = "nid" if output == "node" else "wid"
     return matched.select(F.col(out_col).alias("id")).distinct()
+
+
+# --- way <-> way (segment-pair distance) -----------------------------------
+
+
+def segments_col(nodes: Column) -> Column:
+    """array<struct<a,b>> of consecutive-node segments; a single-node way
+    becomes one degenerate (a == b) segment so the distance math still holds."""
+    n = F.size(nodes)
+    segs = F.zip_with(
+        F.slice(nodes, 1, n - 1),
+        F.slice(nodes, 2, n - 1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    single = F.array(F.struct(nodes[0].alias("a"), nodes[0].alias("b")))
+    return F.when(n >= 2, segs).otherwise(single)
+
+
+def _pt_seg_d2(px: Column, py: Column, ax: Column, ay: Column, bx: Column, by: Column) -> Column:
+    dx = bx - ax
+    dy = by - ay
+    len2 = dx * dx + dy * dy
+    t_raw = F.when(len2 > 0, ((px - ax) * dx + (py - ay) * dy) / len2).otherwise(F.lit(0.0))
+    t = F.least(F.greatest(t_raw, F.lit(0.0)), F.lit(1.0))
+    cx = ax + t * dx - px
+    cy = ay + t * dy - py
+    return cx * cx + cy * cy
+
+
+def _ccw(ax: Column, ay: Column, bx: Column, by: Column, cx: Column, cy: Column) -> Column:
+    return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+
+def seg_pair_dist2_m(sa: Column, sb: Column) -> Column:
+    """Min squared meter-distance between two segments (structs a/b of
+    lon/lat nodes).
+
+    Decomposition: 0 if the segments properly cross, else the min of the 4
+    endpoint-to-other-segment distances — exact for every configuration
+    (touching / collinear cases are covered by an endpoint distance of 0,
+    so only the strict proper-crossing test is needed). The meter scaling
+    uses cos(lat) of segment A's first endpoint; the crossing test runs in
+    degree space (axis scaling preserves orientation signs).
+    """
+    kx = F.lit(M_PER_DEG) * F.cos(F.radians(sa["a"]["lat"]))
+    ky = F.lit(M_PER_DEG)
+    a1x, a1y = sa["a"]["lon"] * kx, sa["a"]["lat"] * ky
+    a2x, a2y = sa["b"]["lon"] * kx, sa["b"]["lat"] * ky
+    b1x, b1y = sb["a"]["lon"] * kx, sb["a"]["lat"] * ky
+    b2x, b2y = sb["b"]["lon"] * kx, sb["b"]["lat"] * ky
+    d = F.least(
+        _pt_seg_d2(a1x, a1y, b1x, b1y, b2x, b2y),
+        _pt_seg_d2(a2x, a2y, b1x, b1y, b2x, b2y),
+        _pt_seg_d2(b1x, b1y, a1x, a1y, a2x, a2y),
+        _pt_seg_d2(b2x, b2y, a1x, a1y, a2x, a2y),
+    )
+    o1 = _ccw(sa["a"]["lon"], sa["a"]["lat"], sa["b"]["lon"], sa["b"]["lat"], sb["a"]["lon"], sb["a"]["lat"])
+    o2 = _ccw(sa["a"]["lon"], sa["a"]["lat"], sa["b"]["lon"], sa["b"]["lat"], sb["b"]["lon"], sb["b"]["lat"])
+    o3 = _ccw(sb["a"]["lon"], sb["a"]["lat"], sb["b"]["lon"], sb["b"]["lat"], sa["a"]["lon"], sa["a"]["lat"])
+    o4 = _ccw(sb["a"]["lon"], sb["a"]["lat"], sb["b"]["lon"], sb["b"]["lat"], sa["b"]["lon"], sa["b"]["lat"])
+    crossing = (o1 * o2 < 0) & (o3 * o4 < 0)
+    return F.when(crossing, F.lit(0.0)).otherwise(d)
+
+
+def way_pair_within_m(nodes_a: Column, nodes_b: Column, buffer_m: float) -> Column:
+    """True iff min segment-pair distance between two polylines <= buffer_m."""
+    d2 = F.lit(float(buffer_m) ** 2)
+    segs_b = segments_col(nodes_b)
+    return F.exists(
+        segments_col(nodes_a),
+        lambda sa: F.exists(segs_b, lambda sb: seg_pair_dist2_m(sa, sb) <= d2),
+    )
+
+
+def within_buffer_way_way(
+    outer_ways: DataFrame, inner_ways: DataFrame, buffer_m: float
+) -> DataFrame:
+    """Outer way ids having >=1 (distinct) inner way within buffer_m meters.
+
+    Same physical shape as node<->way: the filtered inner side broadcasts
+    with a D-expanded bbox-overlap candidate predicate; the exact refine is
+    the column-math segment-pair distance (0 on crossings). The bbox lon
+    expansion uses the pair's worst-case |lat| so candidates stay a superset
+    at every latitude.
+    """
+    o = outer_ways.select(
+        F.col("id"),
+        F.col("nodes").alias("onodes"),
+        F.col("min_lon").alias("o_min_lon"),
+        F.col("min_lat").alias("o_min_lat"),
+        F.col("max_lon").alias("o_max_lon"),
+        F.col("max_lat").alias("o_max_lat"),
+    )
+    i = inner_ways.select(
+        F.col("id").alias("iid"),
+        F.col("nodes").alias("inodes"),
+        F.col("min_lon").alias("i_min_lon"),
+        F.col("min_lat").alias("i_min_lat"),
+        F.col("max_lon").alias("i_max_lon"),
+        F.col("max_lat").alias("i_max_lat"),
+    )
+    d_lat = buffer_m / M_PER_DEG
+    worst_lat = F.greatest(
+        F.abs(F.col("o_min_lat")), F.abs(F.col("o_max_lat")),
+        F.abs(F.col("i_min_lat")), F.abs(F.col("i_max_lat")),
+    )
+    d_lon = F.lit(buffer_m) / (F.lit(M_PER_DEG) * F.cos(F.radians(worst_lat)))
+    cand = (
+        (F.col("o_min_lon") - d_lon <= F.col("i_max_lon"))
+        & (F.col("o_max_lon") + d_lon >= F.col("i_min_lon"))
+        & (F.col("o_min_lat") - F.lit(d_lat) <= F.col("i_max_lat"))
+        & (F.col("o_max_lat") + F.lit(d_lat) >= F.col("i_min_lat"))
+    )
+    return (
+        o.join(F.broadcast(i), cand, "inner")
+        .filter(
+            (F.col("id") != F.col("iid"))
+            & way_pair_within_m(F.col("onodes"), F.col("inodes"), buffer_m)
+        )
+        .select("id")
+        .distinct()
+    )

@@ -153,7 +153,7 @@ def _compile_buffer(
     """`this.buffer(Dm).<type>{...}` — the reference's documented-but-
     unimplemented proximity form (README.md:154-181), as a distance-buffer
     spatial semi join (operators/buffer.py). Supported geometry pairs:
-    node<->node, node->way, way->node."""
+    node<->node, node->way, way->node, way<->way (segment-pair distance)."""
     from simple_osm_queries_spark.operators import buffer as B
 
     inner_qtype = stmt.query_type
@@ -168,10 +168,12 @@ def _compile_buffer(
         matched = B.within_buffer_node_way(df, inner_df, buffer_m, output="node")
     elif outer_type == "way" and inner_base == "node":
         matched = B.within_buffer_node_way(inner_df, df, buffer_m, output="way")
+    elif outer_type == "way" and inner_base == "way":
+        matched = B.within_buffer_way_way(df, inner_df, buffer_m)
     else:
         raise PlanError(
             f"this.buffer(...).{inner_qtype} inside a {outer_type} statement is "
-            "not supported (supported pairs: node<->node, node->ways, way->nodes)"
+            "not supported (supported pairs: node<->node, node<->ways, way<->ways)"
         )
 
     flag = f"__buf_{next(_FLAG)}"

@@ -188,9 +188,58 @@ def _any_within_buffer(feat: Feat, qualifying: list, buffer_m: float) -> bool:
         elif feat.osm_type == "way" and q.osm_type == "node":
             if _pt_way_dist2_m(q.lon, q.lat, feat.node_lonlats) <= d2max:
                 return True
+        elif feat.osm_type == "way" and q.osm_type == "way":
+            if q.id != feat.id and _way_way_dist2_m(feat.node_lonlats, q.node_lonlats) <= d2max:
+                return True
         else:
             raise ValueError(f"unsupported buffer pair {feat.osm_type}->{q.osm_type}")
     return False
+
+
+def _segments(coords):
+    if len(coords) < 2:
+        return [(coords[0], coords[0])]
+    return list(zip(coords, coords[1:]))
+
+
+def _pt_seg_d2(px, py, ax, ay, bx, by) -> float:
+    dx, dy = bx - ax, by - ay
+    len2 = dx * dx + dy * dy
+    t = 0.0 if len2 == 0 else max(0.0, min(1.0, ((px - ax) * dx + (py - ay) * dy) / len2))
+    cx, cy = ax + t * dx - px, ay + t * dy - py
+    return cx * cx + cy * cy
+
+
+def _way_way_dist2_m(coords_a, coords_b) -> float:
+    """Min segment-pair distance (meters^2): 0 on a proper crossing, else
+    min of the 4 endpoint-to-segment distances per pair. Meter scaling uses
+    cos(lat) of segment A's first endpoint; the crossing test runs in degree
+    space (matches operators/buffer.py::seg_pair_dist2_m)."""
+
+    def ccw(a, b, c):
+        return (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+
+    best = None
+    for sa in _segments(coords_a):
+        kx = M_PER_DEG * math.cos(math.radians(sa[0][1]))
+        ky = M_PER_DEG
+        a1 = (sa[0][0] * kx, sa[0][1] * ky)
+        a2 = (sa[1][0] * kx, sa[1][1] * ky)
+        for sb in _segments(coords_b):
+            b1 = (sb[0][0] * kx, sb[0][1] * ky)
+            b2 = (sb[1][0] * kx, sb[1][1] * ky)
+            o1, o2 = ccw(sa[0], sa[1], sb[0]), ccw(sa[0], sa[1], sb[1])
+            o3, o4 = ccw(sb[0], sb[1], sa[0]), ccw(sb[0], sb[1], sa[1])
+            if o1 * o2 < 0 and o3 * o4 < 0:
+                return 0.0
+            d2 = min(
+                _pt_seg_d2(*a1, *b1, *b2),
+                _pt_seg_d2(*a2, *b1, *b2),
+                _pt_seg_d2(*b1, *a1, *a2),
+                _pt_seg_d2(*b2, *a1, *a2),
+            )
+            best = d2 if best is None else min(best, d2)
+    return best
 
 
 def _bbox_intersects(fb: tuple, qb: ast.Bbox) -> bool:

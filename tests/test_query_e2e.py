@@ -62,6 +62,9 @@ QUERIES = {
     "buffer_way_node": f"bbox({WINDOW}).ways{{ building=yes AND this.buffer(200m).nodes{{ seats=* }} }}",
     # the README's own future-feature example shape: negated buffer
     "buffer_negated": f"bbox({WINDOW}).nodes{{ amenity=bench AND !this.buffer(800m).ways{{ highway=* }} }}",
+    # way<->way: segment-pair distance (crossings count as distance 0)
+    "buffer_way_way": f"bbox({WINDOW}).ways{{ building=yes AND this.buffer(300m).ways{{ highway=* }} }}",
+    "buffer_way_way_tight": f"bbox({WINDOW}).ways{{ highway=* AND this.buffer(5m).ways{{ highway=* }} }}",
 }
 
 # queries where an empty result is expected to be non-empty (sanity: the
