@@ -465,9 +465,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id_a", "id_b", "jaccard"
         )
 
-    def q_minhash(spark, sf_dir):  # rows-only: xxhash64 has no DuckDB twin
+    def q_minhash(spark, sf_dir):
+        # SQL-checked variant: md5-derived 32-bit shingle hash + raw-string
+        # band buckets, so DuckDB recomputes identical signatures/candidates.
+        # The production crc32/xxhash64 path is pytest-proven equal on the
+        # dedup fixture (test_dedup.py::test_minhash_md5_variant_matches).
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        return dedup.minhash_near_dups(docs, threshold=0.35)
+        return dedup.minhash_near_dups(
+            docs, threshold=0.35, num_perm=32, bands=8,
+            shingle_hash="md5", hash_buckets=False,
+        )
 
     def q_simhash(spark, sf_dir):  # rows-only
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -803,6 +810,54 @@ WHERE bit_count(xor(a.ph, b.ph)) <= 3
     )
 
     # inverted-index jaccard, mirroring dedup.shingles_col exactly (n=3)
+    # dedup_minhash_lsh: FULL twin — identical md5-32 shingle hashes,
+    # identical universal-hash permutations (params inlined from
+    # dedup._perm_params), identical band buckets (raw slice strings).
+    from simple_osm_queries_spark.operators.dedup import _MH_PRIME, _perm_params
+
+    _NP, _NB = 32, 8
+    _RPB = _NP // _NB
+    _perm_rows = ", ".join(
+        f"({p}, {pa}::BIGINT, {pb}::BIGINT)"
+        for p, (pa, pb) in enumerate(_perm_params(_NP))
+    )
+    o["dedup_minhash_lsh"] = f"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, greatest(len(w) - 3, 0) + 1),
+                                 i -> array_to_string(w[i+1 : i+3], ' '))) AS sh
+    FROM words)
+), h AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) AS h FROM sh
+), perms(p, pa, pb) AS (
+  VALUES {_perm_rows}
+), sig AS (
+  SELECT doc_id, p, min((pa * h + pb) % {_MH_PRIME}) AS v
+  FROM h CROSS JOIN perms GROUP BY 1, 2
+), sigarr AS (
+  SELECT doc_id, list(v ORDER BY p) AS sig FROM sig GROUP BY 1
+), bands AS (
+  SELECT doc_id, b,
+         array_to_string(sig[b*{_RPB}+1 : b*{_RPB}+{_RPB}], ',') AS bucket
+  FROM sigarr CROSS JOIN range(0, {_NB}) t(b)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.b = b.b AND a.bucket = b.bucket
+                           AND a.doc_id < b.doc_id
+), est AS (
+  SELECT c.id_a, c.id_b,
+         CAST(sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS DOUBLE) / {_NP}
+           AS jaccard_est
+  FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
+              JOIN sig sb ON sb.doc_id = c.id_b AND sb.p = sa.p
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, jaccard_est FROM est WHERE jaccard_est >= CAST(0.35 AS DOUBLE)
+"""
+
     o["dedup_ngram_jaccard"] = """
 WITH words AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents

@@ -257,6 +257,7 @@ def lsh_candidate_pairs(
     sig_col: str = "sig",
     bands: int = 16,
     num_perm: int | None = None,
+    hash_buckets: bool = True,
 ) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing at least one LSH band bucket.
 
@@ -264,6 +265,11 @@ def lsh_candidate_pairs(
     drop the trailing num_perm % bands signature entries from every bucket
     key, reducing recall with no error. Pass ``num_perm`` to validate at
     plan time (callers that built the signature know it).
+
+    ``hash_buckets=True`` (production) xxhash64-compresses each band slice
+    into a fixed 8-byte join key; ``False`` joins on the raw slice string —
+    identical candidate sets (equal slices <=> equal strings), used where an
+    external system (the DuckDB oracle) must reproduce the bucketing.
     """
     if num_perm is not None and num_perm % bands != 0:
         raise ValueError(
@@ -272,23 +278,23 @@ def lsh_candidate_pairs(
         )
     num_perm_col = F.size(F.col(sig_col))
     rows_per_band = (num_perm_col / bands).cast("int")
+
+    def bucket_of(bi: Column) -> Column:
+        key = F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.col(sig_col), bi * rows_per_band + 1, rows_per_band),
+                lambda v: v.cast("string"),
+            ),
+        )
+        return F.xxhash64(key) if hash_buckets else key
+
     buckets = signed.select(
         F.col(id_col).alias("id"),
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bi: F.struct(
-                    bi.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col(sig_col), bi * rows_per_band + 1, rows_per_band),
-                                lambda v: v.cast("string"),
-                            ),
-                        )
-                    ).alias("bucket"),
-                ),
+                lambda bi: F.struct(bi.alias("band"), bucket_of(bi).alias("bucket")),
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
@@ -339,6 +345,18 @@ def minhash_signatures_py(text: Column, n: int = 3, num_perm: int = 64) -> Colum
     return _sig(text)
 
 
+def md5_shingle_hashes_col(text: Column, n: int = 3) -> Column:
+    """32-bit shingle hashes from the first 8 hex chars of md5 — pure JVM
+    column math AND reproducible in ANSI SQL (DuckDB:
+    CAST('0x'||substr(md5(sh),1,8) AS BIGINT)), unlike crc32/xxhash64.
+    Slower than the crc32 numpy path; used where an external oracle must
+    recompute identical signatures."""
+    return F.transform(
+        shingles_col(text, n),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+    )
+
+
 def minhash_near_dups(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -347,16 +365,29 @@ def minhash_near_dups(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    shingle_hash: str = "crc32",
+    hash_buckets: bool = True,
 ) -> DataFrame:
-    """MinHash-LSH near-dup pairs with signature-based Jaccard estimate."""
+    """MinHash-LSH near-dup pairs with signature-based Jaccard estimate.
+
+    ``shingle_hash``: 'crc32' (production — whole pipeline in one Arrow
+    UDF) or 'md5' (SQL-reproducible 32-bit hash; same estimator). Both are
+    uniform 32-bit hashes under the same universal-hash permutations, so
+    estimator quality is identical; only the hash constants differ.
+    """
     # cached: the signature table is consumed three times (bucketing + both
     # sides of the pair join); signatures are tiny (num_perm longs/doc) and
     # recomputing the tokenizer per use would triple the dominant cost
-    signed = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signatures_py(F.col(text_col), n, num_perm).alias("sig"),
-    ).persist()
-    pairs = lsh_candidate_pairs(signed, "id", "sig", bands, num_perm=num_perm)
+    if shingle_hash == "crc32":
+        sig = minhash_signatures_py(F.col(text_col), n, num_perm)
+    elif shingle_hash == "md5":
+        sig = minhash_from_hashes_udf(md5_shingle_hashes_col(F.col(text_col), n), num_perm)
+    else:
+        raise ValueError(f"unknown shingle_hash {shingle_hash!r} (crc32|md5)")
+    signed = df.select(F.col(id_col).alias("id"), sig.alias("sig")).persist()
+    pairs = lsh_candidate_pairs(
+        signed, "id", "sig", bands, num_perm=num_perm, hash_buckets=hash_buckets
+    )
     sa = signed.withColumnsRenamed({"id": "id_a", "sig": "sig_a"})
     sb = signed.withColumnsRenamed({"id": "id_b", "sig": "sig_b"})
     est = (

@@ -189,3 +189,21 @@ def test_unpersist_intermediates_releases_storage(spark, docs):
     assert handles and all(h.storageLevel.useMemory for h in handles)
     dedup.unpersist_intermediates(res)
     assert all(not h.storageLevel.useMemory for h in handles)
+
+
+def test_minhash_md5_variant_matches_production(docs):
+    """The SQL-checkable md5 variant (gate entry) and the production
+    crc32/xxhash64 path find the same near-dup pairs on the fixture —
+    different hash constants, same estimator."""
+    kw = dict(num_perm=128, bands=32, threshold=0.4)
+    prod = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_near_dups(docs, **kw).collect()
+    }
+    oracleable = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_near_dups(
+            docs, shingle_hash="md5", hash_buckets=False, **kw
+        ).collect()
+    }
+    assert prod == oracleable and (0, 1) in prod
