@@ -113,20 +113,56 @@ def _wipe_if_input_changed(out_path: str, input_fingerprint: str) -> bool:
     return stale
 
 
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark runtime is on the classpath (the
+    `soq_iceberg` hadoop catalog declared in session.py is then usable).
+    Requires iceberg-spark-runtime-<spark_major>.jar — not bundled here."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _iceberg_write_band(spark: SparkSession, band_df: DataFrame, table: str) -> None:
+    """Band write via the Iceberg DSv2 API: create the cell_x-partitioned
+    table on first touch, then dynamic-overwrite exactly the band's
+    partitions (the Iceberg-native equivalent of parquet's dynamic
+    partitionOverwriteMode)."""
+    from pyspark.sql import functions as SF
+
+    exists = spark.catalog.tableExists(table)
+    writer = band_df.writeTo(table)
+    if not exists:
+        writer.partitionedBy(SF.col("cell_x")).create()
+    else:
+        writer.overwritePartitions()
+
+
 def build_index(
     nodes: DataFrame,
     out_path: str,
     input_fingerprint: str,
     max_rows_per_band: int = 10_000_000,
     progress: bool = False,
+    backend: str = "parquet",
+    iceberg_table: str | None = None,
 ) -> dict:
-    """Write the node table as a cell-partitioned parquet index, band by
-    band, with atomic per-band manifests. Returns a build report.
+    """Write the node table as a cell-partitioned index, band by band, with
+    atomic per-band manifests. Returns a build report.
 
     ``input_fingerprint`` identifies the input snapshot (e.g. generator
     params or an Iceberg snapshot id); a manifest only short-circuits a band
     when its fingerprint matches, so resuming against different input
     recomputes (north rule: deterministic partition identity).
+
+    ``backend``: 'parquet' (default — partitioned directories + dynamic
+    overwrite) or 'iceberg' (writeTo the ``iceberg_table`` in the
+    `soq_iceberg` catalog; requires the Iceberg Spark runtime jar — probe
+    with :func:`iceberg_available`). Manifests/resume logic is shared;
+    out_path still holds the _manifests dir for the iceberg backend.
     """
     report = {"bands": 0, "skipped": 0, "rows": 0, "t_sec": 0.0, "wiped": False}
     t0 = time.time()
@@ -149,16 +185,20 @@ def build_index(
         # parquet row-group min/max stats then prune bbox predicates on
         # the second dimension too (the z-order-lite for a 2D grid)
         sort_cols = [c for c in ("cell_x", "cell_y", "lat") if c in band_df.columns]
-        (
-            band_df.repartition("cell_x")
-            .sortWithinPartitions(*sort_cols)
-            .write.mode("overwrite")
-            # dynamic overwrite: a re-run band replaces exactly its own
-            # cell_x=... directories in the shared root — idempotent restarts
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("cell_x")
-            .parquet(os.path.join(out_path, "data"))
-        )
+        clustered = band_df.repartition("cell_x").sortWithinPartitions(*sort_cols)
+        if backend == "iceberg":
+            if not iceberg_table:
+                raise ValueError("backend='iceberg' requires iceberg_table")
+            _iceberg_write_band(nodes.sparkSession, clustered, iceberg_table)
+        else:
+            (
+                clustered.write.mode("overwrite")
+                # dynamic overwrite: a re-run band replaces exactly its own
+                # cell_x=... directories in the shared root — idempotent restarts
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("cell_x")
+                .parquet(os.path.join(out_path, "data"))
+            )
         n = band.rows
         _write_manifest_atomic(
             mpath,

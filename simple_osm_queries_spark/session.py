@@ -42,6 +42,17 @@ def get_spark(
         # the limit lets the JIT compile them (standard Spark prod setting)
         .config("spark.driver.extraJavaOptions", "-XX:-DontCompileHugeMethods")
         .config("spark.executor.extraJavaOptions", "-XX:-DontCompileHugeMethods")
+        # Iceberg catalog for the build_index(backend="iceberg") path.
+        # Declaring the catalog is harmless without the jar (it only fails
+        # on first use); WITH iceberg-spark-runtime-4.x on the classpath the
+        # writeTo/overwritePartitions path below is live. Probe with
+        # index.build.iceberg_available(spark).
+        .config("spark.sql.catalog.soq_iceberg", "org.apache.iceberg.spark.SparkCatalog")
+        .config("spark.sql.catalog.soq_iceberg.type", "hadoop")
+        .config(
+            "spark.sql.catalog.soq_iceberg.warehouse",
+            os.environ.get("SOQ_ICEBERG_WAREHOUSE", "/tmp/soq_iceberg_warehouse"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

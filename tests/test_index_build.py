@@ -89,3 +89,44 @@ def test_rebuild_with_shrunken_input_purges_stale_partitions(spark, tmp_path):
     # same fingerprint again -> no wipe, full skip
     r3 = build.build_index(new, out, input_fingerprint="fp-new", max_rows_per_band=1000)
     assert r3["wiped"] is False and r3["bands"] == 0 and r3["skipped"] > 0
+
+
+def test_iceberg_backend_round_trip(spark, tmp_path):
+    """Live only when iceberg-spark-runtime is on the classpath (the
+    soq_iceberg hadoop catalog from session.py); documented-skipped
+    otherwise so the 100-TB Iceberg story isn't resting on untested code."""
+    if not build.iceberg_available(spark):
+        import pytest as _pytest
+
+        _pytest.skip(
+            "iceberg-spark-runtime-4.x jar not on classpath "
+            "(spark.jars.packages=org.apache.iceberg:iceberg-spark-runtime-4.0_2.13)"
+        )
+    table = "soq_iceberg.db.idx_test"
+    df = spark.createDataFrame(
+        [(i, i % 3, 0, 53.5) for i in range(90)], "id long, cell_x int, cell_y int, lat double"
+    )
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS soq_iceberg.db")
+    r = build.build_index(
+        df, str(tmp_path / "ice"), input_fingerprint="fp", max_rows_per_band=40,
+        backend="iceberg", iceberg_table=table,
+    )
+    assert r["bands"] > 0
+    got = spark.read.table(table)
+    assert got.count() == 90
+    assert sorted(x.cell_x for x in got.select("cell_x").distinct().collect()) == [0, 1, 2]
+    # resume: same fingerprint -> full skip
+    r2 = build.build_index(
+        df, str(tmp_path / "ice"), input_fingerprint="fp", max_rows_per_band=40,
+        backend="iceberg", iceberg_table=table,
+    )
+    assert r2["bands"] == 0 and r2["skipped"] == r["bands"]
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_iceberg_backend_requires_table_name(spark, tmp_path, dataset):
+    with pytest.raises(ValueError, match="iceberg_table"):
+        build.build_index(
+            dataset.nodes, str(tmp_path / "x"), input_fingerprint="f",
+            backend="iceberg",
+        )
