@@ -476,9 +476,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             shingle_hash="md5", hash_buckets=False,
         )
 
-    def q_simhash(spark, sf_dir):  # rows-only
+    def q_simhash(spark, sf_dir):
+        # SQL-checked variant: 60-bit md5 word hashes so DuckDB recomputes
+        # identical signatures (production xxhash64 path is pytest-covered)
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        return dedup.simhash_near_dups(docs, max_hamming=3)
+        return dedup.simhash_near_dups(docs, max_hamming=3, word_hash="md5")
 
     def q_embed_dup(spark, sf_dir):  # rows-only (LSH candidates)
         embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -856,6 +858,35 @@ WITH words AS (
   GROUP BY 1, 2
 )
 SELECT id_a, id_b, jaccard_est FROM est WHERE jaccard_est >= CAST(0.35 AS DOUBLE)
+"""
+
+    # dedup_simhash: FULL twin of the md5-60 variant — identical word
+    # hashes, bit votes (popcount*2 - n > 0), 15-bit chunk bands, popcount
+    # verify. Empty-string words are kept (split of '' yields ['']), same
+    # as Spark's words_col.
+    o["dedup_simhash"] = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+  FROM documents
+), wh AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h FROM words
+), votes AS (
+  SELECT doc_id, b,
+         CASE WHEN CAST(sum(((h >> b) & 1) * 2 - 1) AS BIGINT) > 0
+              THEN CAST(1 AS BIGINT) << b ELSE 0 END AS bitval
+  FROM wh CROSS JOIN range(0, 60) t(b) GROUP BY 1, 2
+), sig AS (
+  SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS sim FROM votes GROUP BY 1
+), chunks AS (
+  SELECT doc_id, sim, c, (sim >> (c * 15)) & 32767 AS val
+  FROM sig CROSS JOIN range(0, 4) t(c)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sim AS sim_a, b.sim AS sim_b
+  FROM chunks a JOIN chunks b ON a.c = b.c AND a.val = b.val
+                             AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(sim_a, sim_b)) AS hamming
+FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
 """
 
     o["dedup_ngram_jaccard"] = """

@@ -52,50 +52,33 @@ QUERY_BOXES = [
 ]
 
 
-def _ensure_points(spark) -> None:
+def _ensure_points(spark, n: int, points_dir: str) -> None:
     """Materialize the bench input once per N: a full node table (for the
     language pipeline) and a slim (id, lon, lat) spatial projection — the
     spatial operators never need tags, and scan bytes directly bound the
     achievable scaling (column pruning would do this too; separate files
     also keep the page-cache footprint honest)."""
-    if os.path.exists(os.path.join(POINTS_DIR, "full", "_SUCCESS")) and os.path.exists(
-        os.path.join(POINTS_DIR, "slim", "_SUCCESS")
+    if os.path.exists(os.path.join(points_dir, "full", "_SUCCESS")) and os.path.exists(
+        os.path.join(points_dir, "slim", "_SUCCESS")
     ):
         return
-    nodes = datagen.gen_nodes(spark, BENCH_N, partitions=max(CPUS * 2, 64), with_images=False)
+    nodes = datagen.gen_nodes(spark, n, partitions=max(CPUS * 2, 64), with_images=False)
     pts = nodes.select(
         "id", "lon", "lat", "tags",
         C.cell_x(F.col("lon")).alias("cell_x"),
         C.cell_y(F.col("lat")).alias("cell_y"),
         C.cell_of(F.col("lon"), F.col("lat")).alias("cell"),
     )
-    pts.write.mode("overwrite").parquet(os.path.join(POINTS_DIR, "full"))
+    pts.write.mode("overwrite").parquet(os.path.join(points_dir, "full"))
     pts.select("id", "lon", "lat").write.mode("overwrite").parquet(
-        os.path.join(POINTS_DIR, "slim")
+        os.path.join(points_dir, "slim")
     )
 
 
-def main() -> None:
-    # maxPartitionBytes sized to the input: at the default 128MB the ~200MB
-    # bench table packs into ~4 file splits, capping every scan stage at
-    # 4-way parallelism no matter how many cores local[N] offers. 8MB gives
-    # ~CPUS*2 splits here; on a real 100TB table the default is correct.
-    spark = get_spark(
-        "soq-bench",
-        cores=CPUS,
-        shuffle_partitions=CPUS,
-        extra_conf={
-            "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
-            "spark.sql.files.openCostInBytes": str(1024 * 1024),
-        },
-    )
-    _ensure_points(spark)
-    points = spark.read.parquet(os.path.join(POINTS_DIR, "full"))
-    slim = spark.read.parquet(os.path.join(POINTS_DIR, "slim"))
+HEADLINE = ["tile_assignment", "bbox_join", "point_in_polygon", "knn_kring", "osm_flagship"]
 
-    timings: dict[str, float] = {}
-    cold: dict[str, float] = {}
 
+def _make_timed(timings: dict, cold: dict):
     def timed(name: str, fn) -> None:
         # cold + two warm runs: the first pays JIT/codegen compilation and
         # page-cache warming (identical at every parallelism level, so it
@@ -110,6 +93,19 @@ def main() -> None:
             fn()
             warm.append(time.time() - t0)
         timings[name] = round(min(warm), 3)
+
+    return timed
+
+
+def run_headline(spark, points_dir: str) -> tuple[dict, dict]:
+    """The 5 north-rule spatial jobs over the points at points_dir;
+    returns (warm timings, cold timings). Reused for the primary N and the
+    N/4 data-scaling point."""
+    points = spark.read.parquet(os.path.join(points_dir, "full"))
+    slim = spark.read.parquet(os.path.join(points_dir, "slim"))
+    timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    timed = _make_timed(timings, cold)
 
     # headline: tile assignment rollup over every point (z13)
     timed("tile_assignment", lambda: tiles.tile_stats(slim, 13).count())
@@ -168,6 +164,26 @@ def main() -> None:
             "bbox(9.90, 53.50, 10.10, 53.70).nodes{ amenity=bench AND seats=* }", ds
         ).count(),
     )
+    return timings, cold
+
+
+def main() -> None:
+    # maxPartitionBytes sized to the input: at the default 128MB the ~200MB
+    # bench table packs into ~4 file splits, capping every scan stage at
+    # 4-way parallelism no matter how many cores local[N] offers. 8MB gives
+    # ~CPUS*2 splits here; on a real 100TB table the default is correct.
+    spark = get_spark(
+        "soq-bench",
+        cores=CPUS,
+        shuffle_partitions=CPUS,
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": str(1024 * 1024),
+        },
+    )
+    _ensure_points(spark, BENCH_N, POINTS_DIR)
+    timings, cold = run_headline(spark, POINTS_DIR)
+    timed = _make_timed(timings, cold)
 
     # training-data ops on the driver tables at SF_DIR
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
@@ -187,10 +203,30 @@ def main() -> None:
     timed("similarity_topk", lambda: similarity.cosine_topk(embs, qvec, k=10).collect())
 
     total = round(sum(timings.values()), 3)
-    headline = ["tile_assignment", "bbox_join", "point_in_polygon", "knn_kring", "osm_flagship"]
-    headline_sec = sum(timings[h] for h in headline)
+    headline_sec = sum(timings[h] for h in HEADLINE)
     # rows processed by the headline spatial jobs: each scans all N points
-    throughput = round(len(headline) * BENCH_N / headline_sec) if headline_sec else None
+    throughput = round(len(HEADLINE) * BENCH_N / headline_sec) if headline_sec else None
+
+    # data-scaling pair at fixed cores: the same 5 jobs over N/4 points.
+    # Separates engine regressions from fixture changes round-over-round; a
+    # linearly-scaling engine shows ratio ~4 minus the fixed per-job floor
+    # (scheduling + JIT-warm constant ~0.1-0.3 s/job at local scale).
+    data_scaling = None
+    if os.environ.get("SPARK_GRAFT_DATA_SCALING", "1") != "0":
+        qn = max(BENCH_N // 4, 1)
+        qdir = f"/tmp/soq_bench_points_{qn}"
+        _ensure_points(spark, qn, qdir)
+        qt, _qc = run_headline(spark, qdir)
+        q_sec = sum(qt[h] for h in HEADLINE)
+        data_scaling = {
+            "n_full": BENCH_N,
+            "n_quarter": qn,
+            "headline_sec_quarter": round(q_sec, 3),
+            "time_ratio_full_over_quarter": round(headline_sec / q_sec, 3) if q_sec else None,
+            "throughput_quarter_rows_per_sec": round(len(HEADLINE) * qn / q_sec) if q_sec else None,
+            "queries_quarter": qt,
+        }
+
     print(
         json.dumps(
             {
@@ -204,6 +240,7 @@ def main() -> None:
                 "headline_sec": round(headline_sec, 3),
                 "headline_throughput_rows_per_sec": throughput,
                 "cold_sec": cold,
+                "data_scaling": data_scaling,
             }
         )
     )
@@ -217,7 +254,12 @@ def scaling_main() -> None:
 
     results = {}
     for cores in (2, 8):
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores), SPARK_GRAFT_BENCH_N=str(BENCH_N))
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_CPUS=str(cores),
+            SPARK_GRAFT_BENCH_N=str(BENCH_N),
+            SPARK_GRAFT_DATA_SCALING="0",  # cores-scaling runs skip the data pair
+        )
         out = subprocess.run(
             [sys.executable, __file__], env=env, capture_output=True, text=True, check=True
         )

@@ -412,9 +412,9 @@ def minhash_near_dups(
 # --- simhash ---------------------------------------------------------------------
 
 
-def simhash_col(text: Column, bits: int = 64) -> Column:
-    """SimHash over word hashes. Word hashing stays JVM-side (xxhash64);
-    only the bit-vote reduction is a pandas UDF (Arrow-batched)."""
+def simhash_from_word_hashes(word_hashes: Column, bits: int = 64) -> Column:
+    """Bit-vote reduction: sign of (popcount*2 - n) per bit position, packed
+    into a long (Arrow-batched pandas UDF over a materialized hash array)."""
 
     @F.pandas_udf(T.LongType())
     def _votes(hashes: pd.Series) -> pd.Series:
@@ -435,8 +435,27 @@ def simhash_col(text: Column, bits: int = 64) -> Column:
             out[i] = np.int64(sig.astype(np.int64))
         return pd.Series(out)
 
-    word_hashes = F.transform(words_col(text), lambda w: F.xxhash64(w))
     return _votes(word_hashes)
+
+
+def simhash_col(text: Column, bits: int = 64) -> Column:
+    """SimHash over word hashes. Word hashing stays JVM-side (xxhash64);
+    only the bit-vote reduction is a pandas UDF (Arrow-batched)."""
+    return simhash_from_word_hashes(
+        F.transform(words_col(text), lambda w: F.xxhash64(w)), bits
+    )
+
+
+def simhash_md5_col(text: Column, bits: int = 60) -> Column:
+    """SQL-reproducible SimHash: 60-bit word hashes from the first 15 md5
+    hex chars (DuckDB: CAST('0x'||substr(md5(w),1,15) AS BIGINT)). Same
+    estimator as the xxhash64 production form, different hash constants;
+    used by the gate so the oracle can recompute identical signatures."""
+    word_hashes = F.transform(
+        words_col(text),
+        lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long"),
+    )
+    return simhash_from_word_hashes(word_hashes, bits)
 
 
 def hamming_pairs(
@@ -491,10 +510,20 @@ def simhash_near_dups(
     text_col: str = "text",
     max_hamming: int = 3,
     chunks: int = 4,
+    word_hash: str = "xxhash64",
 ) -> DataFrame:
-    """Text near-dup pairs with Hamming(simhash) <= max_hamming."""
-    sh = df.select(F.col(id_col).alias("id"), simhash_col(F.col(text_col)).alias("sim"))
-    return hamming_pairs(sh, "id", "sim", max_hamming, chunks)
+    """Text near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    ``word_hash``: 'xxhash64' (production, 64-bit) or 'md5' (SQL-reproducible
+    60-bit — see simhash_md5_col)."""
+    if word_hash == "xxhash64":
+        sim, bits = simhash_col(F.col(text_col)), 64
+    elif word_hash == "md5":
+        sim, bits = simhash_md5_col(F.col(text_col)), 60
+    else:
+        raise ValueError(f"unknown word_hash {word_hash!r} (xxhash64|md5)")
+    sh = df.select(F.col(id_col).alias("id"), sim.alias("sim"))
+    return hamming_pairs(sh, "id", "sim", max_hamming, chunks, bits=bits)
 
 
 def phash_near_dups(

@@ -3,9 +3,10 @@
 Mirrors the reference's API (/root/reference/src/web/api.go): the index is
 loaded once at startup; `POST /query` takes the query text as the request
 body and answers GeoJSON; parse and execution errors come back as JSON
-envelopes with 400/500 (api.go:84-96,100-113). `GET /app` serves a minimal
-textarea UI posting to /query (stand-in for the reference's OpenLayers page,
-src/web/index.html).
+envelopes with 400/500 (api.go:84-96,100-113). `GET /app` serves the
+interactive map UI (web_app.html — functional parity with the reference's
+OpenLayers page src/web/index.html: {{bbox}} viewport placeholder, result
+rendering, error label, localStorage; self-contained canvas, no CDN).
 
 stdlib ThreadingHTTPServer — the Spark driver is the server process, the
 cluster does the work, exactly like the reference's single process plus
@@ -15,6 +16,7 @@ goroutines (but distributed underneath).
 from __future__ import annotations
 
 import json
+import os
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from simple_osm_queries_spark.query.parser import ParseError, parse_query
@@ -22,20 +24,8 @@ from simple_osm_queries_spark.query.planner import PlanError, plan_query
 from simple_osm_queries_spark.sources.dataset import OsmDataset
 from simple_osm_queries_spark.sources.geojson import to_geojson
 
-_APP_HTML = b"""<!doctype html>
-<html><head><title>simple_osm_queries_spark</title></head>
-<body>
-<h3>simple_osm_queries_spark</h3>
-<textarea id="q" rows="8" cols="80">bbox(9.90, 53.50, 10.10, 53.70).nodes{ amenity=bench AND seats=* }</textarea><br>
-<button onclick="run()">Run</button>
-<pre id="out"></pre>
-<script>
-async function run() {
-  const r = await fetch('/query', {method: 'POST', body: document.getElementById('q').value});
-  document.getElementById('out').textContent = JSON.stringify(await r.json(), null, 2);
-}
-</script>
-</body></html>"""
+with open(os.path.join(os.path.dirname(__file__), "web_app.html"), "rb") as _f:
+    _APP_HTML = _f.read()
 
 
 def make_handler(dataset: OsmDataset):

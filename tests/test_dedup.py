@@ -207,3 +207,20 @@ def test_minhash_md5_variant_matches_production(docs):
         ).collect()
     }
     assert prod == oracleable and (0, 1) in prod
+
+
+def test_simhash_md5_variant(docs):
+    """The SQL-checkable md5-60 simhash variant behaves like the production
+    xxhash64 form on the fixture: identical docs at hamming 0, disjoint
+    docs unpaired (hash constants differ, so borderline pairs may — pin the
+    invariants, not the exact borderline set)."""
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_near_dups(docs, max_hamming=3, word_hash="md5").collect()
+    }
+    assert pairs[(0, 1)] == 0
+    assert all(h <= 3 for h in pairs.values())
+    assert not any(7 in p for p in pairs)
+    # signature width: md5 variant packs 60 bits
+    sig = docs.select(dedup.simhash_md5_col(F.col("text")).alias("s")).collect()
+    assert all(0 <= r.s < (1 << 60) for r in sig)

@@ -199,3 +199,32 @@ def test_decode_packed_empty_and_single():
     assert P._decode_packed(
         memoryview(P._enc_zigzag(-big)), signed=True
     ).tolist() == [-big]
+
+
+def test_decode_respects_granularity_and_offsets(tmp_path):
+    """Real planet files use granularity=100 + optional lat/lon offsets;
+    hand-encode such a block and check degrees = 1e-9*(offset + gran*raw)."""
+    st = P._StringTable()
+    ids = [5]
+    # raw units chosen so degrees = 1e-9*(5_000_000 + 100*raw)
+    lat_raw, lon_raw = [123_456], [654_321]
+    dense = (
+        P._enc_packed(1, ids, zigzag=True, delta=True)
+        + P._enc_packed(8, lat_raw, zigzag=True, delta=True)
+        + P._enc_packed(9, lon_raw, zigzag=True, delta=True)
+    )
+    block = (
+        P._enc_field_bytes(1, st.encode())
+        + P._enc_field_bytes(2, P._enc_field_bytes(2, dense))
+        + P._enc_field_varint(17, 100)       # granularity
+        + P._enc_field_varint(19, 5_000_000) # lat_offset (nanodeg)
+        + P._enc_field_varint(20, 7_000_000) # lon_offset
+    )
+    path = str(tmp_path / "g.osm.pbf")
+    with open(path, "wb") as f:
+        f.write(P._framed("OSMData", P._blob(block)))
+    (_, off, size), = P.scan_blob_index(path)
+    (nid, lon, lat, tags), = P.decode_blob_at(path, off, size)[0]
+    assert nid == 5
+    assert lat == pytest.approx(1e-9 * (5_000_000 + 100 * 123_456), abs=1e-12)
+    assert lon == pytest.approx(1e-9 * (7_000_000 + 100 * 654_321), abs=1e-12)

@@ -121,7 +121,11 @@ def test_http_server_query_and_errors(ref_dataset):
         assert json.loads(e.value.read())["error"] == "parse error"
 
         with urllib.request.urlopen("http://127.0.0.1:18099/app") as resp:
-            assert b"textarea" in resp.read()
+            app = resp.read()
+        # the interactive map UI (reference index.html parity): query editor
+        # with {{bbox}} viewport placeholder, canvas map, error label
+        assert b"query-input" in app and b"{{bbox}}" in app
+        assert b"<canvas" in app and b"error-request-label" in app
     finally:
         httpd.shutdown()
 
