@@ -262,6 +262,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pbf_scan"] = q_pbf
 
+    # H3 index bit-algebra over synthesized REAL-layout H3 ids: build a
+    # valid res-9 cell per doc (digits 2..6 -> pentagon-safe), roll up to
+    # res 3 with functions/h3.py::parent (pure bit math), count per parent.
+    # The oracle derives each parent independently BY CONSTRUCTION, so the
+    # bit-ops implementation is cross-checked against the layout spec.
+    def q_h3_rollup(spark, sf_dir):
+        from simple_osm_queries_spark.functions import h3 as H
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+        i = F.col("doc_id")
+        base = (1 << 59) | (9 << 52) | H._digits_mask(10)
+        h = F.lit(base).cast("long") + (i % 122) * F.lit(1 << 45)
+        for k in range(1, 10):
+            digit = F.lit(2) + F.floor(i / (7 ** (k - 1))) % 5
+            h = h + digit.cast("long") * F.lit(1 << H._digit_shift(k))
+        cells = d.select(h.alias("h"))
+        return (
+            cells.select(H.parent(F.col("h"), 3).alias("parent"))
+            .groupBy("parent")
+            .agg(F.count("*").alias("n"))
+        )
+
+    q["h3_rollup"] = q_h3_rollup
+
     # A1: per-cell density (the import pass-1 histogram)
     def cell_count(spark, sf_dir):
         pts = _derived_points(spark, sf_dir)
@@ -574,6 +598,25 @@ def oracle_sql() -> dict[str, str]:
         f"CASE WHEN {SQL_HAS_AMENITY} THEN {SQL_AMENITY} END AS amenity "
         f"FROM documents WHERE {qlon} <= 10.0"
     )
+    # h3_rollup: the oracle constructs the res-3 parent directly from the
+    # layout spec (res nibble 3, digits 1..3 kept, 4..15 seven-filled) —
+    # independent of the Spark side's bit-ops parent()
+    from simple_osm_queries_spark.functions import h3 as _H
+
+    _p_base = (1 << 59) | (3 << 52) | _H._digits_mask(4)
+    _p_terms = " + ".join(
+        f"(2 + (doc_id // {7 ** (k - 1)}) % 5) * {1 << _H._digit_shift(k)}"
+        for k in range(1, 4)
+    )
+    o["h3_rollup"] = f"""
+WITH parents AS (
+  SELECT CAST({_p_base} AS BIGINT) + (doc_id % 122) * {1 << 45}
+         + {_p_terms} AS parent
+  FROM documents
+)
+SELECT parent, count(*) AS n FROM parents GROUP BY parent
+"""
+
     # osm_buffer_way_way: full segment-pair distance twin. Helpers build the
     # point-to-segment / crossing expressions exactly as the Spark operator
     # computes them (operators/buffer.py::seg_pair_dist2_m): meters via

@@ -1,12 +1,12 @@
 """CLI entry point — the reference's three commands (SURVEY.md §3;
 /root/reference/src/main.go):
 
-  python -m simple_osm_queries_spark import <file.osm> --out <index_dir>
+  python -m simple_osm_queries_spark import <file.osm|file.osm.pbf> --out <index_dir>
   python -m simple_osm_queries_spark query '<query>' [--data <index_dir>|generate] [--out output.geojson]
   python -m simple_osm_queries_spark server [--port 8080] [--data ...]
 
 `import` builds the cell-partitioned parquet index + the reference-format
-tag-index file from an .osm XML file (or from the deterministic generator
+tag-index file from an .osm XML / .osm.pbf file (or the deterministic generator
 with `--generate N`). `query` mirrors main.go:95-111 (parse -> execute ->
 output.geojson). `server` mirrors the HTTP entry point.
 """
@@ -39,9 +39,13 @@ def cmd_import(spark, args) -> None:
     from simple_osm_queries_spark.index.build import build_index
     from simple_osm_queries_spark.sources import tag_index
     from simple_osm_queries_spark.sources.dataset import prepare
-    from simple_osm_queries_spark.sources.osm_xml import read_osm_xml
+    from simple_osm_queries_spark.sources.osm_xml import read_osm_pbf, read_osm_xml
 
-    nodes_raw, ways_raw, rels_raw = read_osm_xml(spark, args.file)
+    if args.file.endswith(".pbf"):
+        # write-through import: skip the union persist, sink immediately
+        nodes_raw, ways_raw, rels_raw = read_osm_pbf(spark, args.file, persist=False)
+    else:
+        nodes_raw, ways_raw, rels_raw = read_osm_xml(spark, args.file)
     ds = prepare(nodes_raw, ways_raw, rels_raw)
     os.makedirs(args.out, exist_ok=True)
     # raw tables for reload (prepare() recomputes derived columns on load)

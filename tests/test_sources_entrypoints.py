@@ -150,3 +150,33 @@ def test_cli_import_and_query(spark, tmp_path, monkeypatch):
     cli.cmd_query(spark, q)
     fc = json.load(open(q.out))
     assert {f["properties"]["@osm_id"] for f in fc["features"]} == {2, 3}
+
+
+def test_cli_import_pbf(spark, tmp_path):
+    """The reference's primary flow: import a real .osm.pbf end-to-end."""
+    from types import SimpleNamespace
+
+    from simple_osm_queries_spark import cli
+    from simple_osm_queries_spark.sources import osm_pbf
+    from simple_osm_queries_spark.sources.osm_xml import parse_osm_xml
+
+    n, w, r = parse_osm_xml(REF_FIXTURE)
+    pbf_path = str(tmp_path / "ref.osm.pbf")
+    osm_pbf.write_osm_pbf(
+        pbf_path,
+        nodes=n.itertuples(index=False),
+        ways=w.itertuples(index=False),
+        relations=r.itertuples(index=False),
+    )
+    idx_dir = str(tmp_path / "idx_pbf")
+    cli.cmd_import(spark, SimpleNamespace(file=pbf_path, out=idx_dir))
+
+    q = SimpleNamespace(
+        query="bbox(9.9, 53.5, 10.0, 53.6).nodes{ amenity=bench }",
+        data=idx_dir,
+        generate=0,
+        out=str(tmp_path / "out_pbf.geojson"),
+    )
+    cli.cmd_query(spark, q)
+    fc = json.load(open(q.out))
+    assert {f["properties"]["@osm_id"] for f in fc["features"]} == {2, 3}
