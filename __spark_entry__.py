@@ -566,8 +566,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qvec = embs.filter(F.col("vec_id") == 0).first().embedding
         return similarity.cosine_topk_ann(embs, qvec, k=10, dim=64, chunks=8)
 
+    def q_sim_ivf(spark, sf_dir):
+        # IVF in the EXACT configuration (nprobe == nlist): the whole
+        # pipeline (spherical k-means train, cluster assignment, probe
+        # scan, re-rank) must reproduce the brute-force top-k bit-for-bit,
+        # so the DuckDB brute-force oracle checks the IVF machinery
+        # end-to-end (row loss / assignment bugs surface as mismatches)
+        from pyspark.sql import Window
+
+        embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qvec = embs.filter(F.col("vec_id") == 0).first().embedding
+        index, cents = similarity.ivf_index(embs, nlist=8, iters=2)
+        res = similarity.cosine_topk_ivf(index, cents, qvec, k=10, nprobe=8)
+        w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        return res.withColumn("rank", F.row_number().over(w)).select("vec_id", "rank")
+
     q["similarity_topk"] = q_sim_topk
     q["similarity_ann"] = q_sim_ann
+    q["similarity_ivf_exact"] = q_sim_ivf
 
     return q
 
@@ -1011,6 +1027,8 @@ scored AS (
 SELECT vec_id, row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank
 FROM scored ORDER BY rank LIMIT 10
 """
+    # IVF at nprobe == nlist is exact: same brute-force oracle
+    o["similarity_ivf_exact"] = o["similarity_topk"]
     return o
 
 

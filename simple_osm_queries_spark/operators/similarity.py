@@ -13,8 +13,12 @@
 
 from __future__ import annotations
 
+# module-level: pandas_udf type-hint resolution needs pd/np importable here
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from simple_osm_queries_spark.operators.dedup import (
     cosine_col,
@@ -125,3 +129,124 @@ __all__ = [
     "dot_col",
     "norm_col",
 ]
+
+
+# --- IVF (inverted-file) ANN -------------------------------------------------
+
+
+def ivf_train_centroids(
+    df: DataFrame,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 3,
+    sample_fraction: float | None = None,
+):
+    """Deterministic coarse quantizer: k-means on L2-normalized vectors
+    (spherical k-means — argmax cosine == argmin L2 on the unit sphere).
+
+    Init = the nlist smallest-id vectors (deterministic, no RNG); ``iters``
+    Lloyd rounds, each ONE distributed pass: assign via a broadcast
+    centroid matrix inside an Arrow-batched numpy UDF, re-center via
+    groupBy(cluster).avg. At 100 TB train on a sample
+    (``sample_fraction``) — the quantizer needs only a sketch of the
+    distribution — then assign the full table once.
+    Returns centroids as a (nlist, dim) numpy array of unit vectors.
+    """
+    import numpy as np
+
+    base = df.select(id_col, vec_col)
+    if sample_fraction:
+        base = base.sample(fraction=sample_fraction, seed=7)
+    init = (
+        base.orderBy(F.col(id_col).asc()).limit(nlist).select(vec_col).collect()
+    )
+    cents = np.asarray([r[0] for r in init], dtype=np.float64)
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+    for _ in range(iters):
+        assigned = base.select(
+            ivf_assign_col(F.col(vec_col), cents).alias("cluster"),
+            F.col(vec_col).alias("vec"),
+        )
+        # mean per cluster: one shuffle of (cluster, partial sums) — Spark
+        # array aggregates via posexplode keep it JVM-side
+        sums = (
+            assigned.select("cluster", F.posexplode("vec").alias("i", "x"))
+            .groupBy("cluster", "i")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .groupBy("cluster")
+            .agg(F.sort_array(F.collect_list(F.struct("i", "s", "n"))).alias("dims"))
+            .collect()
+        )
+        new = cents.copy()
+        for r in sums:
+            vec = np.asarray([d.s / d.n for d in r.dims], dtype=np.float64)
+            nrm = np.linalg.norm(vec)
+            if nrm > 1e-12:
+                new[r.cluster] = vec / nrm
+        cents = new
+    return cents
+
+
+def ivf_assign_col(vec, centroids) -> "F.Column":
+    """Cluster id = argmax cosine against the broadcast centroid matrix —
+    one numpy matmul per Arrow batch."""
+    cents = np.ascontiguousarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf(T.IntegerType())
+    def _assign(vs: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = (mat / norms) @ cents.T
+        return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
+
+    return _assign(vec)
+
+
+def ivf_index(
+    df: DataFrame,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 3,
+    sample_fraction: float | None = None,
+):
+    """(assignments DataFrame with a `cluster` column, centroids ndarray).
+
+    Scale path: write the assignments parquet PARTITIONED BY cluster —
+    probes then prune whole partitions (same layout trick as the grid
+    index); the centroid matrix is tiny and lives with the query driver.
+    """
+    cents = ivf_train_centroids(df, nlist, id_col, vec_col, iters, sample_fraction)
+    assigned = df.withColumn("cluster", ivf_assign_col(F.col(vec_col), cents))
+    return assigned, cents
+
+
+def cosine_topk_ivf(
+    index: DataFrame,
+    centroids,
+    qvec,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: rank centroids against the query driver-side (tiny
+    matmul), scan only the ``nprobe`` nearest inverted lists, exact cosine
+    re-rank. nprobe=nlist degenerates to exact brute force."""
+    import numpy as np
+
+    q = np.asarray(qvec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    order = np.argsort(-(np.asarray(centroids) @ q))
+    probes = [int(c) for c in order[:nprobe]]
+    cands = index.filter(F.col("cluster").isin(probes))
+    scored = cands.select(
+        F.col(id_col),
+        cosine_col(F.col(vec_col).cast("array<double>"), _qvec_lit(qvec)).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+__all__ += ["ivf_train_centroids", "ivf_assign_col", "ivf_index", "cosine_topk_ivf"]

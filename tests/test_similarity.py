@@ -83,3 +83,45 @@ def test_knn_join(spark, embs, embs_np):
         qvec = mat[list(ids).index(qid)]
         expected = [i for i, _ in _topk_oracle(ids, mat, qvec, 4) if i != qid][:3]
         assert [i for _, i, _ in sorted(rows)] == expected
+
+
+def test_ivf_ann(spark):
+    """IVF: deterministic spherical k-means + nprobe list scan. On clustered
+    data, recall@10 with nprobe=2/8 lists is high; nprobe=nlist is exact."""
+    import numpy as np
+    from simple_osm_queries_spark.operators import similarity as S
+
+    rng = np.random.RandomState(5)
+    centers = rng.randn(8, 32) * 4
+    rows = []
+    for i in range(400):
+        c = i % 8
+        v = centers[c] + rng.randn(32) * 0.3
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    qvec = [float(x) for x in (centers[3] + rng.randn(32) * 0.3)]
+
+    index, cents = S.ivf_index(df, nlist=8, iters=3)
+    index = index.cache()
+    assert cents.shape == (8, 32)
+    assert np.allclose(np.linalg.norm(cents, axis=1), 1.0)
+
+    truth = [r.vec_id for r in S.cosine_topk(df, qvec, k=10).collect()]
+    approx = [r.vec_id for r in S.cosine_topk_ivf(index, cents, qvec, k=10, nprobe=2).collect()]
+    recall = len(set(truth) & set(approx)) / 10
+    assert recall >= 0.9, (recall, truth, approx)
+
+    # nprobe = nlist degenerates to exact
+    exact = [r.vec_id for r in S.cosine_topk_ivf(index, cents, qvec, k=10, nprobe=8).collect()]
+    assert exact == truth
+
+    # the probe scan is bounded: candidates ~ nprobe/nlist of the table
+    n_cand = index.filter(
+        index.cluster.isin([int(c) for c in np.argsort(-(cents @ (np.array(qvec)/np.linalg.norm(qvec))))[:2]])
+    ).count()
+    assert n_cand < 200  # 2 of 8 clusters of a 400-row table
+
+    # determinism: same input -> same centroids
+    cents2 = S.ivf_train_centroids(df, nlist=8, iters=3)
+    assert np.array_equal(cents, cents2)
+    df.unpersist(); index.unpersist()
