@@ -228,3 +228,40 @@ def test_decode_respects_granularity_and_offsets(tmp_path):
     assert nid == 5
     assert lat == pytest.approx(1e-9 * (5_000_000 + 100 * 123_456), abs=1e-12)
     assert lon == pytest.approx(1e-9 * (7_000_000 + 100 * 654_321), abs=1e-12)
+
+
+def test_pbf_roundtrip_hypothesis(tmp_path):
+    """Property fuzz: arbitrary ids/coords/tags (unicode, separators,
+    empties) survive write->decode exactly (coords to nanodegree grid)."""
+    from hypothesis import given, settings, strategies as st
+
+    tag_text = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), max_size=24
+    )
+    node = st.tuples(
+        st.integers(min_value=0, max_value=2**62),
+        st.floats(min_value=-179.999, max_value=179.999, allow_nan=False),
+        st.floats(min_value=-89.999, max_value=89.999, allow_nan=False),
+        st.dictionaries(tag_text, tag_text, max_size=4),
+    )
+
+    counter = [0]
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(node, min_size=1, max_size=12, unique_by=lambda n: n[0]))
+    def check(nodes):
+        counter[0] += 1
+        path = str(tmp_path / f"fuzz{counter[0]}.osm.pbf")
+        P.write_osm_pbf(path, nodes=nodes, entities_per_block=5)
+        got = []
+        for btype, off, size in P.scan_blob_index(path):
+            if btype == "OSMData":
+                got += P.decode_blob_at(path, off, size)[0]
+        assert len(got) == len(nodes)
+        want = {n[0]: n for n in nodes}
+        for nid, lon, lat, tags in got:
+            wid, wlon, wlat, wtags = want[nid]
+            assert tags == wtags
+            assert abs(lon - wlon) <= 5.1e-10 and abs(lat - wlat) <= 5.1e-10
+
+    check()

@@ -111,3 +111,38 @@ def test_spark_column_matches_numpy(spark):
 def test_level_validation():
     with pytest.raises(ValueError, match="level"):
         s2.lnglat_to_cell([0.0], [0.0], 31)
+
+
+def test_boundary_points():
+    """Poles, date line, equator, and exact face-edge diagonals (u or v on
+    the +-1 boundary) must produce valid ids whose decode round-trips."""
+    lngs = [0.0, 180.0, -180.0, 90.0, -90.0, 45.0, -45.0, 135.0, -135.0, 179.9999999]
+    lats = [0.0, 90.0, -90.0, 45.0, -45.0, 35.264389682754654,  # atan(1/sqrt(2)): cube corner
+            -35.264389682754654, 89.9999999, -89.9999999]
+    pts = [(lg, lt) for lg in lngs for lt in lats]
+    lon = np.array([p[0] for p in pts])
+    lat = np.array([p[1] for p in pts])
+    for level in (0, 10, 30):
+        cells = s2.lnglat_to_cell(lon, lat, level)
+        assert np.all(s2.cell_level(cells) == level)
+        faces = (cells >> np.uint64(61)).astype(int)
+        assert np.all((0 <= faces) & (faces <= 5))
+        lon2, lat2 = s2.cell_to_lnglat(cells)
+        again = s2.lnglat_to_cell(lon2, lat2, level)
+        assert np.array_equal(cells, again)
+    # the poles land on the +z/-z faces
+    assert int(s2.lnglat_to_cell([0.0], [90.0], 0)[0] >> np.uint64(61)) == 2
+    assert int(s2.lnglat_to_cell([0.0], [-90.0], 0)[0] >> np.uint64(61)) == 5
+
+
+def test_dateline_adjacent_cells():
+    """+180 and -180 name the same meridian but are distinct float inputs
+    (sin(+-pi) = +-1.2e-16), so they land in ADJACENT leaves straddling the
+    meridian — the same behavior as the reference implementations, which use
+    the identical trig pipeline. Assert same face, grid-adjacent."""
+    a = s2.lnglat_to_cell([180.0, 180.0], [10.0, -33.0], 30)
+    b = s2.lnglat_to_cell([-180.0, -180.0], [10.0, -33.0], 30)
+    fa, ia, ja = s2.cell_to_face_ij(a)
+    fb, ib, jb = s2.cell_to_face_ij(b)
+    assert np.array_equal(fa, fb)
+    assert np.all(np.abs(ia - ib) + np.abs(ja - jb) <= 1)
