@@ -15,8 +15,8 @@ goroutines (but distributed underneath).
 
 from __future__ import annotations
 
+import functools
 import json
-import os
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from simple_osm_queries_spark.query.parser import ParseError, parse_query
@@ -24,8 +24,14 @@ from simple_osm_queries_spark.query.planner import PlanError, plan_query
 from simple_osm_queries_spark.sources.dataset import OsmDataset
 from simple_osm_queries_spark.sources.geojson import to_geojson
 
-with open(os.path.join(os.path.dirname(__file__), "web_app.html"), "rb") as _f:
-    _APP_HTML = _f.read()
+
+@functools.cache
+def _app_html() -> bytes:
+    # importlib.resources: works both from a checkout AND from the
+    # spark-submit --py-files zip (plain open(__file__-relative) would not)
+    from importlib import resources
+
+    return resources.files("simple_osm_queries_spark").joinpath("web_app.html").read_bytes()
 
 
 def make_handler(dataset: OsmDataset):
@@ -39,7 +45,7 @@ def make_handler(dataset: OsmDataset):
 
         def do_GET(self):  # noqa: N802 (http.server API)
             if self.path.rstrip("/") in ("", "/app"):
-                self._send(200, _APP_HTML, "text/html")
+                self._send(200, _app_html(), "text/html")
             else:
                 self._send(404, b'{"error": "not found"}', "application/json")
 

@@ -18,8 +18,9 @@ PKG = ROOT / "simple_osm_queries_spark"
 def main() -> None:
     out = Path(sys.argv[1]) if len(sys.argv) > 1 else ROOT / "simple_osm_queries_spark.zip"
     with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
-        for f in sorted(PKG.rglob("*.py")):
-            z.write(f, f.relative_to(ROOT))
+        for pattern in ("*.py", "*.html"):  # web_app.html ships with the pkg
+            for f in sorted(PKG.rglob(pattern)):
+                z.write(f, f.relative_to(ROOT))
     print(f"wrote {out} ({out.stat().st_size} bytes)")
 
 
