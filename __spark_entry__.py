@@ -242,7 +242,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pts = _derived_points(spark, sf_dir)
         os.makedirs("/tmp/soq_pbf_gate", exist_ok=True)
         key = sf_dir.strip("/").replace("/", "_")
-        path = f"/tmp/soq_pbf_gate/{key}.osm.pbf"
+        # v2: writer switched to half-up quantization — key the cache by it
+        path = f"/tmp/soq_pbf_gate/{key}.v2.osm.pbf"
         if not os.path.exists(path):
             # .collect() here is fixture WRITING (driver-side encoder by
             # design), not query execution — the read side is distributed
@@ -606,9 +607,11 @@ def oracle_sql() -> dict[str, str]:
 
     o: dict[str, str] = {}
     # pbf_scan: coordinates round-trip PBF nanodegree quantization —
-    # round(x*1e9) (writer) then nano*1e-9 (reader); mirrored exactly in SQL
-    qlon = f"(CAST(round({SQL_LON} * 1e9) AS BIGINT) * 1e-9)"
-    qlat = f"(CAST(round({SQL_LAT} * 1e9) AS BIGINT) * 1e-9)"
+    # floor(x*1e9 + 0.5) (writer, half-up) then nano*1e-9 (reader); the
+    # half-up form is chosen over round() precisely because Python round()
+    # (banker's) and SQL round() (half-away) disagree on .5 boundaries
+    qlon = f"(CAST(floor({SQL_LON} * 1e9 + CAST(0.5 AS DOUBLE)) AS BIGINT) * 1e-9)"
+    qlat = f"(CAST(floor({SQL_LAT} * 1e9 + CAST(0.5 AS DOUBLE)) AS BIGINT) * 1e-9)"
     o["pbf_scan"] = (
         f"SELECT doc_id AS id, {qlon} AS lon, {qlat} AS lat, "
         f"CASE WHEN {SQL_HAS_AMENITY} THEN {SQL_AMENITY} END AS amenity "

@@ -41,17 +41,27 @@ def cmd_import(spark, args) -> None:
     from simple_osm_queries_spark.sources.dataset import prepare
     from simple_osm_queries_spark.sources.osm_xml import read_osm_pbf, read_osm_xml
 
+    os.makedirs(args.out, exist_ok=True)
     if args.file.endswith(".pbf"):
-        # write-through import: skip the union persist, sink immediately
-        nodes_raw, ways_raw, rels_raw = read_osm_pbf(spark, args.file, persist=False)
+        # decode blobs ONCE (persisted union), sink the three raw tables,
+        # then reload from parquet so every downstream action (band plan,
+        # per-band writes, tag index) scans columnar files instead of
+        # re-running the blob decode; the cache is released right after
+        nodes_raw, ways_raw, rels_raw = read_osm_pbf(spark, args.file, persist=True)
     else:
         nodes_raw, ways_raw, rels_raw = read_osm_xml(spark, args.file)
-    ds = prepare(nodes_raw, ways_raw, rels_raw)
-    os.makedirs(args.out, exist_ok=True)
     # raw tables for reload (prepare() recomputes derived columns on load)
     nodes_raw.write.mode("overwrite").parquet(os.path.join(args.out, "nodes"))
     ways_raw.write.mode("overwrite").parquet(os.path.join(args.out, "ways"))
     rels_raw.write.mode("overwrite").parquet(os.path.join(args.out, "relations"))
+    if args.file.endswith(".pbf"):
+        from simple_osm_queries_spark.sources.osm_pbf import release_scan
+
+        release_scan(nodes_raw)
+        nodes_raw = spark.read.parquet(os.path.join(args.out, "nodes"))
+        ways_raw = spark.read.parquet(os.path.join(args.out, "ways"))
+        rels_raw = spark.read.parquet(os.path.join(args.out, "relations"))
+    ds = prepare(nodes_raw, ways_raw, rels_raw)
     # checkpointed cell-partitioned node index (the scan-optimized layout)
     report = build_index(
         ds.nodes, os.path.join(args.out, "grid-index"), input_fingerprint=args.file

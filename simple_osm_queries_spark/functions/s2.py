@@ -90,9 +90,11 @@ def _lnglat_to_face_uv(lon_deg: np.ndarray, lat_deg: np.ndarray):
     y = cl * np.sin(lon)
     z = np.sin(lat)
     ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
-    # largest absolute component; ties prefer x then y (reference order)
-    axis = np.where(ay > ax, 1, 0)
-    axis = np.where(az > np.choose(axis, [ax, ay]), 2, axis)
+    # largest absolute component, canonical tie order:
+    # (ax > ay) ? (ax > az ? 0 : 2) : (ay > az ? 1 : 2)
+    # — ties prefer y over x, and z over either (matches the reference
+    # LargestAbsComponent so exact-boundary inputs get the same face)
+    axis = np.where(ax > ay, np.where(ax > az, 0, 2), np.where(ay > az, 1, 2))
     major = np.choose(axis, [x, y, z])
     face = np.where(major < 0, axis + 3, axis)
     # canonical per-face (u, v) from the minor components. np.select

@@ -167,6 +167,12 @@ def build_index(
     report = {"bands": 0, "skipped": 0, "rows": 0, "t_sec": 0.0, "wiped": False}
     t0 = time.time()
     report["wiped"] = _wipe_if_input_changed(out_path, input_fingerprint)
+    if report["wiped"] and backend == "iceberg" and iceberg_table:
+        # overwritePartitions only replaces partitions present in the NEW
+        # input — a changed-input rebuild must drop the table too, or old-
+        # input-only cell_x partitions survive (same reasoning as the
+        # parquet data/ wipe above)
+        nodes.sparkSession.sql(f"DROP TABLE IF EXISTS {iceberg_table}")
     bands = plan_bands(nodes, max_rows_per_band)
     for band in bands:
         mpath = _manifest_path(out_path, band)

@@ -147,6 +147,7 @@ def ngram_jaccard_pairs(
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(shingles_udf(F.col(text_col), n)).alias("sh")
     ).persist()
+    persisted_handle = sh  # sh is rebinded below; track the CACHED plan
     if max_df is not None:
         rare = sh.groupBy("sh").count().filter(F.col("count") <= max_df).select("sh")
         sh = sh.join(rare, "sh", "left_semi")
@@ -169,7 +170,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard")
     )
-    return _track_persisted(out, [sh])
+    return _track_persisted(out, [persisted_handle])
 
 
 # --- minhash + LSH -------------------------------------------------------------

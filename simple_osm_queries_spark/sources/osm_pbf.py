@@ -34,6 +34,7 @@ driver-side encoder by design.
 
 from __future__ import annotations
 
+import math
 import struct
 import zlib
 from typing import Iterator
@@ -372,6 +373,9 @@ def read_osm_pbf(spark, path: str, persist: bool = True):
     if persist:
         union = union.persist()
     nodes = union.filter(F.col("kind") == "node").select("id", "lon", "lat", "tags")
+    if persist:
+        # expose the cached union for cleanup (see release_scan)
+        nodes._soq_persisted = [union]  # type: ignore[attr-defined]
     ways = union.filter(F.col("kind") == "way").select(
         "id", "node_ids", "tags"
     )
@@ -379,6 +383,13 @@ def read_osm_pbf(spark, path: str, persist: bool = True):
         "id", "node_member_ids", "way_member_ids", "child_relation_ids", "tags"
     )
     return nodes, ways, rels
+
+
+def release_scan(nodes_df) -> None:
+    """Unpersist the cached decode union behind a persist=True read (call
+    once the raw tables are sunk / no longer needed)."""
+    for h in getattr(nodes_df, "_soq_persisted", []):
+        h.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -476,8 +487,11 @@ def write_osm_pbf(path: str, nodes=None, ways=None, relations=None,
         chunk = nodes[i : i + entities_per_block]
         st = _StringTable()
         ids = [r[0] for r in chunk]
-        lons = [round(r[1] * 1e9) for r in chunk]
-        lats = [round(r[2] * 1e9) for r in chunk]
+        # half-up quantization (floor(x+0.5)), NOT Python round(): banker's
+        # rounding disagrees with SQL engines' round() on exact .5
+        # boundaries, and the gate oracle must mirror this bit-for-bit
+        lons = [math.floor(r[1] * 1e9 + 0.5) for r in chunk]
+        lats = [math.floor(r[2] * 1e9 + 0.5) for r in chunk]
         kv: list[int] = []
         for r in chunk:
             for k, v in (r[3] or {}).items():

@@ -53,11 +53,15 @@ def streaming_sessionize(
     def fn(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
             sid, start, last, n = state.get
-            state.remove()
-            yield pd.DataFrame(
-                [[key[0], sid, n, start, last]],
-                columns=["key", "session_id", "n_events", "session_start", "session_end"],
-            )
+            # keep the session_id counter (remove() would restart numbering
+            # at 1 for this key, emitting duplicate (key, session_id) rows);
+            # start=None marks "no open session"
+            state.update((sid, None, None, 0))
+            if start is not None:
+                yield pd.DataFrame(
+                    [[key[0], sid, n, start, last]],
+                    columns=["key", "session_id", "n_events", "session_start", "session_end"],
+                )
             return
         sid, start, last, n = state.get if state.exists else (0, None, None, 0)
         closed: list[list] = []
@@ -84,8 +88,10 @@ def streaming_sessionize(
         if use_event_time_timeout
         else GroupStateTimeout.NoTimeout
     )
+    # no .select(): a withWatermark column upstream must survive into the
+    # stateful operator for EventTimeTimeout to fire
     return (
-        stream.select(key_col, ts_col)
+        stream
         .groupBy(key_col)
         .applyInPandasWithState(
             fn,

@@ -146,7 +146,12 @@ def test_ngram_jaccard_hot_shingle_cap(spark):
     # and without the cap the same fixture WOULD pair the hot half
     uncapped = dedup.ngram_jaccard_pairs(df, threshold=0.1, max_df=None).collect()
     assert len(uncapped) > 1000
+    # the tracked handle must be the CACHED plan (a rebound sh would make
+    # unpersist a no-op) and must actually release
+    handles = getattr(capped, "_soq_persisted")
+    assert handles and all(h.storageLevel.useMemory for h in handles)
     dedup.unpersist_intermediates(capped)
+    assert all(not h.storageLevel.useMemory for h in handles)
 
 
 def test_lsh_bands_must_divide_num_perm(docs):

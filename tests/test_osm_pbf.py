@@ -70,9 +70,18 @@ def test_packed_varint_fuzz(signed, delta):
 # ---------------------------------------------------------------------------
 
 
+def _q9(x: float) -> int:
+    # the writer's half-up nanodegree quantization (float32-quantized
+    # fixture coords land on exact .5 boundaries, where banker's round(x, 9)
+    # would disagree)
+    import math
+
+    return math.floor(x * 1e9 + 0.5)
+
+
 def _norm_nodes(rows):
     return sorted(
-        (int(i), round(lo, 9), round(la, 9), tuple(sorted((t or {}).items())))
+        (int(i), _q9(lo), _q9(la), tuple(sorted((t or {}).items())))
         for i, lo, la, t in rows
     )
 

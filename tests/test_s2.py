@@ -146,3 +146,32 @@ def test_dateline_adjacent_cells():
     fb, ib, jb = s2.cell_to_face_ij(b)
     assert np.array_equal(fa, fb)
     assert np.all(np.abs(ia - ib) + np.abs(ja - jb) <= 1)
+
+
+def test_face_axis_canonical_tie_order():
+    """Face selection must follow the canonical LargestAbsComponent
+    branch order — (ax>ay)?(ax>az?0:2):(ay>az?1:2) — which prefers y over
+    x and z over either on EXACT ties (boundary doubles like lon=45 where
+    sin == cos bit-for-bit)."""
+
+    def canonical_axis(x, y, z):
+        ax, ay, az = abs(x), abs(y), abs(z)
+        return (0 if ax > az else 2) if ax > ay else (1 if ay > az else 2)
+
+    lngs = np.concatenate([np.array([45.0, -45.0, 135.0, -135.0, 0.0, 90.0]),
+                           RNG.uniform(-180, 180, 300)])
+    lats = np.concatenate([np.array([0.0, 45.0, -45.0, 35.264389682754654, 90.0, -90.0]),
+                           RNG.uniform(-90, 90, 300)])
+    n = min(len(lngs), len(lats))
+    lon, lat = lngs[:n], lats[:n]
+    face, _u, _v = s2._lnglat_to_face_uv(lon, lat)
+    lonr, latr = np.radians(lon), np.radians(lat)
+    x = np.cos(latr) * np.cos(lonr)
+    y = np.cos(latr) * np.sin(lonr)
+    z = np.sin(latr)
+    for i in range(n):
+        want = canonical_axis(float(x[i]), float(y[i]), float(z[i]))
+        assert face[i] % 3 == want, (lon[i], lat[i], face[i], want)
+    # lon=45, lat=0: sin(pi/4) == cos(pi/4) in IEEE -> exact tie -> face 1
+    if float(np.sin(np.radians(45.0))) == float(np.cos(np.radians(45.0))):
+        assert int(s2.lnglat_to_cell([45.0], [0.0], 0)[0]) == (2 * 1 + 1) << 60

@@ -92,3 +92,51 @@ def test_streaming_sessions_match_batch_for_closed(spark, tmp_path):
         if r.session_id != last_sid[r.user_id]  # open tail sessions not emitted
     }
     assert got == want and len(got) > 10
+
+
+def test_event_time_timeout_preserves_session_numbering(spark, tmp_path):
+    """An idle session flushed by event-time timeout must NOT reset the
+    per-key session counter: the next session continues the numbering."""
+    from pyspark.sql import functions as F
+
+    src, chk = str(tmp_path / "src_t"), str(tmp_path / "chk_t")
+    import pandas as pd
+
+    spark.createDataFrame(pd.DataFrame({"user_id": [1], "ts": [10.0]})).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema("user_id long, ts double")
+        .parquet(src)
+        .withColumn("event_time", F.col("ts").cast("timestamp"))
+        .withWatermark("event_time", "0 seconds")
+    )
+    q = (
+        streaming_sessionize(stream, "user_id", "ts", gap_seconds=60, use_event_time_timeout=True)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_tmo")
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 2: far-future event advances the watermark past 10+60 -> the
+    # open session times out AND the event opens session 2 (not 1!)
+    spark.createDataFrame(pd.DataFrame({"user_id": [1], "ts": [100000.0]})).write.mode(
+        "append"
+    ).parquet(src)
+    q.processAllAvailable()
+    # batch 3: another jump closes session 2 by gap
+    spark.createDataFrame(pd.DataFrame({"user_id": [1], "ts": [900000.0]})).write.mode(
+        "append"
+    ).parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    rows = sorted(
+        (r.key, r.session_id, r.n_events, r.session_start)
+        for r in spark.sql("SELECT * FROM sess_tmo").collect()
+    )
+    assert (1, 1, 1, 10.0) in rows
+    assert (1, 2, 1, 100000.0) in rows
+    sids = [sid for _, sid, _, _ in rows]
+    assert len(sids) == len(set(sids)), rows  # no duplicate session ids
