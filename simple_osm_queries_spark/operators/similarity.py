@@ -146,9 +146,10 @@ def ivf_train_centroids(
     (spherical k-means — argmax cosine == argmin L2 on the unit sphere).
 
     Init = the nlist smallest-id vectors (deterministic, no RNG); ``iters``
-    Lloyd rounds, each ONE distributed pass: assign via a broadcast
-    centroid matrix inside an Arrow-batched numpy UDF, re-center via
-    groupBy(cluster).avg. At 100 TB train on a sample
+    Lloyd rounds, each ONE distributed pass with a map-side combine: tasks
+    assign their Arrow batches and emit <= nlist partial-sum rows each (no
+    shuffle, no per-dimension explode); the driver reduces the tiny
+    partials in numpy. At 100 TB train on a sample
     (``sample_fraction``) — the quantizer needs only a sketch of the
     distribution — then assign the full table once.
     Returns centroids as a (nlist, dim) numpy array of unit vectors.
@@ -164,27 +165,49 @@ def ivf_train_centroids(
     cents = np.asarray([r[0] for r in init], dtype=np.float64)
     cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
 
+    dim = cents.shape[1]
     for _ in range(iters):
-        assigned = base.select(
-            ivf_assign_col(F.col(vec_col), cents).alias("cluster"),
-            F.col(vec_col).alias("vec"),
-        )
-        # mean per cluster: one shuffle of (cluster, partial sums) — Spark
-        # array aggregates via posexplode keep it JVM-side
-        sums = (
-            assigned.select("cluster", F.posexplode("vec").alias("i", "x"))
-            .groupBy("cluster", "i")
-            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
-            .groupBy("cluster")
-            .agg(F.sort_array(F.collect_list(F.struct("i", "s", "n"))).alias("dims"))
-            .collect()
-        )
+        # map-side combine: each task assigns its Arrow batches and emits at
+        # most nlist (cluster, partial_sum_vec, n) rows — NO shuffle, no
+        # per-dimension explode; the final reduce is a driver-side numpy
+        # add over <= partitions x nlist tiny rows. This is the 100-TB
+        # shape: one scan per Lloyd round, constant-size task output.
+        cents_b = cents
+
+        def partials(batches):
+            acc = np.zeros((len(cents_b), dim), dtype=np.float64)
+            counts = np.zeros(len(cents_b), dtype=np.int64)
+            for b in batches:
+                mat = np.asarray([np.asarray(v, dtype=np.float64) for v in b[vec_col]])
+                if not len(mat):
+                    continue
+                norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+                assign = np.argmax((mat / norms) @ cents_b.T, axis=1)
+                np.add.at(acc, assign, mat)
+                np.add.at(counts, assign, 1)
+            hit = np.flatnonzero(counts)
+            yield pd.DataFrame(
+                {
+                    "cluster": hit.astype("int32"),
+                    "s": [acc[c].tolist() for c in hit],
+                    "n": counts[hit],
+                }
+            )
+
+        rows = base.mapInPandas(
+            partials, "cluster int, s array<double>, n long"
+        ).collect()
         new = cents.copy()
-        for r in sums:
-            vec = np.asarray([d.s / d.n for d in r.dims], dtype=np.float64)
+        sums = np.zeros((len(cents), dim), dtype=np.float64)
+        counts = np.zeros(len(cents), dtype=np.int64)
+        for r in rows:
+            sums[r.cluster] += np.asarray(r.s)
+            counts[r.cluster] += r.n
+        for c in np.flatnonzero(counts):
+            vec = sums[c] / counts[c]
             nrm = np.linalg.norm(vec)
             if nrm > 1e-12:
-                new[r.cluster] = vec / nrm
+                new[c] = vec / nrm
         cents = new
     return cents
 
