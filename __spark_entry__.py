@@ -96,13 +96,42 @@ def _derived_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+REL_ID_BASE = 2_000_000_000
+
+
+def _derived_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-expressible relations: every 50th doc becomes relation
+    REL_ID_BASE + idx with node members [d+1, d+2]; odd idx -> route=bus,
+    even -> type=multipolygon; idx%3==0 (idx>0) gets child relation idx-1.
+    Member tag math (FIXTURES.md rules): (d+2)%12==0 <=> idx%6==5, so
+    `route=bus AND this.nodes{seats=*}` selects exactly idx%6==5 —
+    discriminative for the gate. Mirrored in the DuckDB oracles."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    max_id = d.agg(F.max("doc_id")).first()[0]
+    i = F.col("doc_id")
+    idx = (i / 50).cast("long")
+    return (
+        d.filter((i % 50 == 0) & (i + 2 <= F.lit(max_id)))
+        .select(
+            (F.lit(REL_ID_BASE) + idx).alias("id"),
+            F.array(i + 1, i + 2).alias("node_member_ids"),
+            F.array().cast("array<long>").alias("way_member_ids"),
+            F.when(
+                (idx % 3 == 0) & (idx > 0),
+                F.array(F.lit(REL_ID_BASE).cast("long") + idx - 1),
+            )
+            .otherwise(F.array().cast("array<long>"))
+            .alias("child_relation_ids"),
+            F.when(idx % 2 == 1, F.create_map(F.lit("route"), F.lit("bus")))
+            .otherwise(F.create_map(F.lit("type"), F.lit("multipolygon")))
+            .alias("tags"),
+        )
+    )
+
+
 def _derived_dataset(spark: SparkSession, sf_dir: str):
     ways = _derived_ways(spark, sf_dir)
-    rels = spark.createDataFrame(
-        [],
-        "id long, node_member_ids array<long>, way_member_ids array<long>, "
-        "child_relation_ids array<long>, tags map<string,string>",
-    )
+    rels = _derived_relations(spark, sf_dir)
     return prepare(_derived_points(spark, sf_dir), ways, rels)
 
 
@@ -230,6 +259,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["osm_buffer_way_way"] = q_buffer_ways
+
+    # relation branch of the planner through the gate: member semi join
+    # (J1 on relations) and child_relations (the reference's fourth
+    # queryable type, types.go:30-37)
+    def _osm_rel(qtext):
+        def run(spark, sf_dir):
+            ds = _derived_dataset(spark, sf_dir)
+            return run_query(qtext, ds).select("id").orderBy("id")
+
+        return run
+
+    q["osm_rel_members"] = _osm_rel(
+        "bbox(9.90, 53.50, 10.10, 53.70).relations{ route=bus AND this.nodes{ seats=* } }"
+    )
+    q["osm_rel_children"] = _osm_rel(
+        "bbox(9.90, 53.50, 10.10, 53.70).relations{ this.child_relations{ route=bus } }"
+    )
 
     # S1: real .osm.pbf scan — write the derived points to a PBF file
     # (driver-side fixture synthesis, cached per sf_dir), then read it back
@@ -635,6 +681,24 @@ WITH parents AS (
 )
 SELECT parent, count(*) AS n FROM parents GROUP BY parent
 """
+
+    # osm_rel_*: derived relations (idx = doc_id//50). bbox intersection is
+    # always true by construction (every member point lies inside the query
+    # window), so the oracles reduce to the tag/member arithmetic:
+    # seats member exists <=> (50*idx+2)%12==0 <=> idx%6==5 (odd => bus);
+    # child idx-1 exists when idx%3==0, child is route=bus <=> idx even.
+    _rdef = (
+        "SELECT CAST(2000000000 + doc_id // 50 AS BIGINT) AS rid, doc_id // 50 AS idx "
+        "FROM documents WHERE doc_id % 50 = 0 "
+        "AND doc_id + 2 <= (SELECT max(doc_id) FROM documents)"
+    )
+    o["osm_rel_members"] = (
+        f"WITH rdef AS ({_rdef}) SELECT rid AS id FROM rdef WHERE idx % 6 = 5 ORDER BY id"
+    )
+    o["osm_rel_children"] = (
+        f"WITH rdef AS ({_rdef}) SELECT rid AS id FROM rdef "
+        f"WHERE idx % 3 = 0 AND idx > 0 AND (idx - 1) % 2 = 1 ORDER BY id"
+    )
 
     # osm_buffer_way_way: full segment-pair distance twin. Helpers build the
     # point-to-segment / crossing expressions exactly as the Spark operator
