@@ -33,23 +33,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def _track_persisted(result: DataFrame, handles: list[DataFrame]) -> DataFrame:
-    """Attach persisted intermediates to the returned plan for cleanup.
-
-    Operators persist() intermediates that their plan consumes 2-3 times;
-    Spark has no unpersist-on-materialize hook, so long-lived drivers (the
-    web server, notebook sessions) call :func:`unpersist_intermediates`
-    after collecting/writing the result to release executor storage.
-    """
-    result._soq_persisted = handles  # type: ignore[attr-defined]
-    return result
-
-
-def unpersist_intermediates(result: DataFrame) -> None:
-    """Release cached intermediates attached by dedup operators (safe to
-    call after the result has been materialized; no-op otherwise)."""
-    for h in getattr(result, "_soq_persisted", []):
-        h.unpersist()
+# shared cache-handle protocol (also used by the PBF reader)
+from simple_osm_queries_spark.caching import (  # noqa: F401  (re-exported API)
+    track_persisted as _track_persisted,
+    unpersist_intermediates,
+)
 
 # --- exact -------------------------------------------------------------------
 

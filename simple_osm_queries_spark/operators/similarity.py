@@ -65,8 +65,6 @@ def cosine_topk_ann(
 ) -> DataFrame:
     """Approximate top-k: candidate = shares >=1 signature chunk with the
     query. Recall < 1 by design; precision exact on candidates."""
-    import numpy as np
-
     rng = np.random.RandomState(seed)
     planes = rng.choice([-1.0, 1.0], size=(sig_bits, dim))
     qsig = 0
@@ -154,8 +152,6 @@ def ivf_train_centroids(
     distribution — then assign the full table once.
     Returns centroids as a (nlist, dim) numpy array of unit vectors.
     """
-    import numpy as np
-
     base = df.select(id_col, vec_col)
     if sample_fraction:
         base = base.sample(fraction=sample_fraction, seed=7)
@@ -182,8 +178,12 @@ def ivf_train_centroids(
                 if not len(mat):
                     continue
                 norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-                assign = np.argmax((mat / norms) @ cents_b.T, axis=1)
-                np.add.at(acc, assign, mat)
+                unit = mat / norms
+                assign = np.argmax(unit @ cents_b.T, axis=1)
+                # spherical k-means: accumulate the NORMALIZED vectors, or
+                # heterogeneous norms (e.g. length-proportional text
+                # embeddings) would let long documents dominate directions
+                np.add.at(acc, assign, unit)
                 np.add.at(counts, assign, 1)
             hit = np.flatnonzero(counts)
             yield pd.DataFrame(

@@ -375,7 +375,9 @@ def read_osm_pbf(spark, path: str, persist: bool = True):
     nodes = union.filter(F.col("kind") == "node").select("id", "lon", "lat", "tags")
     if persist:
         # expose the cached union for cleanup (see release_scan)
-        nodes._soq_persisted = [union]  # type: ignore[attr-defined]
+        from simple_osm_queries_spark.caching import track_persisted
+
+        track_persisted(nodes, [union])
     ways = union.filter(F.col("kind") == "way").select(
         "id", "node_ids", "tags"
     )
@@ -388,8 +390,9 @@ def read_osm_pbf(spark, path: str, persist: bool = True):
 def release_scan(nodes_df) -> None:
     """Unpersist the cached decode union behind a persist=True read (call
     once the raw tables are sunk / no longer needed)."""
-    for h in getattr(nodes_df, "_soq_persisted", []):
-        h.unpersist()
+    from simple_osm_queries_spark.caching import unpersist_intermediates
+
+    unpersist_intermediates(nodes_df)
 
 
 # ---------------------------------------------------------------------------

@@ -103,14 +103,19 @@ def streaming_dedup_bloom(
         f"{name} {stream.schema[name].dataType.simpleString()}" for name in cols
     )
 
-    def positions(fp: str) -> list[int]:
-        d = hashlib.md5(fp.encode()).digest()
+    if bits_per_bucket < 8:
+        raise ValueError("bits_per_bucket must be >= 8")
+    nbytes = (bits_per_bucket + 7) // 8  # non-multiple-of-8 sizes round up
+
+    def positions(fp) -> list[int]:
+        # str() first: fingerprint columns may be long (ids) as well as str
+        d = hashlib.md5(str(fp).encode()).digest()
         h1 = int.from_bytes(d[:8], "little")
         h2 = int.from_bytes(d[8:], "little") | 1
         return [((h1 + i * h2) % (1 << 63)) % bits_per_bucket for i in range(num_hashes)]
 
     def dedup_fn(key, pdfs, state: GroupState):
-        bits = bytearray(state.get[0]) if state.exists else bytearray(bits_per_bucket // 8)
+        bits = bytearray(state.get[0]) if state.exists else bytearray(nbytes)
         for pdf in pdfs:
             fresh_mask = []
             for fp in pdf[fingerprint_col]:

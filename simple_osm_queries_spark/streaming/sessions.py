@@ -65,15 +65,20 @@ def streaming_sessionize(
             return
         sid, start, last, n = state.get if state.exists else (0, None, None, 0)
         closed: list[list] = []
+        # a large group arrives as MULTIPLE Arrow chunks in arbitrary order:
+        # gather the whole micro-batch before the single sort, or cross-chunk
+        # out-of-order events get absorbed into the wrong session
+        all_ts: list[float] = []
         for pdf in pdfs:
-            for ts in sorted(float(t) for t in pdf[ts_col]):
-                if start is None:
-                    sid, start, last, n = sid + 1, ts, ts, 1
-                elif ts - last > gap:
-                    closed.append([key[0], sid, n, start, last])
-                    sid, start, last, n = sid + 1, ts, ts, 1
-                else:
-                    last, n = max(last, ts), n + 1
+            all_ts.extend(float(t) for t in pdf[ts_col])
+        for ts in sorted(all_ts):
+            if start is None:
+                sid, start, last, n = sid + 1, ts, ts, 1
+            elif ts - last > gap:
+                closed.append([key[0], sid, n, start, last])
+                sid, start, last, n = sid + 1, ts, ts, 1
+            else:
+                last, n = max(last, ts), n + 1
         state.update((sid, start, last, n))
         if use_event_time_timeout and last is not None:
             state.setTimeoutTimestamp(int((last + gap) * 1000))
