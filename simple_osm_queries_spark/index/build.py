@@ -149,6 +149,7 @@ def build_index(
     progress: bool = False,
     backend: str = "parquet",
     iceberg_table: str | None = None,
+    files_per_cell: int = 16,
 ) -> dict:
     """Write the node table as a cell-partitioned index, band by band, with
     atomic per-band manifests. Returns a build report.
@@ -191,7 +192,17 @@ def build_index(
         # parquet row-group min/max stats then prune bbox predicates on
         # the second dimension too (the z-order-lite for a 2D grid)
         sort_cols = [c for c in ("cell_x", "cell_y", "lat") if c in band_df.columns]
-        clustered = band_df.repartition("cell_x").sortWithinPartitions(*sort_cols)
+        # WRITE PARALLELISM: repartition("cell_x") alone serializes a hot
+        # cell column into ONE task (measured at 300M rows: a 151M-row
+        # column wrote single-threaded for 560 s). Salt the repartition by
+        # source partition so each cell_x directory is written by up to
+        # ``files_per_cell`` tasks in parallel; rows remain sorted within
+        # each file, so cell_y/lat row-group min/max pruning is unchanged
+        # (just <= files_per_cell files per directory instead of 1).
+        salt = F.pmod(F.spark_partition_id(), F.lit(files_per_cell))
+        clustered = band_df.repartition(
+            F.col("cell_x"), salt.alias("__salt")
+        ).sortWithinPartitions(*sort_cols)
         if backend == "iceberg":
             if not iceberg_table:
                 raise ValueError("backend='iceberg' requires iceberg_table")
