@@ -554,8 +554,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.simhash_near_dups(docs, max_hamming=3, word_hash="md5")
 
     def q_embed_dup(spark, sf_dir):  # rows-only (LSH candidates)
+        # short 8-bit bands: the gate threshold (0.3) is a LOOSE similarity,
+        # which needs high per-band collision prob for recall; production
+        # defaults (16-bit bands) target near-dup thresholds at corpus scale
         embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        return dedup.embedding_near_dups(embs, threshold=0.3)
+        return dedup.embedding_near_dups(embs, threshold=0.3, sig_bits=32, chunks=4)
 
     def q_phash(spark, sf_dir):
         # synthetic perceptual hashes: doc groups of 8 share all high bits,

@@ -229,3 +229,26 @@ def test_simhash_md5_variant(docs):
     # signature width: md5 variant packs 60 bits
     sig = docs.select(dedup.simhash_md5_col(F.col("text")).alias("s")).collect()
     assert all(0 <= r.s < (1 << 60) for r in sig)
+
+
+def test_embedding_near_dups_random_vectors_bounded(spark):
+    """Regression for the 1M-row OOM: with the 16-bit-band defaults, random
+    (non-duplicate) vectors produce near-zero candidates instead of a
+    quadratic bucket blowup, while planted near-dups are still found."""
+    rng = np.random.RandomState(13)
+    mat = rng.randn(5000, 64).astype(np.float32)
+    mat[100] = mat[7] + rng.randn(64).astype(np.float32) * 0.01  # planted dup
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(len(mat))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r.id_a, r.id_b) for r in dedup.embedding_near_dups(df, threshold=0.95).collect()}
+    assert (7, 100) in pairs
+    assert len(pairs) < 50  # random pairs don't survive
+
+    # the hot-bucket cap bounds candidates even with degenerate short bands:
+    # all-identical-direction vectors put EVERYTHING in one bucket per band
+    same = [(i, [1.0 + i * 1e-9] * 64) for i in range(2000)]
+    df2 = spark.createDataFrame(same, "vec_id long, embedding array<float>")
+    capped = dedup.embedding_near_dups(
+        df2, threshold=0.999, sig_bits=32, chunks=4, max_bucket=100
+    )
+    assert capped.count() == 0  # every bucket over the cap -> no candidates
