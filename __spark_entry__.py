@@ -73,13 +73,19 @@ def _derived_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WAY_ID_BASE = 1_000_000_000
 
+# MinHash gate parameters — shared by q_minhash AND its DuckDB oracle so
+# the two sides cannot drift (the oracle inlines the permutation table
+# derived from these).
+MH_PERM, MH_BANDS, MH_THRESHOLD = 32, 8, 0.35
 
-def _derived_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def _derived_ways(spark: SparkSession, sf_dir: str, max_id: int | None = None) -> DataFrame:
     """SQL-expressible ways over the derived points: every 20th doc starts a
     3-node way [d, d+4, d+8]; even way index -> highway=primary, odd ->
     building=yes. Mirrored verbatim in the DuckDB oracles."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
-    max_id = d.agg(F.max("doc_id")).first()[0]
+    if max_id is None:
+        max_id = d.agg(F.max("doc_id")).first()[0]
     i = F.col("doc_id")
     widx = (i / 20).cast("long")
     return (
@@ -99,7 +105,9 @@ def _derived_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
 REL_ID_BASE = 2_000_000_000
 
 
-def _derived_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _derived_relations(
+    spark: SparkSession, sf_dir: str, max_id: int | None = None
+) -> DataFrame:
     """SQL-expressible relations: every 50th doc becomes relation
     REL_ID_BASE + idx with node members [d+1, d+2]; odd idx -> route=bus,
     even -> type=multipolygon; idx%3==0 (idx>0) gets child relation idx-1.
@@ -107,7 +115,8 @@ def _derived_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     `route=bus AND this.nodes{seats=*}` selects exactly idx%6==5 —
     discriminative for the gate. Mirrored in the DuckDB oracles."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
-    max_id = d.agg(F.max("doc_id")).first()[0]
+    if max_id is None:
+        max_id = d.agg(F.max("doc_id")).first()[0]
     i = F.col("doc_id")
     idx = (i / 50).cast("long")
     return (
@@ -130,8 +139,15 @@ def _derived_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _derived_dataset(spark: SparkSession, sf_dir: str):
-    ways = _derived_ways(spark, sf_dir)
-    rels = _derived_relations(spark, sf_dir)
+    # one max(doc_id) job shared by both derived tables (each gate query
+    # rebuilds the dataset; don't repeat the scan per helper)
+    max_id = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .agg(F.max("doc_id"))
+        .first()[0]
+    )
+    ways = _derived_ways(spark, sf_dir, max_id)
+    rels = _derived_relations(spark, sf_dir, max_id)
     return prepare(_derived_points(spark, sf_dir), ways, rels)
 
 
@@ -199,15 +215,25 @@ KNN_K = 5
 
 
 def _sql_pip(lon_expr: str, lat_expr: str, ring: list[tuple[float, float]]) -> str:
-    """Ray-casting parity SQL: identical arithmetic to point_in_polygon_col."""
+    """Ray-casting parity SQL: identical arithmetic to point_in_polygon_col.
+
+    Every ring literal is CAST(... AS DOUBLE): DuckDB otherwise parses bare
+    decimals as DECIMAL and computes (bx - ax) exactly, which differs from
+    Spark's double subtraction by ~1 ulp — enough to flip a crossing test
+    for a point between the two x_at_y values (the CLAUDE.md parity rule).
+    """
+
+    def d(v: float) -> str:
+        return f"CAST({v!r} AS DOUBLE)"
+
     terms = []
     n = len(ring)
     for i in range(n):
         ax, ay = ring[i]
         bx, by = ring[(i + 1) % n]
         terms.append(
-            f"(CASE WHEN (({ay} > {lat_expr}) != ({by} > {lat_expr})) AND "
-            f"({lon_expr} < ({bx} - {ax}) * ({lat_expr} - {ay}) / ({by} - {ay}) + {ax}) "
+            f"(CASE WHEN (({d(ay)} > {lat_expr}) != ({d(by)} > {lat_expr})) AND "
+            f"({lon_expr} < ({d(bx)} - {d(ax)}) * ({lat_expr} - {d(ay)}) / ({d(by)} - {d(ay)}) + {d(ax)}) "
             f"THEN 1 ELSE 0 END)"
         )
     return "((" + " + ".join(terms) + ") % 2 = 1)"
@@ -292,12 +318,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         path = f"/tmp/soq_pbf_gate/{key}.v2.osm.pbf"
         if not os.path.exists(path):
             # .collect() here is fixture WRITING (driver-side encoder by
-            # design), not query execution — the read side is distributed
+            # design), not query execution — the read side is distributed.
+            # Per-process tmp name: concurrent gate runs must not interleave
+            # writes into one .tmp before the atomic replace.
             rows = sorted(
                 (r.id, r.lon, r.lat, r.tags) for r in pts.collect()
             )
-            pbf.write_osm_pbf(path + ".tmp", nodes=rows, entities_per_block=997)
-            os.replace(path + ".tmp", path)
+            tmp = f"{path}.{os.getpid()}.tmp"
+            pbf.write_osm_pbf(tmp, nodes=rows, entities_per_block=997)
+            os.replace(tmp, path)
         nodes, _w, _r = pbf.read_osm_pbf(spark, path, persist=False)
         return (
             nodes.filter(F.col("lon") <= 10.0)
@@ -543,7 +572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup fixture (test_dedup.py::test_minhash_md5_variant_matches).
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return dedup.minhash_near_dups(
-            docs, threshold=0.35, num_perm=32, bands=8,
+            docs, threshold=MH_THRESHOLD, num_perm=MH_PERM, bands=MH_BANDS,
             shingle_hash="md5", hash_buckets=False,
         )
 
@@ -643,9 +672,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     pts = f"({SQL_POINTS})"
-    in_window = (
-        f"lon >= {WINDOW[0]} AND lon <= {WINDOW[2]} AND lat >= {WINDOW[1]} AND lat <= {WINDOW[3]}"
-    )
 
     def osm_sql(where: str) -> str:
         return (
@@ -946,7 +972,7 @@ WHERE bit_count(xor(a.ph, b.ph)) <= 3
     # dedup._perm_params), identical band buckets (raw slice strings).
     from simple_osm_queries_spark.operators.dedup import _MH_PRIME, _perm_params
 
-    _NP, _NB = 32, 8
+    _NP, _NB = MH_PERM, MH_BANDS  # shared with q_minhash — cannot drift
     _RPB = _NP // _NB
     _perm_rows = ", ".join(
         f"({p}, {pa}::BIGINT, {pb}::BIGINT)"
@@ -986,7 +1012,7 @@ WITH words AS (
               JOIN sig sb ON sb.doc_id = c.id_b AND sb.p = sa.p
   GROUP BY 1, 2
 )
-SELECT id_a, id_b, jaccard_est FROM est WHERE jaccard_est >= CAST(0.35 AS DOUBLE)
+SELECT id_a, id_b, jaccard_est FROM est WHERE jaccard_est >= CAST({MH_THRESHOLD} AS DOUBLE)
 """
 
     # dedup_simhash: FULL twin of the md5-60 variant — identical word
