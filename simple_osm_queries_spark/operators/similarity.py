@@ -43,15 +43,6 @@ def cosine_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
 
 
-def _chunks(sig_col, sig_bits: int, chunks: int):
-    width = sig_bits // chunks
-    mask = (1 << width) - 1
-    return [
-        F.shiftright(sig_col, c * width).bitwiseAND(F.lit(mask)).alias(f"chunk_{c}")
-        for c in range(chunks)
-    ]
-
-
 def cosine_topk_ann(
     df: DataFrame,
     qvec,
