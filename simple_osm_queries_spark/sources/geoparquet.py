@@ -1,0 +1,114 @@
+"""GeoParquet sink — WKB geometry + the spec'd `geo` file metadata.
+
+GeoParquet (opengeospatial/geoparquet, spec v1.0) is plain parquet with a
+`geometry` column of ISO WKB bytes and a file-level key-value metadata
+entry `geo` describing the geometry column (encoding, types, bbox, CRS).
+Any GeoPandas / DuckDB-spatial / BigQuery / Sedona reader consumes it
+directly — the interop sink for query results, next to the GeoJSON sinks.
+
+Distribution: Spark's parquet writer cannot set per-file key-value
+metadata, so each task writes its own footer-complete file with pyarrow
+inside ``mapInPandas`` (one file per partition, `part-<uuid>.parquet`
+into a shared directory, `_SUCCESS` from the driver). WKB is encoded
+vectorized-ish per batch with ``struct.pack`` over numpy arrays — little-
+endian, geometry types Point (1) and LineString (2) matching the engine's
+node/way outputs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import uuid
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def wkb_point(lon: float, lat: float) -> bytes:
+    return struct.pack("<BIdd", 1, 1, lon, lat)
+
+
+def wkb_linestring(coords: list[tuple[float, float]]) -> bytes:
+    out = struct.pack("<BII", 1, 2, len(coords))
+    for x, y in coords:
+        out += struct.pack("<dd", x, y)
+    return out
+
+
+def _geo_metadata(geom_types: list[str], bbox: list[float]) -> bytes:
+    return json.dumps(
+        {
+            "version": "1.0.0",
+            "primary_column": "geometry",
+            "columns": {
+                "geometry": {
+                    "encoding": "WKB",
+                    "geometry_types": geom_types,
+                    "bbox": bbox,
+                    # spec default CRS is OGC:CRS84 (lon/lat WGS84); omitting
+                    # the "crs" key means exactly that default
+                }
+            },
+        }
+    ).encode()
+
+
+def write_geoparquet(result: DataFrame, path: str) -> None:
+    """Write a query-result DataFrame as a GeoParquet dataset directory.
+
+    Input rows carry either (lon, lat) point geometry or a way `nodes`
+    array (struct lon/lat) — the engine's node/way output shapes; all other
+    columns pass through as properties. Each task writes one spec-complete
+    file; readers take the directory like any parquet dataset.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    cols = result.columns
+    has_nodes = "nodes" in cols
+    passthrough = [
+        c for c in cols if c not in ("lon", "lat", "nodes") and not c.startswith("__")
+    ]
+
+    def write_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows_written = 0
+        fname = os.path.join(path, f"part-{uuid.uuid4().hex}.parquet")
+        tables = []
+        geom_types: set[str] = set()
+        bbox = [180.0, 90.0, -180.0, -90.0]
+        for b in batches:
+            geoms = []
+            for _, row in b.iterrows():
+                if has_nodes and row["nodes"] is not None and len(row["nodes"]):
+                    pts = [(float(n["lon"]), float(n["lat"])) for n in row["nodes"]]
+                    geoms.append(wkb_linestring(pts))
+                    geom_types.add("LineString")
+                else:
+                    pts = [(float(row["lon"]), float(row["lat"]))]
+                    geoms.append(wkb_point(*pts[0]))
+                    geom_types.add("Point")
+                for x, y in pts:
+                    bbox[0] = min(bbox[0], x)
+                    bbox[1] = min(bbox[1], y)
+                    bbox[2] = max(bbox[2], x)
+                    bbox[3] = max(bbox[3], y)
+            data = {c: b[c] for c in passthrough}
+            data["geometry"] = geoms
+            tables.append(pa.table(data))
+            rows_written += len(b)
+        if rows_written:
+            table = pa.concat_tables(tables)
+            meta = dict(table.schema.metadata or {})
+            meta[b"geo"] = _geo_metadata(sorted(geom_types), bbox)
+            pq.write_table(table.replace_schema_metadata(meta), fname)
+        yield pd.DataFrame({"file": [fname], "rows": [rows_written]})
+
+    report = result.mapInPandas(write_part, "file string, rows long")
+    total = report.agg(F.sum("rows")).first()[0] or 0
+    with open(os.path.join(path, "_SUCCESS"), "w") as f:
+        f.write(str(total))
