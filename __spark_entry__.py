@@ -600,8 +600,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_phash"] = q_phash
 
+    # pairs -> duplicate GROUPS: connected components over the jaccard
+    # pairs (pointer-jumping min-label propagation); comp = min reachable id
+    def q_components(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_df=100)
+        return (
+            dedup.connected_components(pairs)
+            .select(F.col("node").alias("doc_id"), "comp")
+            .orderBy("doc_id")
+        )
+
     q["dedup_exact"] = q_dedup_exact
     q["dedup_ngram_jaccard"] = q_jaccard
+    q["dedup_components"] = q_components
     q["dedup_minhash_lsh"] = q_minhash
     q["dedup_simhash"] = q_simhash
     q["dedup_embedding"] = q_embed_dup
@@ -1068,6 +1080,26 @@ SELECT id_a, id_b,
        inter * 1.0 / (sa.sz + sb.sz - inter) AS jaccard
 FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
 WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
+"""
+
+    # dedup_components: transitive closure by recursive CTE — an
+    # INDEPENDENT derivation of the same components the pointer-jumping
+    # label propagation computes (comp = min reachable id)
+    _pair_sql = o["dedup_ngram_jaccard"].strip().rstrip()
+    o["dedup_components"] = f"""
+WITH RECURSIVE jp AS ({_pair_sql}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM jp
+  UNION
+  SELECT id_b, id_a FROM jp
+),
+reach(node, r) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+)
+SELECT node AS doc_id, CAST(least(node, min(r)) AS BIGINT) AS comp
+FROM reach GROUP BY node ORDER BY doc_id
 """
 
     stop_list = ", ".join(f"'{w}'" for w in textops.STOPWORDS)

@@ -252,3 +252,45 @@ def test_embedding_near_dups_random_vectors_bounded(spark):
         df2, threshold=0.999, sig_bits=32, chunks=4, max_bucket=100
     )
     assert capped.count() == 0  # every bucket over the cap -> no candidates
+
+
+def _uf_components(pairs):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_vs_union_find(spark):
+    import random
+
+    rng = random.Random(99)
+    # several chains/cliques/isolated pairs + a long path (tests iteration)
+    pairs = [(i, i + 1) for i in range(0, 30)]            # one 31-node path
+    pairs += [(100 + rng.randrange(20), 100 + rng.randrange(20)) for _ in range(40)]
+    pairs += [(200, 201), (300, 301), (301, 302), (300, 302)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r.node: r.comp for r in dedup.connected_components(df).collect()}
+    want = _uf_components(pairs)
+    # oracle roots are min-of-component by construction (union by min)
+    assert got == want
+    assert got[30] == 0  # far end of the path reaches the min label
+
+
+def test_near_dup_survivors(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.3)
+    kept = sorted(
+        r.doc_id for r in dedup.near_dup_survivors(docs, pairs).collect()
+    )
+    # component {0,1,2,6} keeps 0; {3,4} keeps 3; 5 and 7 untouched
+    assert kept == [0, 3, 5, 7]
