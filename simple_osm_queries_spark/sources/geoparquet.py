@@ -81,22 +81,37 @@ def write_geoparquet(result: DataFrame, path: str) -> None:
         tables = []
         geom_types: set[str] = set()
         bbox = [180.0, 90.0, -180.0, -90.0]
+        import numpy as np
+
+        # packed WKB point record: byte order + type + x + y = 21 bytes
+        point_dt = np.dtype([("e", "u1"), ("t", "<u4"), ("x", "<f8"), ("y", "<f8")])
+
         for b in batches:
-            geoms = []
-            for _, row in b.iterrows():
-                if has_nodes and row["nodes"] is not None and len(row["nodes"]):
-                    pts = [(float(n["lon"]), float(n["lat"])) for n in row["nodes"]]
+            if has_nodes:
+                geoms = []
+                for nodes in b["nodes"]:
+                    pts = [(float(n["lon"]), float(n["lat"])) for n in nodes]
                     geoms.append(wkb_linestring(pts))
-                    geom_types.add("LineString")
-                else:
-                    pts = [(float(row["lon"]), float(row["lat"]))]
-                    geoms.append(wkb_point(*pts[0]))
+                    for x, y in pts:
+                        bbox[0] = min(bbox[0], x)
+                        bbox[1] = min(bbox[1], y)
+                        bbox[2] = max(bbox[2], x)
+                        bbox[3] = max(bbox[3], y)
+                geom_types.add("LineString")
+            else:
+                # vectorized: one packed structured array -> 21-byte slices
+                lons = b["lon"].to_numpy(dtype=np.float64)
+                lats = b["lat"].to_numpy(dtype=np.float64)
+                rec = np.empty(len(b), dtype=point_dt)
+                rec["e"], rec["t"], rec["x"], rec["y"] = 1, 1, lons, lats
+                buf = rec.tobytes()
+                geoms = [buf[i * 21 : (i + 1) * 21] for i in range(len(b))]
+                if len(b):
+                    bbox[0] = min(bbox[0], float(lons.min()))
+                    bbox[1] = min(bbox[1], float(lats.min()))
+                    bbox[2] = max(bbox[2], float(lons.max()))
+                    bbox[3] = max(bbox[3], float(lats.max()))
                     geom_types.add("Point")
-                for x, y in pts:
-                    bbox[0] = min(bbox[0], x)
-                    bbox[1] = min(bbox[1], y)
-                    bbox[2] = max(bbox[2], x)
-                    bbox[3] = max(bbox[3], y)
             data = {c: b[c] for c in passthrough}
             data["geometry"] = geoms
             tables.append(pa.table(data))
