@@ -14,14 +14,13 @@ north rule asks for:
 * ``cell_s2`` — REAL S2 cell ids from the in-repo numpy implementation of
   the published S2 scheme (functions/s2.py): bit-compatible, vectorized,
   zero external dependencies.
-* ``cell_h3`` — pandas-UDF adapter over the real ``h3`` library when
-  importable (int-id API, batch fromiter), else a clearly-documented
-  deterministic aperture-4 quadtree id (slippy tile at an equivalent
-  resolution). The fallback keeps the same containment/k-ring algebra but
-  is NOT bit-compatible with real H3.
+* ``cell_h3`` — REAL bit-compatible H3 cell ids from the in-repo from-scratch
+  numpy implementation of the published H3 scheme (functions/h3_encode.py):
+  icosahedral gnomonic projection, aperture-7 digit walk, derived
+  face/base-cell tables; no external dependency.
 
 All hot-path encoders are pure JVM column math (whole-stage codegen); only the
-H3/S2 adapters drop to Arrow-batched pandas UDFs (never per-row Python).
+H3/S2 encoders drop to Arrow-batched pandas UDFs (never per-row Python).
 """
 
 from __future__ import annotations
@@ -169,66 +168,25 @@ def tile_id_py(tx: int, ty: int, zoom: int) -> int:
 
 
 # ---------------------------------------------------------------------------
-# H3 / S2 adapters (vectorized pandas UDFs; deterministic quadtree fallback)
+# H3 / S2 encoders (vectorized pandas UDFs over in-repo implementations)
 # ---------------------------------------------------------------------------
-
-try:  # pragma: no cover - depends on environment
-    # prefer the int-id API: no per-row str<->int conversion
-    import h3.api.numpy_int as _h3  # type: ignore
-
-    HAVE_H3 = True
-    _H3_INT_API = True
-except ImportError:  # pragma: no cover
-    try:
-        import h3 as _h3  # type: ignore
-
-        HAVE_H3 = True
-        _H3_INT_API = False
-    except ImportError:
-        _h3 = None
-        HAVE_H3 = False
-        _H3_INT_API = False
-
-# Fallback resolution mapping: H3 res r hexes have ~ the linear size of slippy
-# tiles at zoom r+7 (res 7 edge ~1.2 km ~ z14 tile ~2.4 km).
-_H3_FALLBACK_ZOOM_OFFSET = 7
-
-
-def _fallback_tile_ids(lon: pd.Series, lat: pd.Series, zoom: int) -> pd.Series:
-    import numpy as np
-
-    n = 1 << zoom
-    tx = np.floor((lon.to_numpy() + 180.0) / 360.0 * n).astype("int64")
-    lat_c = np.clip(lat.to_numpy(), -MAX_MERCATOR_LAT, MAX_MERCATOR_LAT)
-    lat_rad = np.radians(lat_c)
-    ty = np.floor((1.0 - np.log(np.tan(lat_rad) + 1.0 / np.cos(lat_rad)) / math.pi) / 2.0 * n).astype("int64")
-    tx = np.clip(tx, 0, n - 1)
-    ty = np.clip(ty, 0, n - 1)
-    return pd.Series((zoom << 58) | (tx << 29) | ty)
-
-
-def _h3_batch(lo, la, res: int):  # pragma: no cover - requires h3
-    """Batch-encode with the installed h3 lib. h3-py v4 exposes no true array
-    API in-core; the int-id API (h3.api.numpy_int) at least avoids the
-    str<->int round-trip per row, and np.fromiter avoids list churn."""
-    import numpy as np
-
-    lo_v, la_v = lo.to_numpy(), la.to_numpy()
-    if _H3_INT_API:
-        it = (_h3.latlng_to_cell(b, a, res) for a, b in zip(lo_v, la_v))
-    else:
-        it = (_h3.str_to_int(_h3.latlng_to_cell(b, a, res)) for a, b in zip(lo_v, la_v))
-    return pd.Series(np.fromiter(it, dtype=np.uint64, count=len(lo_v)).view(np.int64))
 
 
 def cell_h3(lon: Column, lat: Column, res: int = 8) -> Column:
-    """H3 cell id (long). Real h3 when available, quadtree fallback otherwise."""
+    """REAL H3 cell id (long, two's-complement of the uint64 id).
+
+    Backed by the in-repo from-scratch numpy implementation of the published
+    H3 scheme (functions/h3_encode.py): bit-compatible ids with no external
+    dependency, whole-array encode inside one Arrow batch. The derived
+    face->base-cell tables are built once per Python worker (~1.5 s) and
+    reused for every batch."""
 
     @F.pandas_udf(T.LongType())
     def _enc(lo: pd.Series, la: pd.Series) -> pd.Series:
-        if HAVE_H3:
-            return _h3_batch(lo, la, res)
-        return _fallback_tile_ids(lo, la, res + _H3_FALLBACK_ZOOM_OFFSET)
+        from simple_osm_queries_spark.functions import h3_encode as _h3impl
+
+        cells = _h3impl.lnglat_to_cell(lo.to_numpy(), la.to_numpy(), res)
+        return pd.Series(cells.view("int64"))
 
     return _enc(lon, lat)
 

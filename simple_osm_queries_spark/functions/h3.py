@@ -14,10 +14,10 @@ Everything here is pure bit math on that layout — parse, validate, parent,
 center child, children count, hex tokens — so a dataset keyed by real H3
 ids (produced by any H3 implementation) can be validated, rolled up to a
 coarser resolution, grouped per base cell, etc., entirely JVM-side in
-whole-stage codegen. The lat/lng -> cell *encoder* needs the icosahedral
-gnomonic projection tables and stays adapter-backed (functions/cells.py::
-cell_h3, real `h3` lib or documented quadtree fallback); the algebra below
-is bit-exact regardless.
+whole-stage codegen. The lat/lng -> cell *encoder* lives in
+functions/h3_encode.py (from-scratch, bit-compatible, numpy-vectorized);
+the algebra below applies to its output and to externally-keyed datasets
+alike.
 
 Pentagon base cells (12, publicly documented): a pentagon cell is one whose
 base cell is a pentagon and whose digits are all 0; leading digit 1 (the K
@@ -159,10 +159,9 @@ def parent(h: Column, parent_res: int) -> Column:
 
 
 def is_valid(h: Column) -> Column:
-    """Structural validity (mode/reserved/base-cell/digit-range/seven-fill);
-    matches is_valid_py except the pentagon leading-digit rule, which needs
-    a loop — use the python form (or a filter on base_cell) when pentagon
-    strictness matters."""
+    """Structural validity (mode/reserved/base-cell/digit-range/seven-fill
+    plus the pentagon deleted-K-axis rule); matches is_valid_py exactly.
+    Pure bit math + bounded when-chains, codegen-friendly."""
     res = resolution(h)
     checks = (
         (F.shiftrightunsigned(h, 63) == 0)
@@ -170,10 +169,21 @@ def is_valid(h: Column) -> Column:
         & (F.shiftright(h, 56).bitwiseAND(F.lit(0x7)) == 0)
         & (base_cell(h) <= 121)
     )
-    for i in range(1, MAX_RES + 1):
-        d = F.shiftright(h, _digit_shift(i)).bitwiseAND(F.lit(7))
+    digits = [
+        F.shiftright(h, _digit_shift(i)).bitwiseAND(F.lit(7))
+        for i in range(1, MAX_RES + 1)
+    ]
+    for i, d in enumerate(digits, start=1):
         checks = checks & F.when(F.lit(i) <= res, d != 7).otherwise(d == 7)
-    return checks
+    # pentagon rule: the first nonzero digit (within res) may not be the
+    # deleted K axis (1). Build the leading-digit when-chain right-to-left
+    # so digit 1 takes precedence.
+    lead = F.lit(0)
+    for i in range(MAX_RES, 0, -1):
+        d = digits[i - 1]
+        lead = F.when((F.lit(i) <= res) & (d != 0), d).otherwise(lead)
+    is_pent_base = base_cell(h).isin(*sorted(PENTAGON_BASE_CELLS))
+    return checks & ~(is_pent_base & (lead == 1))
 
 
 def to_token(h: Column) -> Column:

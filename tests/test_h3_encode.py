@@ -1,0 +1,192 @@
+"""From-scratch H3 encoder: doc-anchored ids, geometric invariants of the
+constant tables, structural invariants of the output, cross-face
+consistency, and (skip-if-absent) parity against the real h3 library.
+
+The reference engine (/root/reference/src/common/cell.go:7-9) uses a flat
+0.1-deg grid; the north rule upgrades indexing to real H3 res 7-9, which
+this encoder provides with no external dependency.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from simple_osm_queries_spark.functions import h3 as H
+from simple_osm_queries_spark.functions import h3_encode as E
+
+try:  # pragma: no cover - environment-dependent
+    import h3 as real_h3  # type: ignore
+
+    HAVE_REAL_H3 = True
+except ImportError:
+    HAVE_REAL_H3 = False
+
+
+def _sphere_sample(n, seed=7):
+    rng = np.random.default_rng(seed)
+    lat = np.degrees(np.arcsin(rng.uniform(-1, 1, n)))
+    lng = rng.uniform(-180.0, 180.0, n)
+    return lng, lat
+
+
+def test_geometry_invariants():
+    # antipodal face pairing + 12 icosahedron vertices each shared by
+    # exactly 5 faces + pentagons on vertices (asserts inside)
+    assert E.validate_geometry()
+
+
+def test_doc_anchored_ids():
+    # the canonical published example: geo_to_h3(37.3615593, -122.0553238, 5)
+    assert E.latlng_to_cell_py(37.3615593, -122.0553238, 5) == 0x85283473FFFFFFF
+    # the widely-published res-9 example cell and its center
+    assert (
+        E.latlng_to_cell_py(37.77670234943567, -122.41845932318311, 9)
+        == 0x8928308280FFFFF
+    )
+    # res-7/res-9/res-5 ancestors of the anchors must chain consistently
+    cup7 = E.latlng_to_cell_py(37.3615593, -122.0553238, 7)
+    assert H.parent_py(cup7, 5) == 0x85283473FFFFFFF
+    sf7 = E.latlng_to_cell_py(37.77670234943567, -122.41845932318311, 7)
+    assert H.parent_py(0x8928308280FFFFF, 7) == sf7
+
+
+def test_distinct_cell_counts():
+    # 2 + 120 * 7^res cells exist at each resolution
+    lng, lat = _sphere_sample(400_000)
+    for res, expect in [(0, 122), (1, 842), (2, 5882)]:
+        assert len(np.unique(E.lnglat_to_cell(lng, lat, res))) == expect
+
+
+def test_every_id_structurally_valid():
+    lng, lat = _sphere_sample(50_000, seed=11)
+    for res in (0, 1, 2, 7, 9, 15):
+        h = E.lnglat_to_cell(lng, lat, res)
+        sample = np.unique(h)[:2000]
+        for x in sample.tolist():
+            assert H.is_valid_py(int(x)), f"res {res}: invalid id {x:x}"
+            assert H.resolution_py(int(x)) == res
+
+
+def test_pentagon_structure():
+    lng, lat = _sphere_sample(400_000, seed=13)
+    h = np.unique(E.lnglat_to_cell(lng, lat, 2))
+    pents = [x for x in h.tolist() if H.is_pentagon_py(int(x))]
+    assert len(pents) == 12
+    # no id under a pentagon base cell may lead with the deleted K axis
+    for x in h.tolist():
+        assert H.is_valid_py(int(x))
+
+
+def test_base_cell_centers_encode_to_themselves():
+    tab = E._tables()
+    lat = np.degrees(tab["bc_lat"])
+    lng = np.degrees(tab["bc_lng"])
+    h = E.lnglat_to_cell(lng, lat, 0)
+    bc = (h >> np.uint64(45)) & np.uint64(0x7F)
+    assert (bc == np.arange(122, dtype=np.uint64)).all()
+
+
+def test_cross_face_agreement_near_boundaries():
+    # points on the Voronoi boundary between two faces must encode to the
+    # same cell from either face's projection (the H3 grid is continuous
+    # across face edges); tiny slivers aside, agreement should be ~100%
+    tab = E._tables()
+    lng, lat = _sphere_sample(2_000_000, seed=3)
+    latr, lngr = np.radians(lat), np.radians(lng)
+    xyz = E._geo_to_vec3d(latr, lngr)
+    dots = xyz @ E._FACE_CENTER_XYZ.T
+    o = np.argsort(-dots, axis=1)
+    f1, f2 = o[:, 0], o[:, 1]
+    gap = dots[np.arange(len(f1)), f1] - dots[np.arange(len(f1)), f2]
+    m = gap < 5e-6
+    assert m.sum() > 50
+    h1, ok1 = E._encode_on_face(f1[m], latr[m], lngr[m], 5, tab)
+    h2, ok2 = E._encode_on_face(f2[m], latr[m], lngr[m], 5, tab)
+    ok = ok1 & ok2
+    assert ok.mean() > 0.99
+    assert (h1[ok] == h2[ok]).mean() > 0.97
+
+
+def test_parent_chain_mostly_consistent():
+    # encode(p, 9) rolled up to res 7 agrees with encode(p, 7) away from
+    # cell boundaries (exact nesting is impossible: aperture-7 children
+    # overhang their parent; real H3 shows the same effect)
+    lng, lat = _sphere_sample(20_000, seed=17)
+    h9 = E.lnglat_to_cell(lng, lat, 9)
+    h7 = E.lnglat_to_cell(lng, lat, 7)
+    p7 = np.array([H.parent_py(int(x), 7) for x in h9.tolist()], dtype=np.uint64)
+    assert (p7 == h7).mean() > 0.9
+
+
+def test_scalar_and_signed_forms():
+    h = E.latlng_to_cell_py(53.55, 9.95, 8)
+    arr = E.lnglat_to_cell(np.array([9.95]), np.array([53.55]), 8)
+    assert int(arr[0]) == h
+    signed = E.to_signed(arr)
+    assert signed.dtype == np.int64
+    assert signed[0] == np.uint64(h).astype(np.int64)
+
+
+def test_spark_cell_h3_column(spark):
+    from pyspark.sql import functions as F
+
+    from simple_osm_queries_spark.functions import cells as C
+
+    pdf = pd.DataFrame(
+        {"lon": [-122.0553238, 9.95, 151.2], "lat": [37.3615593, 53.55, -33.85]}
+    )
+    rows = (
+        spark.createDataFrame(pdf)
+        .select(C.cell_h3(F.col("lon"), F.col("lat"), 5).alias("h"))
+        .collect()
+    )
+    got = [np.int64(r.h).astype(np.uint64) for r in rows]
+    assert int(got[0]) == 0x85283473FFFFFFF
+    expect = [
+        E.latlng_to_cell_py(la, lo, 5)
+        for lo, la in zip(pdf["lon"], pdf["lat"])
+    ]
+    assert [int(g) for g in got] == expect
+
+
+def test_is_valid_column_matches_python(spark):
+    # includes pentagon leading-K cases, which the column form now enforces
+    from pyspark.sql import functions as F
+
+    ids = []
+    # valid + invalid constructions across base cells incl. pentagons
+    for bc in [0, 4, 14, 60, 117, 121]:
+        for digits in [(0, 0), (1, 0), (0, 1), (2, 5)]:
+            h = (1 << 59) | (2 << 52) | (bc << 45) | H._digits_mask(3)
+            h |= digits[0] << H._digit_shift(1)
+            h |= digits[1] << H._digit_shift(2)
+            ids.append(h)
+    ids += [0, 1 << 63, (1 << 59) | (125 << 45)]
+    pdf = pd.DataFrame({"h": np.array(ids, dtype=np.uint64).view(np.int64)})
+    rows = (
+        spark.createDataFrame(pdf)
+        .select("h", H.is_valid(F.col("h")).alias("v"))
+        .collect()
+    )
+    for r in rows:
+        expect = H.is_valid_py(int(np.int64(r.h).astype(np.uint64)))
+        assert bool(r.v) == expect, hex(np.int64(r.h).astype(np.uint64))
+
+
+@pytest.mark.skipif(not HAVE_REAL_H3, reason="real h3 library not installed")
+def test_parity_with_real_h3():  # pragma: no cover - requires h3
+    lng, lat = _sphere_sample(5_000, seed=23)
+    for res in (0, 1, 5, 9):
+        ours = E.lnglat_to_cell(lng, lat, res)
+        theirs = np.array(
+            [
+                int(real_h3.str_to_int(real_h3.latlng_to_cell(la, lo, res)))
+                if hasattr(real_h3, "str_to_int")
+                else int(real_h3.latlng_to_cell(la, lo, res), 16)
+                for lo, la in zip(lng, lat)
+            ],
+            dtype=np.uint64,
+        )
+        assert (ours == theirs).mean() > 0.9999
