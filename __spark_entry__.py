@@ -183,6 +183,58 @@ SQL_POINTS = f"SELECT doc_id AS id, {SQL_LON} AS lon, {SQL_LAT} AS lat FROM docu
 # --- OSM query-language entries -------------------------------------------------
 
 
+def _dyadic_emb_col() -> F.Column:
+    """64-dim dyadic-rational embedding synthesized from vec_id: component
+    j = (((vec_id*73 + j*31 + (vec_id*j) % 7) % 33) - 16) / 16.0. Exact k/16
+    values make every dot product / norm-square an exact multiple of 1/256 —
+    IEEE sums are then order-independent, so DuckDB reproduces hyperplane-LSH
+    sign bits and cosines bit-for-bit (the fixture that upgrades
+    dedup_embedding / similarity_ann from rows-only to full SQL checks)."""
+    v = F.col("vec_id")
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda j: (((v * 73 + j * 31 + (v * j) % 7) % 33) - 16).cast("double")
+        / F.lit(16.0),
+    )
+
+
+# dyadic embedding + hyperplane signature pipeline, shared by the two
+# embedding-LSH oracles. Planes are the same seeded +/-1 matrix the Spark
+# operator draws (inlined as sign strings, like the minhash permutation
+# table); everything else is recomputed from scratch in SQL.
+def _embedding_lsh_sql_prefix() -> str:
+    import numpy as np
+
+    planes = np.random.RandomState(42).choice([-1.0, 1.0], size=(32, 64))
+    plane_rows = ", ".join(
+        "(%d, '%s')" % (b, "".join("+" if w > 0 else "-" for w in planes[b]))
+        for b in range(32)
+    )
+    return f"""
+WITH dims AS (SELECT j FROM range(64) t(j)),
+emb AS (
+  SELECT vec_id, j,
+         ((((vec_id*73 + j*31 + (vec_id*j) % 7) % 33) - 16) / 16.0) AS x
+  FROM embeddings CROSS JOIN dims
+),
+planes AS (SELECT * FROM (VALUES {plane_rows}) p(b, s)),
+dots AS (
+  SELECT e.vec_id, p.b,
+         sum(CASE WHEN substr(p.s, CAST(e.j+1 AS INTEGER), 1) = '+'
+                  THEN e.x ELSE -e.x END) AS d
+  FROM emb e CROSS JOIN planes p GROUP BY e.vec_id, p.b
+),
+sigs AS (
+  SELECT vec_id,
+         sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS sig
+  FROM dots GROUP BY vec_id
+),
+bands AS (
+  SELECT vec_id, c, (sig >> CAST(c*8 AS INTEGER)) & 255 AS val
+  FROM sigs CROSS JOIN range(4) t(c)
+)"""
+
+
 def _osm(qtext: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         ds = _derived_dataset(spark, sf_dir)
@@ -582,12 +634,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return dedup.simhash_near_dups(docs, max_hamming=3, word_hash="md5")
 
-    def q_embed_dup(spark, sf_dir):  # rows-only (LSH candidates)
-        # short 8-bit bands: the gate threshold (0.3) is a LOOSE similarity,
-        # which needs high per-band collision prob for recall; production
-        # defaults (16-bit bands) target near-dup thresholds at corpus scale
-        embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        return dedup.embedding_near_dups(embs, threshold=0.3, sig_bits=32, chunks=4)
+    def q_embed_dup(spark, sf_dir):
+        # SQL-checked: dyadic-rational embeddings synthesized from vec_id
+        # (components k/16, so every dot product / norm-square is an exact
+        # multiple of 1/256 — summation-order-independent, hence the
+        # hyperplane sign bits and cosines are bit-identical in DuckDB).
+        # ~231 distinct vectors over 500 ids plant real duplicate groups.
+        # The production path over real float32 embeddings is pytest-covered
+        # (test_dedup.py::test_embedding_near_dups*).
+        embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id")
+        d = embs.select("vec_id", _dyadic_emb_col().alias("embedding"))
+        return dedup.embedding_near_dups(d, threshold=0.9, sig_bits=32, chunks=4)
 
     def q_phash(spark, sf_dir):
         # synthetic perceptual hashes: doc groups of 8 share all high bits,
@@ -652,10 +709,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         return res.withColumn("rank", F.row_number().over(w)).select("vec_id", "rank")
 
-    def q_sim_ann(spark, sf_dir):  # rows-only (LSH recall is probabilistic)
-        embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        qvec = embs.filter(F.col("vec_id") == 0).first().embedding
-        return similarity.cosine_topk_ann(embs, qvec, k=10, dim=64, chunks=8)
+    def q_sim_ann(spark, sf_dir):
+        # SQL-checked: dyadic embeddings (see dedup_embedding) make the LSH
+        # candidate set deterministic and DuckDB-reproducible; query vector
+        # is the vec_id=0 row of the same synthesis.
+        from pyspark.sql import Window
+
+        embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id")
+        d = embs.select("vec_id", _dyadic_emb_col().alias("embedding"))
+        qvec = [((j * 31) % 33 - 16) / 16.0 for j in range(64)]
+        res = similarity.cosine_topk_ann(d, qvec, k=10, dim=64, sig_bits=32, chunks=4)
+        w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        return res.withColumn("rank", F.row_number().over(w)).select("vec_id", "rank")
 
     def q_sim_ivf(spark, sf_dir):
         # IVF in the EXACT configuration (nprobe == nlist): the whole
@@ -1157,6 +1222,47 @@ FROM scored ORDER BY rank LIMIT 10
 """
     # IVF at nprobe == nlist is exact: same brute-force oracle
     o["similarity_ivf_exact"] = o["similarity_topk"]
+
+    # embedding LSH twins over the dyadic fixture: signatures, band buckets,
+    # candidate join and exact cosine verify all recomputed in SQL
+    _lsh = _embedding_lsh_sql_prefix()
+    o["dedup_embedding"] = f"""{_lsh},
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b ON a.c = b.c AND a.val = b.val AND a.vec_id < b.vec_id
+),
+pd AS (
+  SELECT c.id_a, c.id_b,
+         sum(ea.x*eb.x) AS d, sum(ea.x*ea.x) AS na2, sum(eb.x*eb.x) AS nb2
+  FROM cand c
+  JOIN emb ea ON ea.vec_id = c.id_a
+  JOIN emb eb ON eb.vec_id = c.id_b AND eb.j = ea.j
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b, d/(sqrt(na2)*sqrt(nb2)) AS cosine
+FROM pd WHERE d/(sqrt(na2)*sqrt(nb2)) >= CAST(0.9 AS DOUBLE)
+"""
+    o["similarity_ann"] = f"""{_lsh},
+qb AS (SELECT c, val FROM bands WHERE vec_id = 0),
+cands AS (
+  SELECT DISTINCT b2.vec_id
+  FROM bands b2 JOIN qb ON b2.c = qb.c AND b2.val = qb.val
+),
+scored AS (
+  SELECT e.vec_id,
+         sum(e.x*q.x) AS d, sum(e.x*e.x) AS n2, sum(q.x*q.x) AS q2
+  FROM emb e
+  JOIN emb q ON q.vec_id = 0 AND q.j = e.j
+  WHERE e.vec_id IN (SELECT vec_id FROM cands)
+  GROUP BY e.vec_id
+)
+SELECT vec_id, rank FROM (
+  SELECT vec_id,
+         row_number() OVER (
+           ORDER BY d/(sqrt(n2)*sqrt(q2)) DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
     return o
 
 
