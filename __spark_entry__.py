@@ -365,8 +365,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         pts = _derived_points(spark, sf_dir)
         os.makedirs("/tmp/soq_pbf_gate", exist_ok=True)
-        key = sf_dir.strip("/").replace("/", "_")
-        # v2: writer switched to half-up quantization — key the cache by it
+        # key the cache by the INPUT's content fingerprint (mtime + size of
+        # documents.parquet), not just the directory path: regenerating the
+        # same sf_dir must invalidate the fixture, or pbf_scan would compare
+        # stale data against a fresh oracle. v2 = half-up quantization.
+        st = os.stat(f"{sf_dir}/documents.parquet")
+        key = (
+            f"{sf_dir.strip('/').replace('/', '_')}"
+            f".{int(st.st_mtime_ns)}.{st.st_size}"
+        )
         path = f"/tmp/soq_pbf_gate/{key}.v2.osm.pbf"
         if not os.path.exists(path):
             # .collect() here is fixture WRITING (driver-side encoder by
@@ -389,6 +396,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["pbf_scan"] = q_pbf
+
+    # S7': GeoParquet round-trip — write the derived points through the WKB
+    # sink, read them back through the WKB decoder, return exact coords.
+    # The oracle recomputes lon/lat directly from documents, so any
+    # corruption in the WKB encode/decode or the geo metadata path breaks
+    # the hash. Fresh temp dir per run (500 rows at gate scale — trivial).
+    def q_geoparquet(spark, sf_dir):
+        import tempfile
+
+        from simple_osm_queries_spark.sources import geoparquet as G
+
+        pts = _derived_points(spark, sf_dir).select("id", "lon", "lat")
+        out = tempfile.mkdtemp(prefix="soq_geoparquet_gate_")
+        G.write_geoparquet(pts, out, mode="overwrite")
+        return G.read_geoparquet(spark, out)
+
+    q["geoparquet_roundtrip"] = q_geoparquet
 
     # H3 index bit-algebra over synthesized REAL-layout H3 ids: build a
     # valid res-9 cell per doc (digits 2..6 -> pentagon-safe), roll up to
@@ -1222,6 +1246,12 @@ FROM scored ORDER BY rank LIMIT 10
 """
     # IVF at nprobe == nlist is exact: same brute-force oracle
     o["similarity_ivf_exact"] = o["similarity_topk"]
+
+    # geoparquet_roundtrip: coordinates recomputed straight from documents —
+    # independent of the WKB encode/decode under test
+    o["geoparquet_roundtrip"] = (
+        f"SELECT doc_id AS id, {SQL_LON} AS lon, {SQL_LAT} AS lat FROM documents"
+    )
 
     # embedding LSH twins over the dyadic fixture: signatures, band buckets,
     # candidate join and exact cosine verify all recomputed in SQL

@@ -19,10 +19,13 @@ Physical shapes:
 * node<->node — equi-join on a buffer-sized grid key with ring-1 expansion
   (shuffle-hash/broadcast on the cell key; exact: grid size >= D ensures a
   point's 3x3 neighborhood covers its whole buffer disk);
-* node<->way (either direction) — broadcast the filtered way side with
-  expanded-bbox candidate predicate, then the exact segment-distance refine
-  (ways-after-filter is the small dim in every realistic query; for a huge
-  way side, pre-bucket ways by vertex cells like the reference's storage).
+* node<->way / way<->way — strategy by inner-side size: broadcast the
+  filtered way side with an expanded-bbox candidate predicate (small dim,
+  one pass), or bucket both sides onto a D-sized grid and equi-join on the
+  cell key (big dim — the Spark analogue of the reference routing ways into
+  every cell they touch, grid_writer.go:90-252). The bucketed candidate
+  shuffle carries ids + bboxes only; node arrays join back for the exact
+  segment-distance refine. No broadcast nested loop at any size.
 """
 
 from __future__ import annotations
@@ -119,15 +122,75 @@ def within_buffer_node_node(
     )
 
 
+DEFAULT_BUCKET_DEG = 0.01  # ~1.1 km: bounds per-way cell fan-out for
+# typical way extents; tune cell_deg to the data's P90 bbox size at scale
+
+
+def _grid_sizes(buffer_m: float, ref_lat: float, cell_deg: float | None) -> tuple[float, float]:
+    """(s_lon, s_lat) bucket sizes in degrees. The cell must be at least the
+    buffer at every data latitude (so a D-pad covers the whole disk) and at
+    least ``cell_deg`` (so a tiny buffer does not shatter way bboxes into
+    millions of cells — fan-out per way is (extent/cell + 2)^2)."""
+    floor = DEFAULT_BUCKET_DEG if cell_deg is None else cell_deg
+    s_lat = max(buffer_m / M_PER_DEG, floor)
+    s_lon = max(buffer_m / (M_PER_DEG * math.cos(math.radians(ref_lat))), floor)
+    return s_lon, s_lat
+
+
+def _bbox_cells_col(
+    min_lon: Column,
+    min_lat: Column,
+    max_lon: Column,
+    max_lat: Column,
+    s_lon: float,
+    s_lat: float,
+    pad_lon: Column | None = None,
+    pad_lat: Column | None = None,
+) -> Column:
+    """array<long> of packed grid cells covering a (padded) bbox. cell_x/y
+    truncate toward zero but stay monotone, so the [cell(min), cell(max)]
+    sequence is a correct cover."""
+    zero = F.lit(0.0)
+    plon = pad_lon if pad_lon is not None else zero
+    plat = pad_lat if pad_lat is not None else zero
+    xs = F.sequence(C.cell_x(min_lon - plon, s_lon), C.cell_x(max_lon + plon, s_lon))
+    ys = F.sequence(C.cell_y(min_lat - plat, s_lat), C.cell_y(max_lat + plat, s_lat))
+    return F.flatten(
+        F.transform(xs, lambda x: F.transform(ys, lambda y: C.pack_cell(x, y)))
+    )
+
+
+def _resolve_strategy(inner: DataFrame, strategy: str, broadcast_threshold: int) -> str:
+    """'auto' counts the (filtered) inner side up to the threshold: small
+    dims broadcast (one pass, no shuffle), big ones take the bucketed
+    equi-join (the 100x-scale plan — a BNLJ over a fat inner side is the one
+    plan we refuse to ship)."""
+    if strategy != "auto":
+        return strategy
+    n = inner.limit(broadcast_threshold + 1).count()
+    return "broadcast" if n <= broadcast_threshold else "bucketed"
+
+
 def within_buffer_node_way(
-    nodes: DataFrame, ways: DataFrame, buffer_m: float, output: str = "node"
+    nodes: DataFrame,
+    ways: DataFrame,
+    buffer_m: float,
+    output: str = "node",
+    strategy: str = "auto",
+    broadcast_threshold: int = 100_000,
+    ref_lat: float = 70.0,
+    cell_deg: float | None = None,
 ) -> DataFrame:
     """Ids of nodes with a way within buffer_m (output='node'), or ids of
     ways with a node within buffer_m (output='way').
 
     ``ways`` must carry (id, nodes, min_lon, min_lat, max_lon, max_lat).
-    The way side (post-filter) is broadcast with D-expanded bbox candidates;
-    the exact refine is the column-math point-to-polyline distance.
+    Physical strategy: broadcast (small filtered way side: D-expanded bbox
+    candidate predicate + exact refine in one pass) or bucketed (big way
+    side: ways explode to the grid cells of their D-expanded bbox, nodes to
+    their own cell, equi-join on cell, pair-distinct on ids only, then the
+    exact point-to-polyline refine on joined-back geometry). 'auto' picks by
+    counting the way side against ``broadcast_threshold``.
     """
     d_lat = buffer_m / M_PER_DEG
     w = ways.select(
@@ -139,18 +202,49 @@ def within_buffer_node_way(
         "max_lat",
     )
     pt = nodes.select(F.col("id").alias("nid"), "lon", "lat")
-    d_lon = F.lit(buffer_m) / (F.lit(M_PER_DEG) * F.cos(F.radians(F.col("lat"))))
-    cand = (
-        (F.col("lon") >= F.col("min_lon") - d_lon)
-        & (F.col("lon") <= F.col("max_lon") + d_lon)
-        & (F.col("lat") >= F.col("min_lat") - F.lit(d_lat))
-        & (F.col("lat") <= F.col("max_lat") + F.lit(d_lat))
-    )
+    out_col = "nid" if output == "node" else "wid"
     exact = point_to_way_dist2_m(F.col("lon"), F.col("lat"), F.col("wnodes")) <= F.lit(
         float(buffer_m) ** 2
     )
-    matched = pt.join(F.broadcast(w), cand & exact, "inner")
-    out_col = "nid" if output == "node" else "wid"
+
+    if _resolve_strategy(w, strategy, broadcast_threshold) == "broadcast":
+        d_lon = F.lit(buffer_m) / (F.lit(M_PER_DEG) * F.cos(F.radians(F.col("lat"))))
+        cand = (
+            (F.col("lon") >= F.col("min_lon") - d_lon)
+            & (F.col("lon") <= F.col("max_lon") + d_lon)
+            & (F.col("lat") >= F.col("min_lat") - F.lit(d_lat))
+            & (F.col("lat") <= F.col("max_lat") + F.lit(d_lat))
+        )
+        matched = pt.join(F.broadcast(w), cand & exact, "inner")
+        return matched.select(F.col(out_col).alias("id")).distinct()
+
+    # bucketed: equi-join on a D-sized grid key; candidate shuffle carries
+    # only (nid, wid, cell) — geometry joins back for the refine
+    s_lon, s_lat = _grid_sizes(buffer_m, ref_lat, cell_deg)
+    d_lon_w = F.lit(buffer_m) / (
+        F.lit(M_PER_DEG)
+        * F.cos(F.radians(F.greatest(F.abs(F.col("min_lat")), F.abs(F.col("max_lat")))))
+    )
+    w_cells = w.select(
+        "wid",
+        F.explode(
+            _bbox_cells_col(
+                F.col("min_lon"), F.col("min_lat"),
+                F.col("max_lon"), F.col("max_lat"),
+                s_lon, s_lat,
+                pad_lon=d_lon_w, pad_lat=F.lit(d_lat),
+            )
+        ).alias("cell"),
+    )
+    n_cells = pt.select(
+        "nid", C.pack_cell(C.cell_x(F.col("lon"), s_lon), C.cell_y(F.col("lat"), s_lat)).alias("cell")
+    )
+    cand_ids = n_cells.join(w_cells, "cell").select("nid", "wid").distinct()
+    matched = (
+        cand_ids.join(pt, "nid")
+        .join(w.select("wid", "wnodes"), "wid")
+        .filter(exact)
+    )
     return matched.select(F.col(out_col).alias("id")).distinct()
 
 
@@ -227,15 +321,26 @@ def way_pair_within_m(nodes_a: Column, nodes_b: Column, buffer_m: float) -> Colu
 
 
 def within_buffer_way_way(
-    outer_ways: DataFrame, inner_ways: DataFrame, buffer_m: float
+    outer_ways: DataFrame,
+    inner_ways: DataFrame,
+    buffer_m: float,
+    strategy: str = "auto",
+    broadcast_threshold: int = 100_000,
+    ref_lat: float = 70.0,
+    cell_deg: float | None = None,
 ) -> DataFrame:
     """Outer way ids having >=1 (distinct) inner way within buffer_m meters.
 
-    Same physical shape as node<->way: the filtered inner side broadcasts
-    with a D-expanded bbox-overlap candidate predicate; the exact refine is
-    the column-math segment-pair distance (0 on crossings). The bbox lon
-    expansion uses the pair's worst-case |lat| so candidates stay a superset
-    at every latitude.
+    Physical strategy:
+    * broadcast (small filtered inner side) — D-expanded bbox-overlap
+      candidate predicate on a broadcast nested loop, exact segment-pair
+      refine (0 on crossings) in the same pass. The bbox lon expansion uses
+      the pair's worst-case |lat| so candidates stay a superset everywhere.
+    * bucketed (big inner side) — both sides explode their bbox to D-sized
+      grid cells (inner side D-padded), equi-join on cell with the bbox
+      overlap prefilter, pair-distinct on ids only, then geometry joins back
+      for the exact refine. All equi-joins — no BNLJ at any size.
+    'auto' counts the inner side against ``broadcast_threshold``.
     """
     o = outer_ways.select(
         F.col("id"),
@@ -265,12 +370,57 @@ def within_buffer_way_way(
         & (F.col("o_min_lat") - F.lit(d_lat) <= F.col("i_max_lat"))
         & (F.col("o_max_lat") + F.lit(d_lat) >= F.col("i_min_lat"))
     )
-    return (
-        o.join(F.broadcast(i), cand, "inner")
-        .filter(
-            (F.col("id") != F.col("iid"))
-            & way_pair_within_m(F.col("onodes"), F.col("inodes"), buffer_m)
+
+    if _resolve_strategy(i, strategy, broadcast_threshold) == "broadcast":
+        return (
+            o.join(F.broadcast(i), cand, "inner")
+            .filter(
+                (F.col("id") != F.col("iid"))
+                & way_pair_within_m(F.col("onodes"), F.col("inodes"), buffer_m)
+            )
+            .select("id")
+            .distinct()
         )
+
+    # bucketed: equi-join on D-sized grid cells. The candidate shuffle
+    # carries ids + bboxes (6 scalars), never the node arrays; geometry
+    # joins back onto the deduplicated (id, iid) pairs for the refine.
+    s_lon, s_lat = _grid_sizes(buffer_m, ref_lat, cell_deg)
+    i_pad_lon = F.lit(buffer_m) / (
+        F.lit(M_PER_DEG)
+        * F.cos(F.radians(F.greatest(F.abs(F.col("i_min_lat")), F.abs(F.col("i_max_lat")))))
+    )
+    i_cells = i.select(
+        "iid", "i_min_lon", "i_min_lat", "i_max_lon", "i_max_lat",
+        F.explode(
+            _bbox_cells_col(
+                F.col("i_min_lon"), F.col("i_min_lat"),
+                F.col("i_max_lon"), F.col("i_max_lat"),
+                s_lon, s_lat,
+                pad_lon=i_pad_lon, pad_lat=F.lit(d_lat),
+            )
+        ).alias("cell"),
+    )
+    o_cells = o.select(
+        "id", "o_min_lon", "o_min_lat", "o_max_lon", "o_max_lat",
+        F.explode(
+            _bbox_cells_col(
+                F.col("o_min_lon"), F.col("o_min_lat"),
+                F.col("o_max_lon"), F.col("o_max_lat"),
+                s_lon, s_lat,
+            )
+        ).alias("cell"),
+    )
+    cand_ids = (
+        o_cells.join(i_cells, "cell")
+        .filter(cand & (F.col("id") != F.col("iid")))
+        .select("id", "iid")
+        .distinct()
+    )
+    return (
+        cand_ids.join(o.select("id", "onodes"), "id")
+        .join(i.select("iid", "inodes"), "iid")
+        .filter(way_pair_within_m(F.col("onodes"), F.col("inodes"), buffer_m))
         .select("id")
         .distinct()
     )

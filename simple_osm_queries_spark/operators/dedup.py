@@ -664,6 +664,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, comp) for every node in ``pairs`` — comp = min id reachable.
 
@@ -673,19 +674,47 @@ def connected_components(
     round each node takes the min of (its own label, its neighbors' labels,
     its label's label) — the jump halves label-chain depth, so convergence
     is O(log diameter) rounds instead of O(diameter) (a 10^6-node chain
-    needs ~20 rounds, not 10^6). Two equi-joins + one groupBy per round;
-    rounds localCheckpoint eagerly so lineage stays flat.
+    needs ~20 rounds, not 10^6). Two equi-joins + one groupBy per round,
+    checkpointed eagerly so lineage stays flat.
+
+    Durability: by default rounds use ``localCheckpoint`` (blocks live on
+    executors — fine single-node / interactive, but a lost executor kills
+    the job mid-iteration on a real cluster). Pass ``checkpoint_dir`` (an
+    HDFS/object-store path at scale) to use reliable ``checkpoint()``
+    instead — each round persists to storage and survives executor loss.
+    Superseded rounds are unpersisted as soon as the next round
+    materializes, so storage stays O(1) rounds, not O(log diameter).
+
+    Raises RuntimeError if labels still change after ``max_iter`` rounds
+    (2^25-diameter coverage at the default — a hit means pathological input
+    that must not silently return half-propagated components).
     """
+    spark = pairs.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    def _free(df: DataFrame) -> None:
+        # DataFrame.unpersist() only clears cache-manager entries; a
+        # checkpointed frame's blocks belong to the wrapped LogicalRDD —
+        # reach it through the analyzed plan and unpersist that RDD
+        try:
+            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:  # pragma: no cover — plan shape drift: leak, don't crash
+            df.unpersist()
+
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-    edges = e.unionByName(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint()
-    labels = (
+    edges = _ckpt(e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))))
+    labels = _ckpt(
         edges.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .localCheckpoint()
     )
+    changed = -1
     for _ in range(max_iter):
         prop = (
             edges.join(labels, edges["a"] == labels["node"])
@@ -697,13 +726,12 @@ def connected_components(
             .join(labels.alias("l2"), F.col("l1.comp") == F.col("l2.node"))
             .select(F.col("l1.node").alias("node"), F.col("l2.comp").alias("comp"))
         )
-        new_labels = (
+        new_labels = _ckpt(
             labels.select("node", "comp")
             .unionByName(prop)
             .unionByName(jump)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -712,9 +740,20 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # round N materialized (checkpoint was eager): round N-1's blocks
+        # are dead weight — drop them now instead of leaking one copy of the
+        # label table per round
+        _free(labels)
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"(pointer jumping covers diameter ~2^{max_iter}); refusing to "
+            "return partially propagated labels"
+        )
+    _free(edges)
     return labels
 
 

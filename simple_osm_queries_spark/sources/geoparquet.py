@@ -57,18 +57,37 @@ def _geo_metadata(geom_types: list[str], bbox: list[float]) -> bytes:
     ).encode()
 
 
-def write_geoparquet(result: DataFrame, path: str) -> None:
+def write_geoparquet(result: DataFrame, path: str, mode: str = "error") -> None:
     """Write a query-result DataFrame as a GeoParquet dataset directory.
 
     Input rows carry either (lon, lat) point geometry or a way `nodes`
     array (struct lon/lat) — the engine's node/way output shapes; all other
     columns pass through as properties. Each task writes one spec-complete
     file; readers take the directory like any parquet dataset.
+
+    Commit protocol (task retries and speculative execution are routine at
+    cluster scale): file names derive from the deterministic partition id,
+    each attempt writes to a temp name and os.replace()s into place — a
+    retried task atomically overwrites its predecessor instead of leaving a
+    duplicate part that readers would silently double-count. A non-empty
+    target directory is refused unless mode="overwrite" (which clears
+    previous part files first).
     """
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     os.makedirs(path, exist_ok=True)
+    leftovers = [
+        f for f in os.listdir(path) if f.endswith(".parquet") or f == "_SUCCESS"
+    ]
+    if leftovers:
+        if mode != "overwrite":
+            raise FileExistsError(
+                f"{path} already holds {len(leftovers)} dataset files; pass "
+                "mode='overwrite' to replace them"
+            )
+        for f in leftovers:
+            os.remove(os.path.join(path, f))
     cols = result.columns
     has_nodes = "nodes" in cols
     passthrough = [
@@ -76,8 +95,12 @@ def write_geoparquet(result: DataFrame, path: str) -> None:
     ]
 
     def write_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
         rows_written = 0
-        fname = os.path.join(path, f"part-{uuid.uuid4().hex}.parquet")
+        pid = TaskContext.get().partitionId()
+        fname = os.path.join(path, f"part-{pid:05d}.parquet")
+        tmpname = os.path.join(path, f".part-{pid:05d}.{uuid.uuid4().hex}.tmp")
         tables = []
         geom_types: set[str] = set()
         bbox = [180.0, 90.0, -180.0, -90.0]
@@ -120,10 +143,100 @@ def write_geoparquet(result: DataFrame, path: str) -> None:
             table = pa.concat_tables(tables)
             meta = dict(table.schema.metadata or {})
             meta[b"geo"] = _geo_metadata(sorted(geom_types), bbox)
-            pq.write_table(table.replace_schema_metadata(meta), fname)
+            pq.write_table(table.replace_schema_metadata(meta), tmpname)
+            os.replace(tmpname, fname)  # atomic commit: retries overwrite
         yield pd.DataFrame({"file": [fname], "rows": [rows_written]})
 
     report = result.mapInPandas(write_part, "file string, rows long")
     total = report.agg(F.sum("rows")).first()[0] or 0
     with open(os.path.join(path, "_SUCCESS"), "w") as f:
         f.write(str(total))
+
+
+# ---------------------------------------------------------------------------
+# read path — external GeoParquet datasets enter the engine
+# ---------------------------------------------------------------------------
+
+
+def geoparquet_metadata(path: str) -> dict:
+    """The `geo` file metadata of a GeoParquet dataset (first footer)."""
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        f for f in os.listdir(path) if f.endswith(".parquet") and not f.startswith(".")
+    )
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path}")
+    meta = pq.read_schema(os.path.join(path, files[0])).metadata or {}
+    if b"geo" not in meta:
+        raise ValueError(f"{path} is parquet but carries no `geo` metadata")
+    return json.loads(meta[b"geo"])
+
+
+def read_geoparquet(spark, path: str) -> DataFrame:
+    """Read a GeoParquet dataset back into the engine's geometry shapes.
+
+    WKB Points decode to (lon, lat) double columns; WKB LineStrings to a
+    ``nodes`` array<struct<lon,lat>> — the same shapes the query planner
+    emits, so external GeoParquet data plugs into bbox/tag/kNN/buffer
+    operators directly. Non-geometry columns pass through. Decoding is an
+    Arrow-batched pandas UDF (numpy slicing; both WKB byte orders).
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    geo = geoparquet_metadata(path)
+    gcol = geo.get("primary_column", "geometry")
+    gtypes = set(geo["columns"][gcol].get("geometry_types") or [])
+    df = spark.read.parquet(path)
+    other = [c for c in df.columns if c != gcol]
+
+    def _decode_point(wkb: bytes) -> tuple[float, float]:
+        order = "<" if wkb[0] == 1 else ">"
+        x, y = struct.unpack(order + "dd", wkb[5:21])
+        return float(x), float(y)
+
+    if gtypes <= {"Point"}:
+        @F.pandas_udf(T.StructType([
+            T.StructField("lon", T.DoubleType()),
+            T.StructField("lat", T.DoubleType()),
+        ]))
+        def _pts(col: pd.Series) -> pd.DataFrame:
+            n = len(col)
+            if n and all(len(b) == 21 and b[0] == 1 for b in col):
+                # vectorized little-endian fast path (our own writer's shape)
+                buf = b"".join(col)
+                rec = np.frombuffer(
+                    buf,
+                    dtype=np.dtype([("e", "u1"), ("t", "<u4"), ("x", "<f8"), ("y", "<f8")]),
+                )
+                return pd.DataFrame({"lon": rec["x"], "lat": rec["y"]})
+            pts = [_decode_point(b) for b in col]
+            return pd.DataFrame(
+                {"lon": [p[0] for p in pts], "lat": [p[1] for p in pts]}
+            )
+
+        dec = df.select(*other, _pts(F.col(gcol)).alias("__pt"))
+        return dec.select(*other, F.col("__pt.lon").alias("lon"), F.col("__pt.lat").alias("lat"))
+
+    @F.pandas_udf(T.ArrayType(T.StructType([
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+    ])))
+    def _lines(col: pd.Series) -> pd.Series:
+        out = []
+        for b in col:
+            order = "<" if b[0] == 1 else ">"
+            (gtype,) = struct.unpack(order + "I", b[1:5])
+            if gtype == 1:  # Point in a mixed dataset
+                x, y = struct.unpack(order + "dd", b[5:21])
+                out.append([{"lon": float(x), "lat": float(y)}])
+                continue
+            (n,) = struct.unpack(order + "I", b[5:9])
+            coords = np.frombuffer(b, dtype=order + "f8", count=2 * n, offset=9)
+            out.append(
+                [{"lon": float(coords[2 * i]), "lat": float(coords[2 * i + 1])} for i in range(n)]
+            )
+        return pd.Series(out)
+
+    return df.select(*other, _lines(F.col(gcol)).alias("nodes"))

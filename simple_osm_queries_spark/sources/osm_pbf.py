@@ -6,7 +6,8 @@ public (OSM wiki "PBF Format", fileformat.proto / osmformat.proto):
 
     file   := { int32_be len | BlobHeader(len) | Blob(header.datasize) }*
     BlobHeader: 1=type(string) 2=indexdata(bytes) 3=datasize(int32)
-    Blob:       1=raw(bytes) 2=raw_size(int32) 3=zlib_data(bytes)
+    Blob:       2=raw_size(int32); data oneof: 1=raw 3=zlib 4=lzma
+                5=bzip2(obsolete) 6=lz4 7=zstd
     OSMHeader blob  -> HeaderBlock (required_features etc.)
     OSMData blob    -> PrimitiveBlock:
         1=stringtable(StringTable: 1=s repeated bytes)
@@ -101,9 +102,16 @@ def _decode_packed(buf: memoryview, signed: bool, delta: bool = False) -> np.nda
     if raw.size == 0:
         return np.empty(0, dtype=np.int64)
     ends = np.flatnonzero((raw & 0x80) == 0)
+    if ends.size == 0 or ends[-1] != raw.size - 1:
+        raise ValueError("truncated packed varint (missing terminator byte)")
     starts = np.empty_like(ends)
     starts[0] = 0
     starts[1:] = ends[:-1] + 1
+    # a valid 64-bit varint is <= 10 bytes; a longer group would shift by
+    # >= 64, which numpy (like x86) wraps mod 64 — corrupt input must raise,
+    # not silently decode to garbage coordinates
+    if int((ends - starts).max()) > 9:
+        raise ValueError("malformed varint longer than 10 bytes")
     pos_in_group = np.arange(raw.size, dtype=np.uint64) - np.repeat(
         starts.astype(np.uint64), ends - starts + 1
     )
@@ -152,17 +160,38 @@ def scan_blob_index(path: str) -> list[tuple[str, int, int]]:
 
 
 def _decompress_blob(data: bytes) -> bytes:
-    raw, zdata = None, None
-    for field, _wire, val in _iter_fields(memoryview(data)):
-        if field == 1:
-            raw = bytes(val)
-        elif field == 3:
-            zdata = bytes(val)
-    if raw is not None:
-        return raw
-    if zdata is not None:
-        return zlib.decompress(zdata)
-    raise ValueError("blob has neither raw nor zlib_data (unsupported codec)")
+    """Blob payload -> raw block bytes. Codecs per the OSMPBF Blob message:
+    raw (1), zlib (3), lzma (4), obsolete bzip2 (5), lz4 (6), zstd (7).
+    zlib/lzma/bzip2 are stdlib; zstd needs the optional ``zstandard``
+    module (newer planet extracts use it); lz4 needs ``lz4``."""
+    fields = {f: bytes(v) for f, _w, v in _iter_fields(memoryview(data)) if f != 2}
+    if 1 in fields:
+        return fields[1]
+    if 3 in fields:
+        return zlib.decompress(fields[3])
+    if 4 in fields:
+        import lzma
+
+        return lzma.decompress(fields[4])
+    if 5 in fields:
+        import bz2
+
+        return bz2.decompress(fields[5])
+    if 7 in fields:
+        try:
+            import zstandard  # type: ignore
+        except ImportError as e:  # pragma: no cover - module availability
+            raise ValueError(
+                "blob is zstd-compressed; pip install zstandard to read it"
+            ) from e
+        return zstandard.ZstdDecompressor().decompress(fields[7])
+    if 6 in fields:
+        try:
+            import lz4.frame  # type: ignore
+        except ImportError as e:  # pragma: no cover
+            raise ValueError("blob is lz4-compressed; pip install lz4") from e
+        return lz4.frame.decompress(fields[6])
+    raise ValueError("blob carries no known codec field (raw/zlib/lzma/bzip2/lz4/zstd)")
 
 
 # ---------------------------------------------------------------------------
@@ -452,9 +481,22 @@ class _StringTable:
         return b"".join(_enc_field_bytes(1, s.encode("utf-8")) for s in self.strings)
 
 
-def _blob(block: bytes) -> bytes:
-    zdata = zlib.compress(block)
-    return _enc_field_varint(2, len(block)) + _enc_field_bytes(3, zdata)
+def _blob(block: bytes, compression: str = "zlib") -> bytes:
+    if compression == "zlib":
+        field, payload = 3, zlib.compress(block)
+    elif compression == "raw":
+        field, payload = 1, block
+    elif compression == "lzma":
+        import lzma
+
+        field, payload = 4, lzma.compress(block)
+    elif compression == "zstd":
+        import zstandard  # type: ignore
+
+        field, payload = 7, zstandard.ZstdCompressor().compress(block)
+    else:
+        raise ValueError(f"unsupported compression {compression!r}")
+    return _enc_field_varint(2, len(block)) + _enc_field_bytes(field, payload)
 
 
 def _framed(btype: str, blob: bytes) -> bytes:
@@ -463,7 +505,8 @@ def _framed(btype: str, blob: bytes) -> bytes:
 
 
 def write_osm_pbf(path: str, nodes=None, ways=None, relations=None,
-                  entities_per_block: int = 8000) -> None:
+                  entities_per_block: int = 8000,
+                  compression: str = "zlib") -> None:
     """Encode (nodes, ways, relations) row-iterables into `path`.
 
     Row shapes match the read side: nodes (id, lon, lat, tags),
@@ -476,7 +519,7 @@ def write_osm_pbf(path: str, nodes=None, ways=None, relations=None,
     header_block = (
         _enc_field_bytes(4, b"OsmSchema-V0.6") + _enc_field_bytes(4, b"DenseNodes")
     )
-    chunks = [_framed("OSMHeader", _blob(header_block))]
+    chunks = [_framed("OSMHeader", _blob(header_block, compression))]
 
     def block_of(groups: list[bytes], st: _StringTable) -> bytes:
         body = _enc_field_bytes(1, st.encode())
@@ -507,7 +550,7 @@ def write_osm_pbf(path: str, nodes=None, ways=None, relations=None,
             + _enc_packed(9, lons, zigzag=True, delta=True)
             + _enc_packed(10, kv, zigzag=False)
         )
-        chunks.append(_framed("OSMData", _blob(block_of([_enc_field_bytes(2, dense)], st))))
+        chunks.append(_framed("OSMData", _blob(block_of([_enc_field_bytes(2, dense)], st), compression)))
 
     ways = list(ways or [])
     for i in range(0, len(ways), entities_per_block):
@@ -520,7 +563,7 @@ def write_osm_pbf(path: str, nodes=None, ways=None, relations=None,
             msg += _enc_packed(3, [st.get(v) for v in (tags or {}).values()], zigzag=False)
             msg += _enc_packed(8, list(node_ids), zigzag=True, delta=True)
             group += _enc_field_bytes(3, msg)
-        chunks.append(_framed("OSMData", _blob(block_of([bytes(group)], st))))
+        chunks.append(_framed("OSMData", _blob(block_of([bytes(group)], st), compression)))
 
     relations = list(relations or [])
     for i in range(0, len(relations), entities_per_block):
@@ -536,7 +579,7 @@ def write_osm_pbf(path: str, nodes=None, ways=None, relations=None,
             msg += _enc_packed(9, memids, zigzag=True, delta=True)
             msg += _enc_packed(10, types, zigzag=False)
             group += _enc_field_bytes(4, msg)
-        chunks.append(_framed("OSMData", _blob(block_of([bytes(group)], st))))
+        chunks.append(_framed("OSMData", _blob(block_of([bytes(group)], st), compression)))
 
     with open(path, "wb") as f:
         for c in chunks:

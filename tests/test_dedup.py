@@ -294,3 +294,44 @@ def test_near_dup_survivors(docs):
     )
     # component {0,1,2,6} keeps 0; {3,4} keeps 3; 5 and 7 untouched
     assert kept == [0, 3, 5, 7]
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    # same fixture through the checkpoint(reliable) path: identical labels,
+    # and the checkpoint dir actually receives data
+    pairs = [(i, i + 1) for i in range(0, 30)] + [(200, 201), (300, 302), (301, 302)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    ckdir = str(tmp_path / "cc_ckpt")
+    got = {
+        r.node: r.comp
+        for r in dedup.connected_components(df, checkpoint_dir=ckdir).collect()
+    }
+    assert got == _uf_components(pairs)
+    import os
+
+    found = [f for _, _, fs in os.walk(ckdir) for f in fs]
+    assert found, "reliable checkpoint wrote nothing"
+
+
+def test_connected_components_unpersists_rounds(spark):
+    # superseded rounds must release their storage: after convergence only
+    # O(1) label/edge tables may remain cached (not one per round)
+    jsc = spark.sparkContext._jsc.sc()
+    before = len(jsc.getRDDStorageInfo())
+    pairs = [(i, i + 1) for i in range(0, 30)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    labels = dedup.connected_components(df)
+    labels.count()
+    after = len(jsc.getRDDStorageInfo())
+    # the returned labels table itself stays materialized; everything else
+    # from ~8 rounds (edges + per-round labels) must be gone
+    assert after - before <= 2, f"leaked {after - before} cached RDDs"
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    pairs = [(i, i + 1) for i in range(0, 40)]  # needs ~6 rounds
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(df, max_iter=2)

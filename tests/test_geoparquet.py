@@ -84,3 +84,50 @@ def test_duckdb_spatial_reads_it_if_available(spark, dataset, tmp_path):
         f"WHERE ST_GeometryType(ST_GeomFromWKB(geometry)) = 'POINT'"
     ).fetchone()[0]
     assert n == res.count()
+
+
+def test_read_geoparquet_points_round_trip(spark, dataset, tmp_path):
+    out = str(tmp_path / "pts")
+    res = run_query("bbox(9.90, 53.50, 10.10, 53.70).nodes{ amenity=* }", dataset)
+    G.write_geoparquet(res.select("id", "lon", "lat"), out)
+    back = G.read_geoparquet(spark, out)
+    assert set(back.columns) == {"id", "lon", "lat"}
+    orig = {r.id: (r.lon, r.lat) for r in res.select("id", "lon", "lat").collect()}
+    got = {r.id: (r.lon, r.lat) for r in back.collect()}
+    assert got == orig
+
+
+def test_read_geoparquet_lines_round_trip(spark, dataset, tmp_path):
+    out = str(tmp_path / "lines")
+    res = run_query("bbox(9.90, 53.50, 10.10, 53.70).ways{ highway=* }", dataset)
+    G.write_geoparquet(res.select("id", "nodes"), out)
+    back = G.read_geoparquet(spark, out)
+    assert set(back.columns) == {"id", "nodes"}
+    orig = {
+        r.id: [(n.lon, n.lat) for n in r.nodes]
+        for r in res.select("id", "nodes").collect()
+    }
+    got = {r.id: [(n.lon, n.lat) for n in r.nodes] for r in back.collect()}
+    assert got == orig
+
+
+def test_write_refuses_nonempty_dir_and_overwrites(spark, dataset, tmp_path):
+    import os
+
+    import pytest as _pytest
+
+    out = str(tmp_path / "twice")
+    res = run_query("bbox(9.90, 53.50, 10.10, 53.70).nodes{ amenity=* }", dataset)
+    df = res.select("id", "lon", "lat")
+    G.write_geoparquet(df, out)
+    files1 = sorted(f for f in os.listdir(out) if f.endswith(".parquet"))
+    with _pytest.raises(FileExistsError):
+        G.write_geoparquet(df, out)
+    G.write_geoparquet(df, out, mode="overwrite")
+    files2 = sorted(f for f in os.listdir(out) if f.endswith(".parquet"))
+    # deterministic partition-derived names: same file set, no duplicates
+    assert files1 == files2
+    assert all(f.startswith("part-") for f in files2)
+    assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
+    n = G.read_geoparquet(spark, out).count()
+    assert n == df.count()

@@ -274,3 +274,40 @@ def test_pbf_roundtrip_hypothesis(tmp_path):
             assert abs(lon - wlon) <= 5.1e-10 and abs(lat - wlat) <= 5.1e-10
 
     check()
+
+
+@pytest.mark.parametrize("codec", ["lzma", "raw"])
+def test_compression_codecs_round_trip(tmp_path, codec):
+    nodes = [(i, 9.0 + i * 1e-6, 53.0 + i * 1e-6, {"k": f"v{i}"}) for i in range(50)]
+    path = str(tmp_path / f"{codec}.osm.pbf")
+    P.write_osm_pbf(path, nodes=nodes, compression=codec)
+    (_, off, size), = [b for b in P.scan_blob_index(path) if b[0] == "OSMData"]
+    got = P.decode_blob_at(path, off, size)[0]
+    assert [(g[0], g[3]) for g in got] == [(n[0], n[3]) for n in nodes]
+    assert got[0][1] == pytest.approx(9.0, abs=1e-9)
+
+
+def test_zstd_codec_round_trip(tmp_path):
+    pytest.importorskip("zstandard")
+    nodes = [(1, 2.0, 3.0, {"a": "b"})]  # pragma: no cover - needs zstandard
+    path = str(tmp_path / "z.osm.pbf")
+    P.write_osm_pbf(path, nodes=nodes, compression="zstd")
+    (_, off, size), = [b for b in P.scan_blob_index(path) if b[0] == "OSMData"]
+    assert P.decode_blob_at(path, off, size)[0][0][0] == 1
+
+
+def test_unknown_codec_blob_raises():
+    # a blob carrying only an unknown field must raise, not return garbage
+    blob = P._enc_field_varint(2, 10) + P._enc_field_bytes(9, b"xxxx")
+    with pytest.raises(ValueError, match="no known codec"):
+        P._decompress_blob(blob)
+
+
+def test_malformed_varint_raises():
+    # 11 continuation bytes -> shift >= 64 must raise, not wrap mod 64
+    bad = bytes([0x80] * 10 + [0x01])
+    with pytest.raises(ValueError, match="longer than 10 bytes"):
+        P._decode_packed(memoryview(bad), signed=False)
+    # truncated stream (ends mid-varint) must raise too
+    with pytest.raises(ValueError, match="truncated"):
+        P._decode_packed(memoryview(bytes([0x96, 0x81])), signed=False)
