@@ -626,8 +626,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.max("n_events").alias("max_session_events"),
         )
 
+    # batch mirror of the STREAMING sessionizer's semantics: closed sessions
+    # only (without an event-time timeout the last session per key stays
+    # open forever), double epoch-second bounds like the stateful operator
+    # emits. Pins streaming/batch parity in the driver gate, not just pytest.
+    def q_session_closed(spark, sf_dir):
+        from pyspark.sql import Window
+
+        from simple_osm_queries_spark.operators import temporal
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "user_id", F.col("ts").cast("timestamp").cast("double").alias("tsd")
+        )
+        stats = temporal.session_stats(ev, "user_id", "tsd", gap_seconds=3600)
+        w = Window.partitionBy("user_id")
+        return (
+            stats.withColumn("mx", F.max("session_id").over(w))
+            .filter(F.col("session_id") < F.col("mx"))
+            .select(
+                "user_id",
+                F.col("session_id").cast("long").alias("session_id"),
+                "n_events",
+                "session_start",
+                "session_end",
+            )
+        )
+
     q["asof_join"] = q_asof
     q["sessionize"] = q_sessions
+    q["session_closed"] = q_session_closed
 
     # dedup family
     def q_dedup_exact(spark, sf_dir):
@@ -1051,6 +1078,29 @@ SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
        CAST(sum(n) AS BIGINT) AS total_events,
        CAST(max(n) AS BIGINT) AS max_session_events
 FROM per_session GROUP BY 1
+"""
+
+    o["session_closed"] = """
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 3600 THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+), sessions AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps
+), per_s AS (
+  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(min(epoch(ts)) AS DOUBLE) AS session_start,
+         CAST(max(epoch(ts)) AS DOUBLE) AS session_end
+  FROM sessions GROUP BY user_id, session_id
+)
+SELECT user_id, session_id, n_events, session_start, session_end
+FROM (SELECT *, max(session_id) OVER (PARTITION BY user_id) AS mx FROM per_s)
+WHERE session_id < mx
 """
 
     # candidate generation is pigeonhole-complete for hamming <= chunks-1,

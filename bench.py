@@ -167,6 +167,83 @@ def run_headline(spark, points_dir: str) -> tuple[dict, dict]:
     return timings, cold
 
 
+def _ensure_dedup_inputs(spark, n_docs: int, n_emb: int) -> tuple[str, str]:
+    """Deterministic 1M-scale dedup fixtures, materialized once per size:
+    docs (~20 words, planted triplet near-dups via a shared word seed) and
+    unit-free 64-d embeddings (pure function of id — no rand(), so the
+    fixture is identical across runs/partitionings)."""
+    ddir = f"/tmp/soq_bench_docs_{n_docs}"
+    edir = f"/tmp/soq_bench_embs_{n_emb}"
+    if not os.path.exists(os.path.join(ddir, "_SUCCESS")):
+        seed = F.col("id") - F.col("id") % 3  # thirds share a word seed
+        # murmur3 word choice: an arithmetic progression here made every
+        # text a shifted copy of one global sequence (measured: 2.5M
+        # accidental LSH pairs at 50k docs and a non-converging component
+        # graph); hashing keeps cross-group jaccard ~0
+        words = F.transform(
+            F.sequence(F.lit(0), F.lit(19)),
+            lambda j: F.concat(F.lit("w"), F.pmod(F.hash(seed, j), F.lit(5000)).cast("string")),
+        )
+        tail = F.concat(F.lit("t"), (F.col("id") % 3).cast("string"))
+        docs = spark.range(n_docs).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.array_join(words, " "), F.lit(" "), tail).alias("text"),
+        )
+        docs.repartition(CPUS * 2).write.mode("overwrite").parquet(ddir)
+    if not os.path.exists(os.path.join(edir, "_SUCCESS")):
+        # murmur3 per (id, j): well-distributed directions (a smooth formula
+        # like sin(a*id + b*j) collapses ids onto a 1-D manifold, which
+        # floods LSH buckets with near-identical vectors — measured: minutes
+        # of candidate verify at 20k rows)
+        emb = F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda j: (F.hash(F.col("id"), j) / F.lit(2147483648.0)).cast("float"),
+        )
+        embs = spark.range(n_emb).select(
+            F.col("id").alias("vec_id"), emb.alias("embedding")
+        )
+        embs.repartition(CPUS * 2).write.mode("overwrite").parquet(edir)
+    return ddir, edir
+
+
+def run_dedup_block(spark) -> dict:
+    """The dedup/ANN family at 1M-row scale, timed single-shot per round
+    (BENCH_r{N} diffs catch LSH regressions — this suite found the 8-bit
+    band OOM in round 2). Sizes via SPARK_GRAFT_DEDUP_DOCS/_EMBS."""
+    n_docs = int(os.environ.get("SPARK_GRAFT_DEDUP_DOCS", "1000000"))
+    n_emb = int(os.environ.get("SPARK_GRAFT_DEDUP_EMBS", "250000"))
+    ddir, edir = _ensure_dedup_inputs(spark, n_docs, n_emb)
+    docs = spark.read.parquet(ddir)
+    embs = spark.read.parquet(edir)
+    out: dict[str, float] = {"n_docs": n_docs, "n_embeddings": n_emb}
+
+    def one(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        out[name] = round(time.time() - t0, 3)
+        print(f"[dedup_1m] {name}: {out[name]}s", file=sys.stderr, flush=True)
+
+    one("exact", lambda: dedup.exact_dup_groups(docs, "doc_id", "text").count())
+    one("minhash_lsh", lambda: dedup.minhash_near_dups(docs, threshold=0.5).count())
+    one("simhash", lambda: dedup.simhash_near_dups(docs, max_hamming=3).count())
+    one(
+        "embedding_near_dups",
+        lambda: dedup.embedding_near_dups(
+            embs, id_col="vec_id", vec_col="embedding", threshold=0.95
+        ).count(),
+    )
+    pairs = dedup.minhash_near_dups(docs, threshold=0.5).select("id_a", "id_b")
+    one("components", lambda: dedup.connected_components(pairs).count())
+
+    def _ivf():
+        index, cents = similarity.ivf_index(embs, nlist=32, iters=2)
+        qvec = embs.filter(F.col("vec_id") == 0).first().embedding
+        similarity.cosine_topk_ivf(index, cents, qvec, k=10, nprobe=4).collect()
+
+    one("ivf_train_probe", _ivf)
+    return out
+
+
 def main() -> None:
     # maxPartitionBytes sized to the input: at the default 128MB the ~200MB
     # bench table packs into ~4 file splits, capping every scan stage at
@@ -227,6 +304,11 @@ def main() -> None:
             "queries_quarter": qt,
         }
 
+    # dedup/ANN family at 1M-row scale (skippable for quick iterations)
+    dedup_1m = None
+    if os.environ.get("SPARK_GRAFT_DEDUP_BLOCK", "1") != "0":
+        dedup_1m = run_dedup_block(spark)
+
     print(
         json.dumps(
             {
@@ -241,6 +323,7 @@ def main() -> None:
                 "headline_throughput_rows_per_sec": throughput,
                 "cold_sec": cold,
                 "data_scaling": data_scaling,
+                "dedup_1m": dedup_1m,
             }
         )
     )
@@ -259,6 +342,7 @@ def scaling_main() -> None:
             SPARK_GRAFT_CPUS=str(cores),
             SPARK_GRAFT_BENCH_N=str(BENCH_N),
             SPARK_GRAFT_DATA_SCALING="0",  # cores-scaling runs skip the data pair
+            SPARK_GRAFT_DEDUP_BLOCK="0",  # ...and the dedup block
         )
         out = subprocess.run(
             [sys.executable, __file__], env=env, capture_output=True, text=True, check=True

@@ -130,3 +130,88 @@ def test_iceberg_backend_requires_table_name(spark, tmp_path, dataset):
             dataset.nodes, str(tmp_path / "x"), input_fingerprint="f",
             backend="iceberg",
         )
+
+
+def test_iceberg_write_band_branches(monkeypatch):
+    """Mock-level drive of the Iceberg DSv2 branch logic: first touch
+    creates the table partitioned by cell_x, subsequent bands dynamic-
+    overwrite their partitions (live round-trip is skip-documented while
+    the runtime jar is absent)."""
+    from simple_osm_queries_spark.index import build as B
+
+    calls = []
+
+    class FakeWriter:
+        def partitionedBy(self, col):
+            calls.append(("partitionedBy", str(col)))
+            return self
+
+        def create(self):
+            calls.append(("create",))
+
+        def overwritePartitions(self):
+            calls.append(("overwritePartitions",))
+
+    class FakeDF:
+        def writeTo(self, table):
+            calls.append(("writeTo", table))
+            return FakeWriter()
+
+    class FakeCatalog:
+        def __init__(self, exists):
+            self._exists = exists
+
+        def tableExists(self, table):
+            return self._exists
+
+    class FakeSpark:
+        def __init__(self, exists):
+            self.catalog = FakeCatalog(exists)
+
+    B._iceberg_write_band(FakeSpark(False), FakeDF(), "soq_iceberg.db.t")
+    assert calls == [
+        ("writeTo", "soq_iceberg.db.t"),
+        ("partitionedBy", "Column<'cell_x'>"),
+        ("create",),
+    ]
+    calls.clear()
+    B._iceberg_write_band(FakeSpark(True), FakeDF(), "soq_iceberg.db.t")
+    assert calls == [("writeTo", "soq_iceberg.db.t"), ("overwritePartitions",)]
+
+
+def test_iceberg_changed_input_drops_table(spark, tmp_path, monkeypatch):
+    """backend='iceberg' + changed input fingerprint must DROP the table
+    before rewriting (overwritePartitions only replaces partitions present
+    in the new input — stale cell_x partitions would otherwise survive)."""
+    from simple_osm_queries_spark.functions import cells as C
+    from simple_osm_queries_spark.index import build as B
+
+    df = spark.range(50).select(
+        F.col("id"),
+        (F.col("id") % 5).cast("int").alias("cell_x"),
+        (F.col("id") % 7).cast("int").alias("cell_y"),
+        (F.col("id") * 0.001).alias("lat"),
+    )
+    out = str(tmp_path / "idx")
+    band_calls = []
+    monkeypatch.setattr(
+        B, "_iceberg_write_band", lambda s, d, t: band_calls.append(t)
+    )
+    sqls = []
+    orig_sql = type(spark).sql
+    monkeypatch.setattr(
+        type(spark), "sql", lambda self, q, *a, **k: sqls.append(q)
+    )
+    try:
+        B.build_index(df, out, "fp-1", backend="iceberg", iceberg_table="soq_iceberg.db.t")
+        assert band_calls and not [s for s in sqls if "DROP TABLE" in s]
+        band_calls.clear()
+        # same fingerprint: manifests short-circuit, no writes, no drop
+        B.build_index(df, out, "fp-1", backend="iceberg", iceberg_table="soq_iceberg.db.t")
+        assert not band_calls and not [s for s in sqls if "DROP TABLE" in s]
+        # changed fingerprint: wipe + DROP TABLE + full rewrite
+        B.build_index(df, out, "fp-2", backend="iceberg", iceberg_table="soq_iceberg.db.t")
+        assert band_calls
+        assert [s for s in sqls if "DROP TABLE IF EXISTS soq_iceberg.db.t" in s]
+    finally:
+        monkeypatch.setattr(type(spark), "sql", orig_sql)

@@ -125,3 +125,32 @@ def test_ivf_ann(spark):
     cents2 = S.ivf_train_centroids(df, nlist=8, iters=3)
     assert np.array_equal(cents, cents2)
     df.unpersist(); index.unpersist()
+
+
+def test_ivf_recall_floor_many_queries(spark):
+    """Pinned IVF quality floor: mean recall@10 over 10 query points at
+    nprobe = nlist/4 on a deterministic clustered fixture."""
+    import numpy as np
+    from simple_osm_queries_spark.operators import similarity as S
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(8, 32) * 4
+    rows = [
+        (i, [float(x) for x in centers[i % 8] + rng.randn(32) * 0.3])
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    index, cents = S.ivf_index(df, nlist=8, iters=3)
+    index = index.cache()
+    recalls = []
+    for qi in range(10):
+        qvec = [float(x) for x in centers[qi % 8] + rng.randn(32) * 0.3]
+        truth = {r.vec_id for r in S.cosine_topk(df, qvec, k=10).collect()}
+        approx = {
+            r.vec_id
+            for r in S.cosine_topk_ivf(index, cents, qvec, k=10, nprobe=2).collect()
+        }
+        recalls.append(len(truth & approx) / 10)
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+    index.unpersist()
+    df.unpersist()
