@@ -235,6 +235,229 @@ bands AS (
 )"""
 
 
+# Global pentagon-avoiding test coordinates synthesized from doc_id —
+# integer arithmetic, so both engines see bit-identical doubles. Hits many
+# icosahedron faces and inter-face rotations (unlike the Hamburg window).
+H3E_LON_SQL = "((doc_id * 7919) % 36000) / 100.0 - 180.0 + 0.005"
+H3E_LAT_SQL = "((doc_id * 104729) % 12000) / 100.0 - 60.0 + 0.005"
+H3E_RES = 8  # class II at projection time (no aperture-7 theta adjust)
+H3E_PARENT = 5
+
+
+def _h3_encode_rollup_sql() -> str:
+    """DuckDB twin of the ENTIRE from-scratch H3 encoder at res 8 (rolled up
+    to res-5 parents): face selection, gnomonic projection, hex rounding,
+    the 8-level aperture-7 digit walk and the canonical hexagon rotations
+    are all recomputed in SQL. The 20-row face table and the derived
+    380-slot base-cell table are inlined as VALUES (shared constants, same
+    status as the minhash permutation table); pentagon base cells are
+    excluded symmetrically on both sides (their deleted-K-axis branch stays
+    pytest-covered: tests/test_h3_encode.py)."""
+    import numpy as np
+
+    from simple_osm_queries_spark.functions import h3 as H
+    from simple_osm_queries_spark.functions import h3_encode as E
+
+    tab = E._tables()
+    faces = ", ".join(
+        f"({f}, {E.FACE_CENTER_GEO[f,0]!r}, {E.FACE_CENTER_GEO[f,1]!r}, "
+        f"{E.FACE_AXES_AZ_I[f]!r})"
+        for f in range(20)
+    )
+    slots = []
+    for f in range(20):
+        for i in range(3):
+            for j in range(3):
+                for k in range(3):
+                    bc = int(tab["fijk_bc"][f, i, j, k])
+                    if bc >= 0:
+                        slots.append(
+                            f"({f},{i},{j},{k},{bc},{int(tab['fijk_rot'][f,i,j,k])})"
+                        )
+    slot_rows = ", ".join(slots)
+    two_pi = repr(2 * np.pi)
+    sin60 = repr(E.M_SIN60)
+    res0u = repr(E.RES0_U_GNOMONIC)
+    sqrt7 = repr(E.M_SQRT7)
+    pent = ",".join(str(b) for b in sorted(H.PENTAGON_BASE_CELLS))
+    res = H3E_RES
+
+    def lround(x: str) -> str:
+        return (
+            f"CAST(CASE WHEN ({x}) >= 0 THEN floor(({x}) + 0.5) "
+            f"ELSE ceil(({x}) - 0.5) END AS BIGINT)"
+        )
+
+    # the 8 aperture-7 up-steps, each extracting one digit (finest first).
+    # class III (odd) levels step ccw (_up_ap7), class II cw (_up_ap7r);
+    # the level's digit is the normalized diff against the down-projected
+    # parent center.
+    steps_sql = []
+    prev = "hex"
+    for n in range(res, 0, -1):
+        class3 = n % 2 == 1
+        if class3:
+            ni = lround("(3*(i - k) - (j - k)) / 7.0")
+            nj = lround("((i - k) + 2*(j - k)) / 7.0")
+            down = "(3*nni + nnj) AS ci, (3*nnj + nnk) AS cj, (nni + 3*nnk) AS ck"
+        else:
+            ni = lround("(2*(i - k) + (j - k)) / 7.0")
+            nj = lround("(3*(j - k) - (i - k)) / 7.0")
+            down = "(3*nni + nnk) AS ci, (nni + 3*nnj) AS cj, (nnj + 3*nnk) AS ck"
+        carried = ", ".join(f"d{m}" for m in range(res, n, -1))
+        carried = (carried + ", ") if carried else ""
+        steps_sql.append(f"""
+u{n} AS (
+  SELECT id, f, {carried}i, j, k,
+         ni - least(ni, nj, 0) AS nni, nj - least(ni, nj, 0) AS nnj,
+         0 - least(ni, nj, 0) AS nnk
+  FROM (SELECT *, {ni} AS ni, {nj} AS nj FROM {prev})
+), c{n} AS (
+  SELECT id, f, {carried}i, j, k, nni, nnj, nnk, {down}
+  FROM u{n}
+), w{n} AS (
+  SELECT id, f, {carried}
+         nni AS i, nnj AS j, nnk AS k,
+         4*((i - ci) - least(i - ci, j - cj, k - ck))
+         + 2*((j - cj) - least(i - ci, j - cj, k - ck))
+         + ((k - ck) - least(i - ci, j - cj, k - ck)) AS d{n}
+  FROM c{n}
+)""")
+        prev = f"w{n}"
+
+    digit_cols = ", ".join(f"d{m}" for m in range(res, 0, -1))
+
+    # hexagon digit rotation by `rot` ccw steps via the 60-degree angle
+    # representation (I=0, IJ=1, J=2, JK=3, K=4, IK=5; center fixed)
+    def rot_digit(d: str) -> str:
+        a = (
+            f"(CASE {d} WHEN 4 THEN 0 WHEN 6 THEN 1 WHEN 2 THEN 2 "
+            f"WHEN 3 THEN 3 WHEN 1 THEN 4 WHEN 5 THEN 5 END + rot) % 6"
+        )
+        return (
+            f"CASE WHEN {d} = 0 THEN 0 ELSE "
+            f"(CASE ({a}) WHEN 0 THEN 4 WHEN 1 THEN 6 WHEN 2 THEN 2 "
+            f"WHEN 3 THEN 3 WHEN 4 THEN 1 WHEN 5 THEN 5 END) END"
+        )
+
+    parent_base = (1 << 59) | (H3E_PARENT << 52)
+    seven_fill = H._digits_mask(H3E_PARENT + 1)
+    rotated = ", ".join(
+        f"({rot_digit(f'd{m}')}) AS r{m}" for m in range(1, H3E_PARENT + 1)
+    )
+    assemble = " + ".join(
+        f"CAST(r{m} AS BIGINT) * {1 << H._digit_shift(m)}"
+        for m in range(1, H3E_PARENT + 1)
+    )
+    scale = "*" + "*".join([sqrt7] * res)
+
+    return f"""
+WITH pts AS (SELECT doc_id AS id, {H3E_LON_SQL} AS lon, {H3E_LAT_SQL} AS lat
+             FROM documents),
+faces AS (SELECT * FROM (VALUES {faces}) t(f, flat, flng, faz)),
+fx AS (SELECT f, flat, flng, faz,
+              cos(flat)*cos(flng) AS cx, cos(flat)*sin(flng) AS cy,
+              sin(flat) AS cz
+       FROM faces),
+pv AS (SELECT id, radians(lat) AS la, radians(lon) AS lo,
+              cos(radians(lat))*cos(radians(lon)) AS vx,
+              cos(radians(lat))*sin(radians(lon)) AS vy,
+              sin(radians(lat)) AS vz
+       FROM pts),
+sel AS (
+  SELECT * FROM (
+    SELECT pv.*, fx.*,
+           row_number() OVER (PARTITION BY id
+                              ORDER BY vx*cx+vy*cy+vz*cz DESC, f ASC) AS rn
+    FROM pv CROSS JOIN fx) WHERE rn = 1),
+geo AS (
+  SELECT id, f,
+    acos(least(greatest(
+      1 - ((vx-cx)*(vx-cx) + (vy-cy)*(vy-cy) + (vz-cz)*(vz-cz))/2,
+      -1.0), 1.0)) AS r,
+    atan2(cos(la)*sin(lo - flng),
+          cos(flat)*sin(la) - sin(flat)*cos(la)*cos(lo - flng)) AS az,
+    faz
+  FROM sel),
+theta AS (
+  SELECT id, f, r,
+    (CASE WHEN t1 < 0 THEN t1 + {two_pi}
+          WHEN t1 >= {two_pi} THEN t1 - {two_pi} ELSE t1 END) AS th
+  FROM (
+    SELECT id, f, r,
+      faz - (CASE WHEN az < 0 THEN az + {two_pi}
+                  WHEN az >= {two_pi} THEN az - {two_pi} ELSE az END) AS t1
+    FROM geo)),
+xy AS (
+  SELECT id, f,
+    CASE WHEN r < 1e-16 THEN 0.0
+         ELSE tan(r) / {res0u} {scale} * cos(th) END AS hx,
+    CASE WHEN r < 1e-16 THEN 0.0
+         ELSE tan(r) / {res0u} {scale} * sin(th) END AS hy
+  FROM theta),
+hexr AS (
+  SELECT id, f, hx, hy,
+    abs(hx) + (abs(hy) / {sin60}) / 2.0 AS x1,
+    abs(hy) / {sin60} AS x2
+  FROM xy),
+hexm AS (
+  SELECT *, CAST(floor(x1) AS BIGINT) AS m1, CAST(floor(x2) AS BIGINT) AS m2,
+         x1 - floor(x1) AS r1, x2 - floor(x2) AS r2
+  FROM hexr),
+hexij AS (
+  SELECT id, f, hx, hy,
+    CASE
+      WHEN r1 < 0.5 AND r1 < 1.0/3.0 THEN m1
+      WHEN r1 < 0.5 AND NOT (r1 < 1.0/3.0) THEN
+        CASE WHEN (1.0 - r1) <= r2 AND r2 < 2.0*r1 THEN m1 + 1 ELSE m1 END
+      WHEN NOT (r1 < 0.5) AND r1 < 2.0/3.0 THEN
+        CASE WHEN 2.0*r1 - 1.0 < r2 AND r2 < 1.0 - r1 THEN m1 ELSE m1 + 1 END
+      ELSE m1 + 1 END AS bi,
+    CASE
+      WHEN r1 < 0.5 AND r1 < 1.0/3.0 THEN
+        CASE WHEN r2 < (1.0 + r1)/2.0 THEN m2 ELSE m2 + 1 END
+      WHEN r1 < 0.5 AND NOT (r1 < 1.0/3.0) THEN
+        CASE WHEN r2 < (1.0 - r1) THEN m2 ELSE m2 + 1 END
+      WHEN NOT (r1 < 0.5) AND r1 < 2.0/3.0 THEN
+        CASE WHEN r2 < (1.0 - r1) THEN m2 ELSE m2 + 1 END
+      ELSE CASE WHEN r2 < r1/2.0 THEN m2 ELSE m2 + 1 END END AS bj
+  FROM hexm),
+hexfold AS (
+  SELECT id, f,
+    CASE WHEN hx < 0.0 THEN
+      CASE WHEN bj % 2 = 0 THEN bi - 2*(bi - bj//2)
+           ELSE bi - (2*(bi - (bj+1)//2) + 1) END
+    ELSE bi END AS fi,
+    bj, hy
+  FROM hexij),
+hexneg AS (
+  SELECT id, f,
+    CASE WHEN hy < 0.0 THEN fi - (2*bj + 1)//2 ELSE fi END AS gi,
+    CASE WHEN hy < 0.0 THEN -bj ELSE bj END AS gj
+  FROM hexfold),
+hex AS (
+  SELECT id, f,
+    gi - least(gi, gj, 0) AS i,
+    gj - least(gi, gj, 0) AS j,
+    0 - least(gi, gj, 0) AS k
+  FROM hexneg),
+{",".join(steps_sql)},
+bcj AS (
+  SELECT w1.id, {digit_cols}, s.bc, s.rot
+  FROM w1 JOIN (VALUES {slot_rows}) s(f, i, j, k, bc, rot)
+    ON w1.f = s.f AND w1.i = s.i AND w1.j = s.j AND w1.k = s.k
+),
+nopent AS (SELECT * FROM bcj WHERE bc NOT IN ({pent})),
+rotd AS (SELECT id, bc, {rotated} FROM nopent),
+cells AS (
+  SELECT id,
+    CAST({parent_base} AS BIGINT) + CAST(bc AS BIGINT) * {1 << 45}
+    + {assemble} + {seven_fill} AS parent
+  FROM rotd)
+SELECT parent, count(*) AS n FROM cells GROUP BY parent
+"""
+
+
 def _osm(qtext: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         ds = _derived_dataset(spark, sf_dir)
@@ -437,6 +660,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["h3_rollup"] = q_h3_rollup
+
+    # THE ENCODER ITSELF, gate-checked: from-scratch H3 encode at res 8 of
+    # global synthetic coordinates (many faces, many inter-face rotations),
+    # rolled up to res-5 parents. The oracle recomputes the whole encode in
+    # SQL (_h3_encode_rollup_sql). Pentagon base cells excluded on both
+    # sides — their deleted-K-axis branch is pytest-covered.
+    def q_h3_encode_rollup(spark, sf_dir):
+        from simple_osm_queries_spark.functions import h3 as H
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+        lon = ((F.col("doc_id") * 7919) % 36000) / F.lit(100.0) - F.lit(180.0) + F.lit(0.005)
+        lat = ((F.col("doc_id") * 104729) % 12000) / F.lit(100.0) - F.lit(60.0) + F.lit(0.005)
+        cells = d.select(C.cell_h3(lon, lat, H3E_RES).alias("h"))
+        hexes = cells.filter(
+            ~H.base_cell(F.col("h")).isin(*sorted(H.PENTAGON_BASE_CELLS))
+        )
+        return (
+            hexes.select(H.parent(F.col("h"), H3E_PARENT).alias("parent"))
+            .groupBy("parent")
+            .agg(F.count("*").alias("n"))
+        )
+
+    q["h3_encode_rollup"] = q_h3_encode_rollup
 
     # A1: per-cell density (the import pass-1 histogram)
     def cell_count(spark, sf_dir):
@@ -838,6 +1084,7 @@ WITH parents AS (
 )
 SELECT parent, count(*) AS n FROM parents GROUP BY parent
 """
+    o["h3_encode_rollup"] = _h3_encode_rollup_sql()
 
     # osm_rel_*: derived relations (idx = doc_id//50). bbox intersection is
     # always true by construction (every member point lies inside the query
