@@ -684,6 +684,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["h3_encode_rollup"] = q_h3_encode_rollup
 
+    # S2 bit-algebra over synthesized REAL-layout S2 ids (level 20, all six
+    # faces — faces 4/5 exercise the bit-63/two's-complement path): roll up
+    # to level-10 parents with functions/s2.py::parent_id_col (pure JVM bit
+    # math). The oracle derives each parent arithmetically BY CONSTRUCTION
+    # (HUGEINT div/mul, no bit ops) — an independent derivation.
+    def q_s2_rollup(spark, sf_dir):
+        from simple_osm_queries_spark.functions import s2 as S2
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+        face = F.col("doc_id") % 6
+        bits = (F.col("doc_id") * 48271) % F.lit(1 << 40)
+        rest = bits * F.lit(1 << 21) + F.lit(1 << 20)
+        sid = (
+            F.when(face >= 4, (face - 8) * F.lit(1 << 61) + rest)
+            .otherwise(face * F.lit(1 << 61) + rest)
+            .cast("long")
+        )
+        cells = d.select(sid.alias("s2"))
+        return (
+            cells.select(S2.parent_id_col(F.col("s2"), 10).alias("parent"))
+            .groupBy("parent")
+            .agg(F.count("*").alias("n"))
+        )
+
+    q["s2_rollup"] = q_s2_rollup
+
     # A1: per-cell density (the import pass-1 histogram)
     def cell_count(spark, sf_dir):
         pts = _derived_points(spark, sf_dir)
@@ -1085,6 +1111,25 @@ WITH parents AS (
 SELECT parent, count(*) AS n FROM parents GROUP BY parent
 """
     o["h3_encode_rollup"] = _h3_encode_rollup_sql()
+
+    # s2_rollup: parents derived arithmetically in HUGEINT space (floor-div
+    # to clear the 41 low bits, + lsb), then folded to two's-complement —
+    # no bit operators, independent of parent_id_col's AND/OR math
+    o["s2_rollup"] = """
+WITH ids AS (
+  SELECT CAST(doc_id % 6 AS HUGEINT) AS face,
+         CAST((doc_id * 48271) % 1099511627776 AS HUGEINT) AS bits
+  FROM documents
+), u AS (
+  SELECT face * 2305843009213693952 + bits * 2097152 + 1048576 AS uid FROM ids
+), p AS (
+  SELECT (uid // 2199023255552) * 2199023255552 + 1099511627776 AS up FROM u
+)
+SELECT CAST(CASE WHEN up >= 9223372036854775808
+            THEN up - 18446744073709551616 ELSE up END AS BIGINT) AS parent,
+       count(*) AS n
+FROM p GROUP BY parent
+"""
 
     # osm_rel_*: derived relations (idx = doc_id//50). bbox intersection is
     # always true by construction (every member point lies inside the query

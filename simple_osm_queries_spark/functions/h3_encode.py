@@ -575,11 +575,59 @@ def _cw_offset_matrix():
     return m
 
 
+# bump when any constant table or derivation rule changes
+_TABLES_VERSION = "v1"
+
+
+def _tables_cache_path() -> str:
+    import os
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(), f"soq_h3_tables_{_TABLES_VERSION}.npz"
+    )
+
+
 def _tables():
+    """Derived tables, memoized in-process and cached on local disk so every
+    pandas-UDF worker process doesn't re-run the ~1.6 s derivation (the
+    pentagon consistency solve dominates). The cache is deterministic —
+    same constants -> same arrays — and is verified structurally on load."""
     global _DERIVED
-    if _DERIVED is None:
-        _DERIVED = _derive_tables()
-        _solve_pentagon_rotations(_DERIVED)
+    if _DERIVED is not None:
+        return _DERIVED
+    import os
+
+    path = _tables_cache_path()
+    if os.path.exists(path):
+        try:
+            z = np.load(path)
+            tab = {
+                "bc_lat": z["bc_lat"],
+                "bc_lng": z["bc_lng"],
+                "fijk_bc": z["fijk_bc"],
+                "fijk_rot": z["fijk_rot"],
+                "cw_offset": z["cw_offset"],
+            }
+            # structural spot-check: home slots must match the anchors
+            ok = all(
+                tab["fijk_bc"][f, i, j, k] == c
+                for c, (f, (i, j, k), _p, _cw) in enumerate(BASE_CELL_DATA)
+            )
+            if ok and tab["fijk_bc"].shape == (20, 3, 3, 3):
+                _DERIVED = tab
+                return _DERIVED
+        except Exception:  # pragma: no cover — corrupt cache: re-derive
+            pass
+    tab = _derive_tables()
+    _solve_pentagon_rotations(tab)
+    try:
+        tmp = f"{path}.{os.getpid()}.tmp"
+        np.savez(tmp, **tab)
+        os.replace(tmp + ".npz" if os.path.exists(tmp + ".npz") else tmp, path)
+    except Exception:  # pragma: no cover — read-only tmp: skip caching
+        pass
+    _DERIVED = tab
     return _DERIVED
 
 

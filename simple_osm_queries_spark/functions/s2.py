@@ -223,6 +223,42 @@ def contains(parent: np.ndarray, child: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# column forms (pure JVM bit math over signed-long ids, codegen-friendly)
+# ---------------------------------------------------------------------------
+
+
+def parent_id_col(cell, level: int):
+    """Spark column form of :func:`parent_id` over two's-complement longs.
+    ~(2*lsb - 1) == -2*lsb, so one AND + one OR; the sign-extended mask
+    keeps the face bits of faces 4/5 (bit 63) intact."""
+    from pyspark.sql import functions as F
+
+    lsb = 1 << (2 * (MAX_LEVEL - level))
+    return cell.bitwiseAND(F.lit(-2 * lsb)).bitwiseOR(F.lit(lsb))
+
+
+def lsb_col(cell):
+    """cell & -cell (trailing one bit)."""
+    from pyspark.sql import functions as F
+
+    return cell.bitwiseAND(-cell)
+
+
+def range_min_col(cell):
+    return cell - lsb_col(cell) + 1
+
+
+def range_max_col(cell):
+    return cell + lsb_col(cell) - 1
+
+
+def contains_col(parent, child):
+    """Signed comparisons are safe: a cell's range never leaves its face,
+    so min/child/max always share a sign."""
+    return (range_min_col(parent) <= child) & (child <= range_max_col(parent))
+
+
+# ---------------------------------------------------------------------------
 # public encode / decode
 # ---------------------------------------------------------------------------
 

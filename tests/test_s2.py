@@ -175,3 +175,38 @@ def test_face_axis_canonical_tie_order():
     # lon=45, lat=0: sin(pi/4) == cos(pi/4) in IEEE -> exact tie -> face 1
     if float(np.sin(np.radians(45.0))) == float(np.cos(np.radians(45.0))):
         assert int(s2.lnglat_to_cell([45.0], [0.0], 0)[0]) == (2 * 1 + 1) << 60
+
+
+def test_column_bit_algebra_matches_numpy(spark):
+    """parent_id_col / contains_col (signed-long JVM bit math) vs the numpy
+    forms, including faces 4/5 where bit 63 makes the long negative."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(42)
+    lon = rng.uniform(-180, 180, 200)
+    lat = np.degrees(np.arcsin(rng.uniform(-1, 1, 200)))
+    cells = s2.lnglat_to_cell(lon, lat, 20)
+    assert (s2.cell_level(cells) == 20).all()
+    signed = s2.to_signed(cells)
+    df = spark.createDataFrame(pd.DataFrame({"c": signed}))
+    rows = df.select(
+        "c",
+        s2.parent_id_col(F.col("c"), 10).alias("p"),
+        s2.range_min_col(F.col("c")).alias("lo"),
+        s2.range_max_col(F.col("c")).alias("hi"),
+    ).collect()
+    want_p = s2.to_signed(s2.parent_id(cells, 10))
+    want_lo = s2.to_signed(s2.range_min(cells))
+    want_hi = s2.to_signed(s2.range_max(cells))
+    got = {r.c: (r.p, r.lo, r.hi) for r in rows}
+    for c, p, lo, hi in zip(signed.tolist(), want_p.tolist(), want_lo.tolist(), want_hi.tolist()):
+        assert got[c] == (p, lo, hi)
+    # contains: every cell is inside its own level-10 parent
+    n = (
+        df.select(s2.contains_col(s2.parent_id_col(F.col("c"), 10), F.col("c")).alias("ok"))
+        .filter(~F.col("ok"))
+        .count()
+    )
+    assert n == 0
