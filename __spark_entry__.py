@@ -759,8 +759,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             pts, _knn_queries_df(spark), ring=2, cell_w=0.01, cell_h=0.01
         ).select("qid", "id", "rank")
 
+    # kNN over REAL H3 cells (north rule verbatim: H3 k-ring expansion,
+    # salted fallback available). Equirectangular metric — its own oracle.
+    def q_knn_h3(spark, sf_dir):
+        pts = _derived_points(spark, sf_dir)
+        return knn.knn_h3_exact(pts, _knn_queries_df(spark), res=8).select(
+            "qid", "id", "rank"
+        )
+
     q["knn_brute"] = q_knn_brute
     q["knn_kring"] = q_knn_kring
+    q["knn_h3"] = q_knn_h3
 
     # north rule: raster<->vector tile assignment rollup
     def q_tiles(spark, sf_dir):
@@ -1300,6 +1309,18 @@ ORDER BY a.id
     knn_sql = " UNION ALL ".join(knn_parts)
     o["knn_brute"] = knn_sql
     o["knn_kring"] = knn_sql  # the optimized path must match the exact oracle
+
+    # knn_h3 ranks by the local-meter (equirectangular) metric
+    knn_h3_parts = []
+    for qid, qlon, qlat in KNN_QUERIES:
+        knn_h3_parts.append(
+            f"SELECT {qid} AS qid, id, rank FROM ("
+            f"SELECT id, row_number() OVER (ORDER BY "
+            f"((lon - {qlon}) * cos(radians({qlat})) * ((lon - {qlon}) * cos(radians({qlat})))"
+            f" + (lat - {qlat}) * (lat - {qlat})) ASC, id ASC"
+            f") AS rank FROM {pts}) WHERE rank <= {KNN_K}"
+        )
+    o["knn_h3"] = " UNION ALL ".join(knn_h3_parts)
 
     o["tile_assignment"] = (
         "SELECT CAST(floor((lon + 180.0) / 360.0 * 8192.0) AS INT) AS tile_x, "

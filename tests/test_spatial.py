@@ -197,3 +197,68 @@ def test_tile_join_and_stats(spark, points, points_pd):
         tid = C.tile_id_py(tx, ty, z)
         expected[tid] = expected.get(tid, 0) + 1
     assert stats == expected
+
+
+def _knn_oracle_equirect(points_pd, qlon, qlat, k):
+    import math as _m
+
+    c = _m.cos(_m.radians(qlat))
+    d2 = ((points_pd.lon - qlon) * c) ** 2 + (points_pd.lat - qlat) ** 2
+    order = sorted(zip(d2.tolist(), points_pd.id.tolist()), key=lambda t: (t[0], t[1]))
+    return [(i, d) for d, i in order[:k]]
+
+
+def test_knn_h3_exact_matches_oracle(spark, points, points_pd):
+    """kNN over real H3 cells (disc-cover candidate generation) equals the
+    equirectangular brute oracle for every query, incl. the outside-window
+    query that needs disc doubling."""
+    res = knn.knn_h3_exact(points, _queries_df(spark), res=8)
+    got = {}
+    for r in res.collect():
+        assert r.exact
+        got.setdefault(r.qid, []).append((r.rank, r.id, r.dist2))
+    for qid, qlon, qlat, k in QUERY_POINTS:
+        expected = _knn_oracle_equirect(points_pd, qlon, qlat, k)
+        rows = sorted(got[qid])
+        assert [i for _, i, _ in rows] == [i for i, _ in expected], f"qid={qid}"
+        for (_, _, d2), (_, ed) in zip(rows, expected):
+            assert d2 == pytest.approx(ed)
+
+
+def test_knn_h3_salted_same_result(spark, points):
+    plain = knn.knn_h3(points, _queries_df(spark), res=8, salt=1)
+    salted = knn.knn_h3(points, _queries_df(spark), res=8, salt=4)
+    a = sorted((r.qid, r.rank, r.id) for r in plain.collect())
+    b = sorted((r.qid, r.rank, r.id) for r in salted.collect())
+    assert a == b
+
+
+def test_knn_h3_disc_cover_is_superset(spark):
+    """The disc cover must contain every cell holding a point within the
+    disc (the exactness guarantee's foundation) — checked directly against
+    encoded offsets in all directions."""
+    import numpy as np
+
+    from simple_osm_queries_spark.functions import h3_encode as E
+    from simple_osm_queries_spark.operators.knn import (
+        _h3_disc_cells_col,
+        h3_max_circumradius_deg,
+    )
+
+    qlon, qlat, res = 9.97, 53.57, 8
+    disc = 2.0 * h3_max_circumradius_deg(res)
+    df = spark.createDataFrame(pd.DataFrame({"qlon": [qlon], "qlat": [qlat]}))
+    cover = set(
+        df.select(_h3_disc_cells_col(F.col("qlon"), F.col("qlat"), res, disc).alias("c"))
+        .collect()[0]
+        .c
+    )
+    rng = np.random.default_rng(5)
+    ang = rng.uniform(0, 2 * np.pi, 4000)
+    rad = disc * np.sqrt(rng.uniform(0, 1, 4000))
+    import math as _m
+
+    lons = qlon + rad * np.cos(ang) / _m.cos(_m.radians(qlat))
+    lats = qlat + rad * np.sin(ang)
+    cells = set(E.lnglat_to_cell(lons, lats, res).view(np.int64).tolist())
+    assert cells <= cover, f"{len(cells - cover)} cells escaped the cover"
