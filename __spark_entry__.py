@@ -458,6 +458,90 @@ SELECT parent, count(*) AS n FROM cells GROUP BY parent
 """
 
 
+S2E_LEVEL = 12
+
+
+def _s2_encode_sql() -> str:
+    """DuckDB twin of the ENTIRE from-scratch S2 encoder (functions/s2.py)
+    at level 12: cube-face selection (canonical tie order), per-face (u,v),
+    the quadratic ST reprojection, 30-bit ij, and the Hilbert curve position
+    via 8 chained joins against the inlined 1024-entry lookup table (the
+    same generated table the numpy path uses — shared constants, algorithm
+    recomputed). HUGEINT assembly, folded to two's-complement at the end."""
+    from simple_osm_queries_spark.functions import s2 as S2
+
+    lkp_rows = ", ".join(
+        f"({k},{int(v)})" for k, v in enumerate(S2._LOOKUP_POS.tolist())
+    )
+    rounds = []
+    prev = "ij0"
+    for k in range(7, -1, -1):
+        shift = 2 ** (4 * k)
+        w = 2 ** (8 * k)
+        acc = (
+            f"CAST(l.vv // 4 AS HUGEINT) * {w}"
+            if k == 7
+            else f"{prev}.acc + CAST(l.vv // 4 AS HUGEINT) * {w}"
+        )
+        rounds.append(f"""
+r{k} AS (
+  SELECT {prev}.id, {prev}.face, {prev}.i, {prev}.j,
+         CAST(l.vv % 4 AS BIGINT) AS bits,
+         {acc} AS acc
+  FROM {prev} JOIN lkp l
+    ON l.kk = {prev}.bits + (({prev}.i // {shift}) % 16) * 64
+              + (({prev}.j // {shift}) % 16) * 4
+)""")
+        prev = f"r{k}"
+    lsb = 2 ** (2 * (30 - S2E_LEVEL))
+    return f"""
+WITH pts AS (SELECT doc_id AS id, {H3E_LON_SQL} AS lon, {H3E_LAT_SQL} AS lat
+             FROM documents),
+v AS (SELECT id,
+        cos(radians(lat))*cos(radians(lon)) AS x,
+        cos(radians(lat))*sin(radians(lon)) AS y,
+        sin(radians(lat)) AS z
+      FROM pts),
+fa AS (SELECT id, x, y, z,
+        CASE WHEN abs(x) > abs(y)
+             THEN CASE WHEN abs(x) > abs(z) THEN 0 ELSE 2 END
+             ELSE CASE WHEN abs(y) > abs(z) THEN 1 ELSE 2 END END AS axis
+       FROM v),
+fc AS (SELECT id, x, y, z,
+        CASE WHEN (CASE axis WHEN 0 THEN x WHEN 1 THEN y ELSE z END) < 0
+             THEN axis + 3 ELSE axis END AS face
+       FROM fa),
+uv AS (SELECT id, face,
+        CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+                  WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+        CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+                  WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS w
+       FROM fc),
+st AS (SELECT id, face,
+        CASE WHEN u >= 0 THEN 0.5*sqrt(1.0 + 3.0*u)
+             ELSE 1.0 - 0.5*sqrt(1.0 - 3.0*u) END AS s,
+        CASE WHEN w >= 0 THEN 0.5*sqrt(1.0 + 3.0*w)
+             ELSE 1.0 - 0.5*sqrt(1.0 - 3.0*w) END AS t
+       FROM uv),
+ij0 AS (SELECT id, face,
+        CAST(least(greatest(floor(1073741824.0 * s), 0), 1073741823) AS BIGINT) AS i,
+        CAST(least(greatest(floor(1073741824.0 * t), 0), 1073741823) AS BIGINT) AS j,
+        face % 2 AS bits
+       FROM st),
+lkp AS (SELECT * FROM (VALUES {lkp_rows}) t(kk, vv)),
+{",".join(rounds)},
+leaf AS (
+  SELECT id, CAST(face AS HUGEINT) * 2305843009213693952 + acc * 2 + 1 AS lf
+  FROM r0),
+par AS (
+  SELECT id, (lf // {2 * lsb}) * {2 * lsb} + {lsb} AS up FROM leaf)
+SELECT CAST(CASE WHEN up >= 9223372036854775808
+            THEN up - 18446744073709551616 ELSE up END AS BIGINT) AS cell,
+       count(*) AS n
+FROM par GROUP BY cell
+"""
+
+
 def _osm(qtext: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         ds = _derived_dataset(spark, sf_dir)
@@ -709,6 +793,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["s2_rollup"] = q_s2_rollup
+
+    # THE S2 ENCODER, gate-checked: cell_s2 over the same global synthetic
+    # coordinates; oracle recomputes the full encode in SQL (_s2_encode_sql)
+    def q_s2_encode(spark, sf_dir):
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+        lon = ((F.col("doc_id") * 7919) % 36000) / F.lit(100.0) - F.lit(180.0) + F.lit(0.005)
+        lat = ((F.col("doc_id") * 104729) % 12000) / F.lit(100.0) - F.lit(60.0) + F.lit(0.005)
+        return (
+            d.select(C.cell_s2(lon, lat, S2E_LEVEL).alias("cell"))
+            .groupBy("cell")
+            .agg(F.count("*").alias("n"))
+        )
+
+    q["s2_encode_cells"] = q_s2_encode
 
     # A1: per-cell density (the import pass-1 histogram)
     def cell_count(spark, sf_dir):
@@ -1139,6 +1237,7 @@ SELECT CAST(CASE WHEN up >= 9223372036854775808
        count(*) AS n
 FROM p GROUP BY parent
 """
+    o["s2_encode_cells"] = _s2_encode_sql()
 
     # osm_rel_*: derived relations (idx = doc_id//50). bbox intersection is
     # always true by construction (every member point lies inside the query
