@@ -244,6 +244,58 @@ def run_dedup_block(spark) -> dict:
     return out
 
 
+def run_image_block(spark) -> dict:
+    """The north rule's image axis at bench scale: decode + PSNR/caption
+    verification, content hashing -> near-dup, resize, and the
+    raster<->vector per-tile image rollup, over a generated image+caption
+    node table (input_hint schema). Single-shot timings per round."""
+    from simple_osm_queries_spark.operators import multimodal, tiles as _t
+
+    n_img = int(os.environ.get("SPARK_GRAFT_IMG_N", "20000"))
+    idir = f"/tmp/soq_bench_images_{n_img}"
+    if not os.path.exists(os.path.join(idir, "_SUCCESS")):
+        datagen.gen_nodes(spark, n_img, partitions=CPUS * 2, with_images=True).write.mode(
+            "overwrite"
+        ).parquet(idir)
+    imgs = spark.read.parquet(idir)
+    out: dict[str, float] = {"n_images": n_img}
+
+    def one(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        out[name] = round(time.time() - t0, 3)
+        print(f"[image_block] {name}: {out[name]}s", file=sys.stderr, flush=True)
+
+    def _verify():
+        bad = (
+            multimodal.verify_invariants(imgs)
+            .filter(~(F.col("pixels_ok") & F.col("caption_ok")))
+            .count()
+        )
+        assert bad == 0, f"{bad} rows violated the per-row invariant"
+
+    one("decode_verify_psnr", _verify)
+    one(
+        "ahash_near_dup",
+        lambda: dedup.phash_near_dups(
+            multimodal.ahash_images(imgs),
+            id_col="image_id", phash_col="ahash", max_hamming=2,
+        ).count(),
+    )
+    one("resize_32x32", lambda: multimodal.resize_images(imgs, 32, 32).count())
+    one(
+        "tile_image_rollup",
+        lambda: imgs.select(
+            C.tile_of(F.col("lon"), F.col("lat"), 13).alias("tile"),
+            (F.col("w") * F.col("h")).alias("px"),
+        )
+        .groupBy("tile")
+        .agg(F.count("*").alias("n"), F.sum("px").alias("total_px"))
+        .count(),
+    )
+    return out
+
+
 def main() -> None:
     # maxPartitionBytes sized to the input: at the default 128MB the ~200MB
     # bench table packs into ~4 file splits, capping every scan stage at
@@ -309,6 +361,10 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_DEDUP_BLOCK", "1") != "0":
         dedup_1m = run_dedup_block(spark)
 
+    image_block = None
+    if os.environ.get("SPARK_GRAFT_IMAGE_BLOCK", "1") != "0":
+        image_block = run_image_block(spark)
+
     print(
         json.dumps(
             {
@@ -324,6 +380,7 @@ def main() -> None:
                 "cold_sec": cold,
                 "data_scaling": data_scaling,
                 "dedup_1m": dedup_1m,
+                "image_block": image_block,
             }
         )
     )
@@ -343,6 +400,7 @@ def scaling_main() -> None:
             SPARK_GRAFT_BENCH_N=str(BENCH_N),
             SPARK_GRAFT_DATA_SCALING="0",  # cores-scaling runs skip the data pair
             SPARK_GRAFT_DEDUP_BLOCK="0",  # ...and the dedup block
+            SPARK_GRAFT_IMAGE_BLOCK="0",  # ...and the image block
         )
         out = subprocess.run(
             [sys.executable, __file__], env=env, capture_output=True, text=True, check=True
