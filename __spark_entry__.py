@@ -768,6 +768,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["h3_encode_rollup"] = q_h3_encode_rollup
 
+    # compact/uncompact set algebra: synthesized res-5 cells (digit values
+    # 2..6 — no complete sibling family can pre-exist, so the round-trip is
+    # exact by construction), expanded to res 6 (7 children each) and
+    # compacted back. The oracle rebuilds the input set directly.
+    def q_h3_compact(spark, sf_dir):
+        from simple_osm_queries_spark.functions import h3 as H
+        from simple_osm_queries_spark.operators import h3_sets
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+        i = F.col("doc_id")
+        base = (1 << 59) | (5 << 52) | H._digits_mask(6)
+        h = F.lit(base).cast("long") + (i % 122) * F.lit(1 << 45)
+        for k in range(1, 6):
+            digit = F.lit(2) + F.floor(i / (7 ** (k - 1))) % 5
+            h = h + digit.cast("long") * F.lit(1 << H._digit_shift(k))
+        cells = d.select(h.alias("cell")).distinct()
+        return h3_sets.compact_cells(h3_sets.uncompact_cells(cells, 6))
+
+    q["h3_compact_roundtrip"] = q_h3_compact
+
     # S2 bit-algebra over synthesized REAL-layout S2 ids (level 20, all six
     # faces — faces 4/5 exercise the bit-63/two's-complement path): roll up
     # to level-10 parents with functions/s2.py::parent_id_col (pure JVM bit
@@ -1218,6 +1238,19 @@ WITH parents AS (
 SELECT parent, count(*) AS n FROM parents GROUP BY parent
 """
     o["h3_encode_rollup"] = _h3_encode_rollup_sql()
+
+    # h3_compact_roundtrip: compact(uncompact(S)) == S by construction —
+    # the oracle just rebuilds S
+    _c_base = (1 << 59) | (5 << 52) | _H._digits_mask(6)
+    _c_terms = " + ".join(
+        f"(2 + (doc_id // {7 ** (k - 1)}) % 5) * {1 << _H._digit_shift(k)}"
+        for k in range(1, 6)
+    )
+    o["h3_compact_roundtrip"] = f"""
+SELECT DISTINCT CAST({_c_base} AS BIGINT) + (doc_id % 122) * {1 << 45}
+       + {_c_terms} AS cell
+FROM documents
+"""
 
     # s2_rollup: parents derived arithmetically in HUGEINT space (floor-div
     # to clear the 41 low bits, + lsb), then folded to two's-complement —

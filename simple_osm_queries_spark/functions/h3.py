@@ -188,3 +188,30 @@ def is_valid(h: Column) -> Column:
 
 def to_token(h: Column) -> Column:
     return F.lower(F.hex(h))
+
+
+def digit(h: Column, i: int) -> Column:
+    return F.shiftright(h, _digit_shift(i)).bitwiseAND(F.lit(7)).cast("int")
+
+
+def is_pentagon(h: Column) -> Column:
+    """Column form of is_pentagon_py: pentagon base cell AND all digits
+    within the resolution are 0 (bounded when-chain, codegen-friendly)."""
+    res = resolution(h)
+    all_zero = F.lit(True)
+    for i in range(1, MAX_RES + 1):
+        all_zero = all_zero & ((F.lit(i) > res) | (digit(h, i) == 0))
+    return base_cell(h).isin(*sorted(PENTAGON_BASE_CELLS)) & all_zero
+
+
+def child_at(h: Column, res: int, d) -> Column:
+    """Child of a res-(res-1) cell: bump the res nibble, set digit ``res``
+    to ``d`` (a Column or int). Caller guarantees h is at res-1."""
+    d_col = d if isinstance(d, Column) else F.lit(int(d))
+    shift = _digit_shift(res)
+    return (
+        h.bitwiseAND(F.lit(~(0xF << 52)).cast("long"))
+        .bitwiseAND(F.lit(~(7 << shift)).cast("long"))
+        .bitwiseOR(F.lit(res << 52))
+        .bitwiseOR(d_col.cast("long") * F.lit(1 << shift))
+    )

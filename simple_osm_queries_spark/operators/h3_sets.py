@@ -1,0 +1,83 @@
+"""Set operations over H3 cell collections: compact / uncompact.
+
+The standard hypertable-rollup primitives of the H3 system, reimplemented
+as distributed DataFrame operators over the public 64-bit layout
+(functions/h3.py):
+
+* ``uncompact_cells(df, res)`` — expand every cell to its complete set of
+  descendants at ``res`` (7 children per hexagon level, 6 per pentagon —
+  the deleted-K-axis digit is skipped). One ``explode`` per level.
+* ``compact_cells(df)`` — inverse-closure: repeatedly replace every
+  COMPLETE sibling set (all 7 children of a hexagon parent / all 6 of a
+  pentagon parent, finest resolution first) with the parent. One groupBy +
+  semi/anti join per resolution level, finest to coarsest — O(max_res)
+  rounds regardless of data size, all equi-joins on derived keys.
+
+Input cells must be distinct and non-overlapping (no cell an ancestor of
+another) — the same contract the reference H3 library documents for
+``compactCells``. Reference pointer: the engine's grid analog is the cell
+column of /root/reference/src/common/cell.go:7-9; compaction has no
+reference counterpart (the reference grid is single-resolution) — this is
+part of the north rule's multi-resolution rollup surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from simple_osm_queries_spark.functions import h3 as H
+
+
+def uncompact_cells(df: DataFrame, res: int, cell_col: str = "cell") -> DataFrame:
+    """All descendants at ``res`` of every (possibly mixed-resolution) cell."""
+    cur = df.select(F.col(cell_col).alias("cell"))
+    min_res = cur.agg(F.min(H.resolution(F.col("cell")))).first()[0]
+    if min_res is None:
+        return cur
+    for r in range(int(min_res), res):
+        at_r = F.col("__res") == r
+        with_res = cur.withColumn("__res", H.resolution(F.col("cell")))
+        done = with_res.filter(~at_r).drop("__res")
+        todo = with_res.filter(at_r)
+        # digits 0..6 for hexagons; the K axis (1) is deleted under pentagons
+        digits = F.when(
+            H.is_pentagon(F.col("cell")), F.array(*[F.lit(d) for d in (0, 2, 3, 4, 5, 6)])
+        ).otherwise(F.array(*[F.lit(d) for d in range(7)]))
+        expanded = (
+            todo.select("cell", F.explode(digits).alias("__d"))
+            .select(H.child_at(F.col("cell"), r + 1, F.col("__d")).alias("cell"))
+        )
+        # eager lineage cut per level: the union-of-explodes plan otherwise
+        # deepens geometrically and Catalyst re-analysis dominates runtime
+        cur = done.unionByName(expanded).localCheckpoint(eager=True)
+    return cur
+
+
+def compact_cells(df: DataFrame, cell_col: str = "cell") -> DataFrame:
+    """Minimal covering set: complete sibling families fold into parents,
+    cascading to coarser resolutions."""
+    cur = df.select(F.col(cell_col).alias("cell"))
+    max_res = cur.agg(F.max(H.resolution(F.col("cell")))).first()[0]
+    if max_res is None:
+        return cur
+    for r in range(int(max_res), 0, -1):
+        with_res = cur.withColumn("__res", H.resolution(F.col("cell")))
+        at_r = with_res.filter(F.col("__res") == r).drop("__res")
+        rest = with_res.filter(F.col("__res") != r).drop("__res")
+        fam = at_r.select("cell", H.parent(F.col("cell"), r - 1).alias("__p"))
+        counts = fam.groupBy("__p").agg(F.count("*").alias("__n"))
+        complete = counts.filter(
+            (F.col("__n") == 7) & ~H.is_pentagon(F.col("__p"))
+            | (F.col("__n") == 6) & H.is_pentagon(F.col("__p"))
+        ).select("__p")
+        kept = (
+            fam.join(complete, "__p", "left_anti").select("cell")
+        )
+        parents = complete.select(F.col("__p").alias("cell"))
+        # parents join the next-coarser round's population; eager checkpoint
+        # keeps the per-round plan flat (cell sets are small by contract)
+        cur = (
+            rest.unionByName(kept).unionByName(parents).localCheckpoint(eager=True)
+        )
+    return cur
