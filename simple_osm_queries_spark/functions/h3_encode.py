@@ -267,7 +267,11 @@ def _pos_angle(r):
 
 def _geo_to_vec3d(lat, lng):
     cl = np.cos(lat)
-    return np.stack([cl * np.cos(lng), cl * np.sin(lng), np.sin(lat)], axis=-1)
+    out = np.empty(np.shape(lat) + (3,), dtype=np.float64)
+    out[..., 0] = cl * np.cos(lng)
+    out[..., 1] = cl * np.sin(lng)
+    out[..., 2] = np.sin(lat)
+    return out
 
 
 def _azimuth(lat1, lng1, lat2, lng2):
@@ -364,8 +368,10 @@ def _up_ap7(i, j, k):
     """One aperture-7 step up, counter-clockwise (class III -> II)."""
     di = i - k
     dj = j - k
-    ni = _lround((3 * di - dj) / 7.0)
-    nj = _lround((di + 2 * dj) / 7.0)
+    # lround(m/7) for integer m == (m + 3) // 7 under floor division (7 is
+    # odd so exact halves never occur) — integer throughout, no float trip
+    ni = (3 * di - dj + 3) // 7
+    nj = (di + 2 * dj + 3) // 7
     return _ijk_normalize(ni, nj, np.zeros_like(ni))
 
 
@@ -373,8 +379,8 @@ def _up_ap7r(i, j, k):
     """One aperture-7 step up, clockwise (class II -> III)."""
     di = i - k
     dj = j - k
-    ni = _lround((2 * di + dj) / 7.0)
-    nj = _lround((3 * dj - di) / 7.0)
+    ni = (2 * di + dj + 3) // 7
+    nj = (3 * dj - di + 3) // 7
     return _ijk_normalize(ni, nj, np.zeros_like(ni))
 
 
@@ -399,13 +405,14 @@ def _ijk_to_hex2d(i, j, k):
 # ---------------------------------------------------------------------------
 
 
-def _project_to_face(face, lat, lng, res):
+def _project_to_face(face, lat, lng, res, v3d=None):
     """Project points onto the given face's hex plane at resolution res.
-    face may be a scalar or an int array aligned with lat/lng."""
+    face may be a scalar or an int array aligned with lat/lng. ``v3d``
+    optionally reuses the unit vectors the face selection computed."""
     fc_lat = FACE_CENTER_GEO[face, 0]
     fc_lng = FACE_CENTER_GEO[face, 1]
     # angular distance via 3D chord (matches acos(1 - sqd/2))
-    v = _geo_to_vec3d(lat, lng)
+    v = _geo_to_vec3d(lat, lng) if v3d is None else v3d
     fcv = _FACE_CENTER_XYZ[face]
     sqd = np.sum((v - fcv) ** 2, axis=-1)
     r = np.arccos(np.clip(1.0 - sqd / 2.0, -1.0, 1.0))
@@ -646,13 +653,13 @@ def _leading_nonzero(digits, res):
     return np.where(has, lead, 0).astype(np.int8)
 
 
-def _encode_on_face(face, lat, lng, res, tab, rot_override=None, cw_override=None):
+def _encode_on_face(face, lat, lng, res, tab, rot_override=None, cw_override=None, v3d=None):
     """Digit walk + canonical rotation for points projected on `face`.
 
     rot_override/cw_override: used only by the pentagon-rotation solver to
     trial a candidate (rotation, cw-flag) for entries not yet derived.
     Returns (h3 uint64 array, valid bool array)."""
-    x, y = _project_to_face(face, lat, lng, res)
+    x, y = _project_to_face(face, lat, lng, res, v3d=v3d)
     i, j, k = _hex2d_to_ijk(x, y)
     n = len(i)
     digits = np.full((n, 15), 7, dtype=np.int8)
@@ -733,8 +740,9 @@ def lnglat_to_cell(lng_deg, lat_deg, res: int):
     scalar = lat.ndim == 0
     lat = np.atleast_1d(lat)
     lng = np.atleast_1d(lng)
-    face = _nearest_face(lat, lng)
-    h, ok = _encode_on_face(face, lat, lng, res, tab)
+    v3d = _geo_to_vec3d(lat, lng)
+    face = np.argmax(v3d @ _FACE_CENTER_XYZ.T, axis=-1)
+    h, ok = _encode_on_face(face, lat, lng, res, tab, v3d=v3d)
     if not ok.all():
         raise AssertionError("encode walked outside its face's res-0 range")
     return h[0] if scalar else h
