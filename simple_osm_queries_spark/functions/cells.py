@@ -206,3 +206,25 @@ def cell_s2(lon: Column, lat: Column, level: int = 12) -> Column:
         return pd.Series(_s2impl.to_signed(cells))
 
     return _enc(lon, lat)
+
+
+def h3_center(cell: Column) -> Column:
+    """Decode H3 cell ids to their center struct(lon, lat) — the inverse of
+    :func:`cell_h3` (self-verifying: every center re-encodes to its cell).
+    Requires uniform resolution per batch (group by resolution first for
+    mixed sets)."""
+
+    @F.pandas_udf("struct<lon: double, lat: double>")
+    def _dec(cells: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        from simple_osm_queries_spark.functions import h3_encode as _h3impl
+
+        if not len(cells):
+            return pd.DataFrame({"lon": [], "lat": []})
+        lng, lat = _h3impl.cell_to_lnglat(
+            cells.to_numpy(dtype=np.int64).view(np.uint64)
+        )
+        return pd.DataFrame({"lon": lng, "lat": lat})
+
+    return _dec(cell)

@@ -927,3 +927,165 @@ if __name__ == "__main__":  # quick dev validation
     print(f"anchor res5: {anchor:x} (expect 85283473fffffff)")
     anchor9 = latlng_to_cell_py(37.77670234943567, -122.41845932318311, 9)
     print(f"anchor res9: {anchor9:x} (expect 8928308280fffff)")
+
+
+# ---------------------------------------------------------------------------
+# decode: cell id -> center (lat, lng)
+# ---------------------------------------------------------------------------
+
+_ROT_CW_POW = np.empty((6, 8), dtype=np.int8)
+_ROT_CW_POW[0] = np.arange(8, dtype=np.int8)
+for _n in range(1, 6):
+    _ROT_CW_POW[_n] = _ROT_CW[_ROT_CW_POW[_n - 1]]
+
+
+def _unproject_res(face, x, y, res: int):
+    """Inverse gnomonic from res-r hex-plane coords (class III lattices are
+    rotated by the aperture-7 angle, mirroring the forward projection)."""
+    fc_lat = FACE_CENTER_GEO[face, 0]
+    fc_lng = FACE_CENTER_GEO[face, 1]
+    rp = np.hypot(x, y)
+    scale = RES0_U_GNOMONIC / (M_SQRT7**res)
+    r = np.arctan(rp * scale)
+    theta = np.arctan2(y, x)
+    if res % 2 == 1:
+        theta = theta + M_AP7_ROT_RADS
+    az = FACE_AXES_AZ_I[face] - theta
+    lat, lng = _destination(fc_lat, fc_lng, az, r)
+    small = rp < 1e-12
+    lat = np.where(small, fc_lat, lat)
+    lng = np.where(small, fc_lng, lng)
+    return lat, lng
+
+
+def _digits_of(h: np.ndarray, res: int) -> np.ndarray:
+    """(n, res) int8 digit matrix (digit 1 first)."""
+    out = np.empty((len(h), res), dtype=np.int8)
+    for i in range(1, res + 1):
+        out[:, i - 1] = ((h >> np.uint64(45 - 3 * i)) & np.uint64(7)).astype(np.int8)
+    return out
+
+
+def _down_walk(slot_ijk, digits, res: int):
+    """res-0 slot ijk (n,3) + digit matrix -> res-r ijk on the same face."""
+    i = slot_ijk[:, 0].astype(np.int64).copy()
+    j = slot_ijk[:, 1].astype(np.int64).copy()
+    k = slot_ijk[:, 2].astype(np.int64).copy()
+    for r in range(1, res + 1):
+        if r % 2 == 1:
+            i, j, k = _down_ap7(i, j, k)
+        else:
+            i, j, k = _down_ap7r(i, j, k)
+        d = digits[:, r - 1].astype(np.int64)
+        i, j, k = _ijk_normalize(i + ((d >> 2) & 1), j + ((d >> 1) & 1), k + (d & 1))
+    return i, j, k
+
+
+def cell_to_lnglat(cells) -> tuple[np.ndarray, np.ndarray]:
+    """Cell centers (lng_deg, lat_deg) for an array of H3 ids.
+
+    Inverse of the encoder via the same derived tables: for each candidate
+    face holding the cell's base cell, un-rotate the canonical digits into
+    that face's frame (pentagons: inverse pent rotations + the two possible
+    deleted-K un-adjustments), walk DOWN the aperture-7 lattice, unproject,
+    and accept the candidate whose center RE-ENCODES to the input cell —
+    decode is therefore self-verifying and exactly consistent with encode
+    (encode(cell_to_lnglat(c)) == c for every valid c; raises if no
+    candidate verifies). Vectorized per (face, variant) over the array.
+    """
+    tab = _tables()
+    h = np.asarray(cells, dtype=np.uint64)
+    scalar = h.ndim == 0
+    h = np.atleast_1d(h)
+    n = len(h)
+    res_arr = ((h >> np.uint64(52)) & np.uint64(0xF)).astype(np.int64)
+    if n and not (res_arr == res_arr[0]).all():
+        raise ValueError("cell_to_lnglat expects uniform-resolution input")
+    res = int(res_arr[0]) if n else 0
+    bc = ((h >> np.uint64(45)) & np.uint64(0x7F)).astype(np.int64)
+    if n and int(bc.max()) >= NUM_BASE_CELLS:
+        raise ValueError(
+            f"{int((bc >= NUM_BASE_CELLS).sum())} cells failed to decode "
+            "(base cell out of range — invalid ids)"
+        )
+    digits = _digits_of(h, res)
+    pent = PENTAGONS[bc]
+
+    out_lat = np.full(n, np.nan)
+    out_lng = np.full(n, np.nan)
+    done = np.zeros(n, dtype=bool)
+
+    fijk_bc = tab["fijk_bc"]
+    fijk_rot = tab["fijk_rot"]
+    # slot coordinates per (face, bc): bc appears once per face
+    slot_of = {}
+    for f in range(20):
+        for i in range(3):
+            for j in range(3):
+                for k in range(3):
+                    c = int(fijk_bc[f, i, j, k])
+                    if c >= 0 and (f, c) not in slot_of:
+                        slot_of[(f, c)] = (i, j, k)
+
+    for f in range(20):
+        for variant in (0, 1, 2):  # 0: plain; 1/2: pentagon K-unadjust ccw/cw
+            sel = ~done & np.array([(f, int(b)) in slot_of for b in bc])
+            if variant > 0:
+                sel &= pent
+            if not sel.any():
+                continue
+            idx = np.where(sel)[0]
+            rot = np.array([fijk_rot[f][slot_of[(f, int(b))]] for b in bc[idx]], dtype=np.int64)
+            dg = digits[idx].copy()
+            if res:
+                if variant == 0 or not pent[idx].any():
+                    hex_rows = ~pent[idx]
+                else:
+                    hex_rows = np.zeros(len(idx), dtype=bool)
+                # hexagons: inverse of rot ccw rotations = rot cw rotations
+                if hex_rows.any():
+                    dg[hex_rows] = _ROT_CW_POW[rot[hex_rows]][
+                        np.arange(int(hex_rows.sum()))[:, None], dg[hex_rows]
+                    ]
+                p_rows = pent[idx]
+                if p_rows.any():
+                    # inverse pent rotations: cw with K-skip (mirror of the
+                    # forward's ccw-with-skip), applied rot times
+                    pr = np.where(p_rows)[0]
+                    for step in range(5):
+                        m = pr[rot[pr] > step]
+                        if not len(m):
+                            break
+                        dg[m] = _ROT_CW[dg[m]]
+                        lead = _leading_nonzero(dg[m], res)
+                        again = m[lead == 1]
+                        if len(again):
+                            dg[again] = _ROT_CW[dg[again]]
+                    if variant == 1:
+                        dg[pr] = _ROT_CW[dg[pr]]  # forward adjusted ccw
+                    elif variant == 2:
+                        dg[pr] = _ROT_CCW[dg[pr]]  # forward adjusted cw
+            slot = np.array([slot_of[(f, int(b))] for b in bc[idx]], dtype=np.int64)
+            i, j, k = _down_walk(slot, dg, res)
+            x, y = _ijk_to_hex2d(i, j, k)
+            la, lo = _unproject_res(np.full(len(idx), f), x.astype(float), y.astype(float), res)
+            # accept iff the center re-encodes to the input cell
+            cand = _nearest_face(la, lo)
+            enc, ok = _encode_on_face(cand, la, lo, res, tab)
+            good = ok & (enc == h[idx])
+            gi = idx[good]
+            out_lat[gi] = la[good]
+            out_lng[gi] = lo[good]
+            done[gi] = True
+        if done.all():
+            break
+
+    if not done.all():
+        raise ValueError(f"{int((~done).sum())} cells failed to decode (invalid ids?)")
+    lng_deg = np.degrees(out_lng)
+    lat_deg = np.degrees(out_lat)
+    # normalize lng into [-180, 180)
+    lng_deg = (lng_deg + 180.0) % 360.0 - 180.0
+    if scalar:
+        return lng_deg[0], lat_deg[0]
+    return lng_deg, lat_deg

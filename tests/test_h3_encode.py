@@ -190,3 +190,56 @@ def test_parity_with_real_h3():  # pragma: no cover - requires h3
             dtype=np.uint64,
         )
         assert (ours == theirs).mean() > 0.9999
+
+
+def test_decode_centers_round_trip_all_resolutions():
+    # encode(decode(c)) == c for every encountered cell, incl. all 122 base
+    # cells, the 12 pentagons, and cross-face cells
+    lng, lat = _sphere_sample(50_000, seed=3)
+    for res in (0, 1, 2, 7, 9):
+        cells = np.unique(E.lnglat_to_cell(lng, lat, res))
+        dlng, dlat = E.cell_to_lnglat(cells)
+        back = E.lnglat_to_cell(dlng, dlat, res)
+        assert (back == cells).all(), f"res {res}"
+
+
+def test_decode_doc_anchor_center():
+    # the widely-published center of 8928308280fffff
+    lng, lat = E.cell_to_lnglat(np.array([0x8928308280FFFFF], dtype=np.uint64))
+    assert lat[0] == pytest.approx(37.77670234943567, abs=1e-9)
+    assert lng[0] == pytest.approx(-122.41845932318311, abs=1e-9)
+
+
+def test_decode_pentagons_exact():
+    # all 12 pentagon centers are icosahedron vertices; round-trip holds
+    pents = np.array(
+        [(1 << 59) | (4 << 52) | (bc << 45) | H._digits_mask(5)
+         for bc in sorted(H.PENTAGON_BASE_CELLS)],
+        dtype=np.uint64,
+    )
+    # set digits 1..4 to 0 (center children of the pentagon)
+    for i in range(1, 5):
+        pents &= ~(np.uint64(7) << np.uint64(H._digit_shift(i)))
+    lng, lat = E.cell_to_lnglat(pents)
+    back = E.lnglat_to_cell(lng, lat, 4)
+    assert (back == pents).all()
+
+
+def test_decode_rejects_garbage():
+    with pytest.raises(ValueError, match="failed to decode"):
+        E.cell_to_lnglat(np.array([(1 << 59) | (2 << 52) | (125 << 45)], dtype=np.uint64))
+
+
+def test_h3_center_column(spark):
+    from pyspark.sql import functions as F
+
+    from simple_osm_queries_spark.functions import cells as C
+
+    pdf = pd.DataFrame({"lon": [-122.0553238, 9.95], "lat": [37.3615593, 53.55]})
+    df = spark.createDataFrame(pdf).select(
+        "lon", "lat", C.cell_h3(F.col("lon"), F.col("lat"), 7).alias("cell")
+    )
+    rows = df.select("cell", C.h3_center(F.col("cell")).alias("c")).collect()
+    for r in rows:
+        back = E.latlng_to_cell_py(r.c.lat, r.c.lon, 7)
+        assert back == int(np.int64(r.cell).astype(np.uint64))
