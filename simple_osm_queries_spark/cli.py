@@ -4,6 +4,8 @@
   python -m simple_osm_queries_spark import <file.osm|file.osm.pbf> --out <index_dir>
   python -m simple_osm_queries_spark query '<query>' [--data <index_dir>|generate] [--out output.geojson]
   python -m simple_osm_queries_spark server [--port 8080] [--data ...]
+  python -m simple_osm_queries_spark cells <table.parquet> --out <dir>  (north-rule
+      encode-to-H3/S2/tile + cell-partitioned write, in one spark-submit step)
 
 `import` builds the cell-partitioned parquet index + the reference-format
 tag-index file from an .osm XML / .osm.pbf file (or the deterministic generator
@@ -72,6 +74,36 @@ def cmd_import(spark, args) -> None:
     print(f"imported {report['rows']} nodes in {report['t_sec']:.1f}s -> {args.out}")
 
 
+def cmd_cells(spark, args) -> None:
+    """North-rule pipeline step as one spark-submit command: batch-encode
+    every record's location to REAL H3 + S2 cells (and a slippy tile),
+    then write cell-partitioned parquet — the distributed analogue of the
+    reference's one-file-per-cell grid index, over any parquet table with
+    (lon, lat) columns (e.g. the image+caption node table)."""
+    from simple_osm_queries_spark.functions import cells as C
+    from simple_osm_queries_spark.functions import h3 as H
+
+    df = spark.read.parquet(args.file)
+    out = df.select(
+        "*",
+        C.cell_h3(F.col("lon"), F.col("lat"), args.h3_res).alias("h3"),
+        C.cell_s2(F.col("lon"), F.col("lat"), args.s2_level).alias("s2"),
+        C.tile_of(F.col("lon"), F.col("lat"), args.zoom).alias("tile"),
+    )
+    # partition directories on a coarse H3 parent: fine cells cluster inside
+    # files (row-group min/max pruning), directories stay bounded in count
+    out = out.withColumn("h3_part", H.parent(F.col("h3"), args.partition_res))
+    (
+        out.repartition(F.col("h3_part"))
+        .sortWithinPartitions("h3")
+        .write.mode("overwrite")
+        .partitionBy("h3_part")
+        .parquet(args.out)
+    )
+    n = spark.read.parquet(args.out).count()
+    print(f"encoded + partitioned {n} rows -> {args.out}")
+
+
 def cmd_query(spark, args) -> None:
     from simple_osm_queries_spark.query.planner import run_query
     from simple_osm_queries_spark.sources.geojson import write_geojson_file
@@ -106,6 +138,16 @@ def main(argv: list[str] | None = None) -> None:
     pq.add_argument("--generate", type=int, default=100_000)
     pq.add_argument("--out", default="output.geojson")
 
+    pc = sub.add_parser(
+        "cells", help="encode lon/lat -> H3/S2/tile cells, write cell-partitioned parquet"
+    )
+    pc.add_argument("file", help="input parquet with lon/lat columns")
+    pc.add_argument("--out", default="soq-cells")
+    pc.add_argument("--h3-res", type=int, default=8, dest="h3_res")
+    pc.add_argument("--s2-level", type=int, default=12, dest="s2_level")
+    pc.add_argument("--zoom", type=int, default=13)
+    pc.add_argument("--partition-res", type=int, default=4, dest="partition_res")
+
     ps = sub.add_parser("server", help="HTTP server with POST /query")
     ps.add_argument("--port", type=int, default=8080)
     ps.add_argument("--data", default="generate")
@@ -117,7 +159,7 @@ def main(argv: list[str] | None = None) -> None:
 
     spark = get_spark("soq-cli")
     try:
-        {"import": cmd_import, "query": cmd_query, "server": cmd_server}[args.cmd](spark, args)
+        {"import": cmd_import, "query": cmd_query, "server": cmd_server, "cells": cmd_cells}[args.cmd](spark, args)
     finally:
         if args.cmd != "server":
             spark.stop()

@@ -180,3 +180,38 @@ def test_cli_import_pbf(spark, tmp_path):
     cli.cmd_query(spark, q)
     fc = json.load(open(q.out))
     assert {f["properties"]["@osm_id"] for f in fc["features"]} == {2, 3}
+
+
+def test_cli_cells_pipeline(spark, tmp_path):
+    """cells subcommand: encode lon/lat -> H3/S2/tile, write partitioned."""
+    import numpy as np
+    import pandas as pd
+
+    from simple_osm_queries_spark import cli
+    from simple_osm_queries_spark.functions import h3 as H
+    from simple_osm_queries_spark.functions import h3_encode as E
+
+    src = str(tmp_path / "in.parquet")
+    pdf = pd.DataFrame(
+        {
+            "id": range(50),
+            "lon": [9.9 + i * 0.004 for i in range(50)],
+            "lat": [53.5 + i * 0.003 for i in range(50)],
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(src)
+    out = str(tmp_path / "cells_out")
+    cli.cmd_cells(
+        spark,
+        type("A", (), {"file": src, "out": out, "h3_res": 8, "s2_level": 12, "zoom": 13, "partition_res": 4})(),
+    )
+    back = spark.read.parquet(out)
+    assert {"h3", "s2", "tile", "h3_part"} <= set(back.columns)
+    rows = back.orderBy("id").collect()
+    for r in rows[:10]:
+        want = E.latlng_to_cell_py(r.lat, r.lon, 8)
+        assert int(np.int64(r.h3).astype(np.uint64)) == want
+        assert H.parent_py(want, 4) == int(np.int64(r.h3_part).astype(np.uint64))
+    import os
+
+    assert [d for d in os.listdir(out) if d.startswith("h3_part=")]
