@@ -232,7 +232,13 @@ def run_dedup_block(spark) -> dict:
             embs, id_col="vec_id", vec_col="embedding", threshold=0.95
         ).count(),
     )
-    pairs = dedup.minhash_near_dups(docs, threshold=0.5).select("id_a", "id_b")
+    # materialize pairs first so the components line times label
+    # propagation, not a minhash recompute
+    pairs = (
+        dedup.minhash_near_dups(docs, threshold=0.5)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
     one("components", lambda: dedup.connected_components(pairs).count())
 
     def _ivf():

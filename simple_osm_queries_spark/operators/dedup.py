@@ -715,6 +715,7 @@ def connected_components(
         .withColumn("comp", F.col("node"))
     )
     changed = -1
+    prev_sum = None
     for _ in range(max_iter):
         prop = (
             edges.join(labels, edges["a"] == labels["node"])
@@ -733,13 +734,15 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
+        # labels are monotone non-increasing per node, so the label-sum is
+        # strictly decreasing until convergence — one overflow-safe aggregate
+        # replaces the join+filter+count change detector (a full extra
+        # shuffle per round at scale)
+        new_sum = new_labels.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+        ).first()[0]
+        changed = 0 if new_sum == prev_sum else 1
+        prev_sum = new_sum
         # round N materialized (checkpoint was eager): round N-1's blocks
         # are dead weight — drop them now instead of leaking one copy of the
         # label table per round
