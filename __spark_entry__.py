@@ -244,7 +244,7 @@ H3E_RES = 8  # class II at projection time (no aperture-7 theta adjust)
 H3E_PARENT = 5
 
 
-def _h3_encode_rollup_sql() -> str:
+def _h3_encode_rollup_sql(res: int = H3E_RES, parent_res: int = H3E_PARENT) -> str:
     """DuckDB twin of the ENTIRE from-scratch H3 encoder at res 8 (rolled up
     to res-5 parents): face selection, gnomonic projection, hex rounding,
     the 8-level aperture-7 digit walk and the canonical hexagon rotations
@@ -280,7 +280,7 @@ def _h3_encode_rollup_sql() -> str:
     res0u = repr(E.RES0_U_GNOMONIC)
     sqrt7 = repr(E.M_SQRT7)
     pent = ",".join(str(b) for b in sorted(H.PENTAGON_BASE_CELLS))
-    res = H3E_RES
+    ap7 = repr(float(E.M_AP7_ROT_RADS))
 
     def lround(x: str) -> str:
         return (
@@ -340,14 +340,14 @@ u{n} AS (
             f"WHEN 3 THEN 3 WHEN 4 THEN 1 WHEN 5 THEN 5 END) END"
         )
 
-    parent_base = (1 << 59) | (H3E_PARENT << 52)
-    seven_fill = H._digits_mask(H3E_PARENT + 1)
+    parent_base = (1 << 59) | (parent_res << 52)
+    seven_fill = H._digits_mask(parent_res + 1)
     rotated = ", ".join(
-        f"({rot_digit(f'd{m}')}) AS r{m}" for m in range(1, H3E_PARENT + 1)
+        f"({rot_digit(f'd{m}')}) AS r{m}" for m in range(1, parent_res + 1)
     )
     assemble = " + ".join(
         f"CAST(r{m} AS BIGINT) * {1 << H._digit_shift(m)}"
-        for m in range(1, H3E_PARENT + 1)
+        for m in range(1, parent_res + 1)
     )
     scale = "*" + "*".join([sqrt7] * res)
 
@@ -380,14 +380,17 @@ geo AS (
     faz
   FROM sel),
 theta AS (
-  SELECT id, f, r,
-    (CASE WHEN t1 < 0 THEN t1 + {two_pi}
-          WHEN t1 >= {two_pi} THEN t1 - {two_pi} ELSE t1 END) AS th
+  SELECT id, f, r, {"(CASE WHEN t2 < 0 THEN t2 + " + two_pi + " WHEN t2 >= " + two_pi + " THEN t2 - " + two_pi + " ELSE t2 END)" if res % 2 == 1 else "t2"} AS th
   FROM (
     SELECT id, f, r,
-      faz - (CASE WHEN az < 0 THEN az + {two_pi}
-                  WHEN az >= {two_pi} THEN az - {two_pi} ELSE az END) AS t1
-    FROM geo)),
+      (CASE WHEN t1 < 0 THEN t1 + {two_pi}
+            WHEN t1 >= {two_pi} THEN t1 - {two_pi} ELSE t1 END)
+      {f"- {ap7}" if res % 2 == 1 else ""} AS t2
+    FROM (
+      SELECT id, f, r,
+        faz - (CASE WHEN az < 0 THEN az + {two_pi}
+                    WHEN az >= {two_pi} THEN az - {two_pi} ELSE az END) AS t1
+      FROM geo))),
 xy AS (
   SELECT id, f,
     CASE WHEN r < 1e-16 THEN 0.0
@@ -767,6 +770,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["h3_encode_rollup"] = q_h3_encode_rollup
+
+    # odd (class III) resolution variant: exercises the aperture-7 theta
+    # rotation branch of both the encoder and its SQL twin
+    def q_h3_encode_rollup_r7(spark, sf_dir):
+        from simple_osm_queries_spark.functions import h3 as H
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+        lon = ((F.col("doc_id") * 7919) % 36000) / F.lit(100.0) - F.lit(180.0) + F.lit(0.005)
+        lat = ((F.col("doc_id") * 104729) % 12000) / F.lit(100.0) - F.lit(60.0) + F.lit(0.005)
+        cells = d.select(C.cell_h3(lon, lat, 7).alias("h"))
+        hexes = cells.filter(
+            ~H.base_cell(F.col("h")).isin(*sorted(H.PENTAGON_BASE_CELLS))
+        )
+        return (
+            hexes.select(H.parent(F.col("h"), 4).alias("parent"))
+            .groupBy("parent")
+            .agg(F.count("*").alias("n"))
+        )
+
+    q["h3_encode_rollup_r7"] = q_h3_encode_rollup_r7
 
     # compact/uncompact set algebra: synthesized res-5 cells (digit values
     # 2..6 — no complete sibling family can pre-exist, so the round-trip is
@@ -1238,6 +1261,7 @@ WITH parents AS (
 SELECT parent, count(*) AS n FROM parents GROUP BY parent
 """
     o["h3_encode_rollup"] = _h3_encode_rollup_sql()
+    o["h3_encode_rollup_r7"] = _h3_encode_rollup_sql(res=7, parent_res=4)
 
     # h3_compact_roundtrip: compact(uncompact(S)) == S by construction —
     # the oracle just rebuilds S

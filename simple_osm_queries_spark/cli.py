@@ -93,8 +93,12 @@ def cmd_cells(spark, args) -> None:
     # partition directories on a coarse H3 parent: fine cells cluster inside
     # files (row-group min/max pruning), directories stay bounded in count
     out = out.withColumn("h3_part", H.parent(F.col("h3"), args.partition_res))
+    # salt the repartition by source partition: a hot cell otherwise
+    # serializes into ONE write task (the measured index-build skew,
+    # BENCH.md section 9) — up to 16 tasks may write each directory
+    salt = F.pmod(F.spark_partition_id(), F.lit(16))
     (
-        out.repartition(F.col("h3_part"))
+        out.repartition(F.col("h3_part"), salt.alias("__salt"))
         .sortWithinPartitions("h3")
         .write.mode("overwrite")
         .partitionBy("h3_part")
