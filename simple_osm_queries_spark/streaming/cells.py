@@ -55,3 +55,15 @@ def streaming_window_events(
             "total_value",
         )
     )
+
+
+def streaming_h3_counts(stream: DataFrame, res: int = 8) -> DataFrame:
+    """Per-H3-cell running counts from a (lon, lat)-bearing stream — the
+    density aggregation keyed by REAL H3 ids (the from-scratch encoder runs
+    inside the micro-batch as the same Arrow-batched pandas UDF as the
+    batch path, so stream/batch cell assignments are identical)."""
+    return (
+        stream.withColumn("cell", C.cell_h3(F.col("lon"), F.col("lat"), res))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+    )

@@ -69,3 +69,32 @@ def test_streaming_window_events_matches_batch(spark, tmp_path):
     for k in got:
         assert got[k][0] == expected[k][0]
         assert got[k][1] == pytest.approx(expected[k][1])
+
+
+def test_streaming_h3_counts_matches_batch(spark, dataset, tmp_path):
+    from simple_osm_queries_spark.streaming.cells import streaming_h3_counts
+
+    src = str(tmp_path / "nodes_h3_src")
+    dataset.nodes.select("id", "lon", "lat").write.parquet(src)
+    stream = (
+        spark.readStream.schema("id long, lon double, lat double").parquet(src)
+    )
+    q = (
+        streaming_h3_counts(stream, res=7)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("h3_counts")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r.cell: r.n for r in spark.sql("SELECT * FROM h3_counts").collect()}
+    expected = {
+        r.cell: r.n
+        for r in dataset.nodes.groupBy(
+            C.cell_h3(F.col("lon"), F.col("lat"), 7).alias("cell")
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == expected and got
