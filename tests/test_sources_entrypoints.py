@@ -215,3 +215,32 @@ def test_cli_cells_pipeline(spark, tmp_path):
     import os
 
     assert [d for d in os.listdir(out) if d.startswith("h3_part=")]
+
+
+def test_cells_layout_partition_pruning(spark, tmp_path):
+    """The h3_part layout must prune directories for cell predicates —
+    the 100-TB read path (reading one region touches one directory set)."""
+    import pandas as pd
+
+    from simple_osm_queries_spark import cli
+
+    src = str(tmp_path / "in2.parquet")
+    pdf = pd.DataFrame(
+        {
+            "id": range(200),
+            "lon": [9.0 + (i % 20) * 0.5 for i in range(200)],
+            "lat": [50.0 + (i // 20) * 0.5 for i in range(200)],
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(src)
+    out = str(tmp_path / "cells_pruned")
+    cli.cmd_cells(
+        spark,
+        type("A", (), {"file": src, "out": out, "h3_res": 8, "s2_level": 12, "zoom": 13, "partition_res": 3})(),
+    )
+    back = spark.read.parquet(out)
+    one_part = back.select("h3_part").first().h3_part
+    q = back.filter(F.col("h3_part") == one_part)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "h3_part" in plan.split("PartitionFilters")[1][:120]
+    assert q.count() > 0
