@@ -93,19 +93,20 @@ def cmd_cells(spark, args) -> None:
     # partition directories on a coarse H3 parent: fine cells cluster inside
     # files (row-group min/max pruning), directories stay bounded in count
     out = out.withColumn("h3_part", H.parent(F.col("h3"), args.partition_res))
-    # salt the repartition by source partition: a hot cell otherwise
-    # serializes into ONE write task (the measured index-build skew,
-    # BENCH.md section 9) — up to 16 tasks may write each directory
-    salt = F.pmod(F.spark_partition_id(), F.lit(16))
-    (
-        out.repartition(F.col("h3_part"), salt.alias("__salt"))
-        .sortWithinPartitions("h3")
-        .write.mode("overwrite")
-        .partitionBy("h3_part")
-        .parquet(args.out)
+    # route through the checkpointed band builder: salted hot-partition
+    # writes, atomic per-band manifests, resume without recomputing
+    # completed cells (the north rule's per-partition lineage + metrics —
+    # a killed 10^12-row encode restarts where it stopped)
+    from simple_osm_queries_spark.index.build import build_index
+
+    fp = f"{args.file}|h3={args.h3_res}|s2={args.s2_level}|z={args.zoom}|p={args.partition_res}"
+    report = build_index(
+        out, args.out, input_fingerprint=fp, partition_col="h3_part"
     )
-    n = spark.read.parquet(args.out).count()
-    print(f"encoded + partitioned {n} rows -> {args.out}")
+    print(
+        f"encoded + partitioned {report['rows']} rows in {report['t_sec']:.1f}s "
+        f"({report['bands']} bands, {report['skipped']} resumed) -> {args.out}/data"
+    )
 
 
 def cmd_query(spark, args) -> None:

@@ -46,14 +46,14 @@ class Band:
         return f"x{self.min_x}_{self.max_x}"
 
 
-def plan_bands(df: DataFrame, max_rows_per_band: int) -> list[Band]:
-    """Greedy packing of contiguous cell_x columns into row-bounded bands.
-    Mirrors getNextExtent (import.go:167-233): extend the band until the
-    next column would overflow; oversized single columns become singleton
+def plan_bands(df: DataFrame, max_rows_per_band: int, partition_col: str = "cell_x") -> list[Band]:
+    """Greedy packing of contiguous partition-key values into row-bounded
+    bands. Mirrors getNextExtent (import.go:167-233): extend the band until
+    the next value would overflow; oversized single values become singleton
     bands (they can't be split on this key — AQE handles them inside)."""
     hist = sorted(
-        (r.cell_x, r.n)
-        for r in df.groupBy("cell_x").agg(F.count("*").alias("n")).collect()
+        (r[0], r[1])
+        for r in df.groupBy(partition_col).agg(F.count("*").alias("n")).collect()
     )
     bands: list[Band] = []
     cur_min = cur_max = None
@@ -126,8 +126,10 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
-def _iceberg_write_band(spark: SparkSession, band_df: DataFrame, table: str) -> None:
-    """Band write via the Iceberg DSv2 API: create the cell_x-partitioned
+def _iceberg_write_band(
+    spark: SparkSession, band_df: DataFrame, table: str, partition_col: str = "cell_x"
+) -> None:
+    """Band write via the Iceberg DSv2 API: create the key-partitioned
     table on first touch, then dynamic-overwrite exactly the band's
     partitions (the Iceberg-native equivalent of parquet's dynamic
     partitionOverwriteMode)."""
@@ -136,7 +138,7 @@ def _iceberg_write_band(spark: SparkSession, band_df: DataFrame, table: str) -> 
     exists = spark.catalog.tableExists(table)
     writer = band_df.writeTo(table)
     if not exists:
-        writer.partitionedBy(SF.col("cell_x")).create()
+        writer.partitionedBy(SF.col(partition_col)).create()
     else:
         writer.overwritePartitions()
 
@@ -150,6 +152,7 @@ def build_index(
     backend: str = "parquet",
     iceberg_table: str | None = None,
     files_per_cell: int = 16,
+    partition_col: str = "cell_x",
 ) -> dict:
     """Write the node table as a cell-partitioned index, band by band, with
     atomic per-band manifests. Returns a build report.
@@ -174,7 +177,7 @@ def build_index(
         # input-only cell_x partitions survive (same reasoning as the
         # parquet data/ wipe above)
         nodes.sparkSession.sql(f"DROP TABLE IF EXISTS {iceberg_table}")
-    bands = plan_bands(nodes, max_rows_per_band)
+    bands = plan_bands(nodes, max_rows_per_band, partition_col)
     for band in bands:
         mpath = _manifest_path(out_path, band)
         if os.path.exists(mpath):
@@ -186,12 +189,15 @@ def build_index(
                 continue
         tb = time.time()
         band_df = nodes.filter(
-            (F.col("cell_x") >= band.min_x) & (F.col("cell_x") <= band.max_x)
+            (F.col(partition_col) >= band.min_x) & (F.col(partition_col) <= band.max_x)
         )
         # cluster rows by cell_y (and lat) inside each cell_x directory:
         # parquet row-group min/max stats then prune bbox predicates on
         # the second dimension too (the z-order-lite for a 2D grid)
-        sort_cols = [c for c in ("cell_x", "cell_y", "lat") if c in band_df.columns]
+        sort_cols = [partition_col] + [
+            c for c in ("cell_y", "lat", "h3", "s2")
+            if c in band_df.columns and c != partition_col
+        ]
         # WRITE PARALLELISM: repartition("cell_x") alone serializes a hot
         # cell column into ONE task (measured at 300M rows: a 151M-row
         # column wrote single-threaded for 560 s). Salt the repartition by
@@ -201,19 +207,19 @@ def build_index(
         # (just <= files_per_cell files per directory instead of 1).
         salt = F.pmod(F.spark_partition_id(), F.lit(files_per_cell))
         clustered = band_df.repartition(
-            F.col("cell_x"), salt.alias("__salt")
+            F.col(partition_col), salt.alias("__salt")
         ).sortWithinPartitions(*sort_cols)
         if backend == "iceberg":
             if not iceberg_table:
                 raise ValueError("backend='iceberg' requires iceberg_table")
-            _iceberg_write_band(nodes.sparkSession, clustered, iceberg_table)
+            _iceberg_write_band(nodes.sparkSession, clustered, iceberg_table, partition_col)
         else:
             (
                 clustered.write.mode("overwrite")
                 # dynamic overwrite: a re-run band replaces exactly its own
                 # cell_x=... directories in the shared root — idempotent restarts
                 .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("cell_x")
+                .partitionBy(partition_col)
                 .parquet(os.path.join(out_path, "data"))
             )
         n = band.rows

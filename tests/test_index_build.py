@@ -195,7 +195,7 @@ def test_iceberg_changed_input_drops_table(spark, tmp_path, monkeypatch):
     out = str(tmp_path / "idx")
     band_calls = []
     monkeypatch.setattr(
-        B, "_iceberg_write_band", lambda s, d, t: band_calls.append(t)
+        B, "_iceberg_write_band", lambda s, d, t, pc="cell_x": band_calls.append(t)
     )
     sqls = []
     orig_sql = type(spark).sql

@@ -205,7 +205,7 @@ def test_cli_cells_pipeline(spark, tmp_path):
         spark,
         type("A", (), {"file": src, "out": out, "h3_res": 8, "s2_level": 12, "zoom": 13, "partition_res": 4})(),
     )
-    back = spark.read.parquet(out)
+    back = spark.read.parquet(out + "/data")
     assert {"h3", "s2", "tile", "h3_part"} <= set(back.columns)
     rows = back.orderBy("id").collect()
     for r in rows[:10]:
@@ -214,7 +214,23 @@ def test_cli_cells_pipeline(spark, tmp_path):
         assert H.parent_py(want, 4) == int(np.int64(r.h3_part).astype(np.uint64))
     import os
 
-    assert [d for d in os.listdir(out) if d.startswith("h3_part=")]
+    assert [d for d in os.listdir(out + "/data") if d.startswith("h3_part=")]
+    # resumable: a second run with the same fingerprint skips every band
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        cli.cmd_cells(
+            spark,
+            type("A", (), {"file": src, "out": out, "h3_res": 8, "s2_level": 12, "zoom": 13, "partition_res": 4})(),
+        )
+    assert "resumed" in buf.getvalue()
+    import json as _json
+
+    mdir = os.path.join(out, "_manifests")
+    manifests = [_json.load(open(os.path.join(mdir, f))) for f in os.listdir(mdir)]
+    assert manifests and all("input_fingerprint" in m for m in manifests)
 
 
 def test_cells_layout_partition_pruning(spark, tmp_path):
@@ -238,7 +254,7 @@ def test_cells_layout_partition_pruning(spark, tmp_path):
         spark,
         type("A", (), {"file": src, "out": out, "h3_res": 8, "s2_level": 12, "zoom": 13, "partition_res": 3})(),
     )
-    back = spark.read.parquet(out)
+    back = spark.read.parquet(out + "/data")
     one_part = back.select("h3_part").first().h3_part
     q = back.filter(F.col("h3_part") == one_part)
     plan = q._jdf.queryExecution().executedPlan().toString()
