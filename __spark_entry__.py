@@ -883,6 +883,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["point_in_polygon"] = q_pip
 
+    # north-star wording verbatim: ray-casting PIP after a broadcast H3
+    # cell-prefilter join (polyfill cover -> equi-join on the cell id ->
+    # exact refine). SAME oracle as point_in_polygon — the prefilter must
+    # not change the answer.
+    def q_pip_h3(spark, sf_dir):
+        pts = _derived_points(spark, sf_dir)
+        return spatial_join.point_in_polygon_h3_join(
+            pts, [(0, PENTAGON)], res=8
+        ).select("id")
+
+    q["point_in_polygon_h3"] = q_pip_h3
+
     # north rule: kNN — brute baseline and the k-ring scale path, SAME oracle
     def _knn_queries_df(spark):
         return spark.createDataFrame(
@@ -1453,6 +1465,7 @@ ORDER BY a.id
     o["point_in_polygon"] = (
         f"SELECT id FROM {pts} WHERE " + _sql_pip("lon", "lat", PENTAGON)
     )
+    o["point_in_polygon_h3"] = o["point_in_polygon"]
 
     knn_parts = []
     for qid, qlon, qlat in KNN_QUERIES:

@@ -233,3 +233,88 @@ def point_in_polygon_join(
         & point_in_polygon_col(points[lon], points[lat], polys[ring])
     )
     return points.join(F.broadcast(polys), cond, how).drop("__mnx", "__mny", "__mxx", "__mxy")
+
+
+# ---------------------------------------------------------------------------
+# H3 polyfill + cell-prefiltered point-in-polygon (north rule verbatim:
+# "ray-casting point-in-polygon after a broadcast cell-prefilter join")
+# ---------------------------------------------------------------------------
+
+
+def h3_polyfill(ring: list[tuple[float, float]], res: int = 8):
+    """Superset cover of a polygon with H3 cells at ``res`` (uint64 array).
+
+    Guarantee (the prefilter property): every cell containing ANY point of
+    the polygon is in the cover. Proof shape mirrors knn's disc cover: a
+    cell intersecting the polygon has its center within one circumradius of
+    the polygon, so its inradius disk lies inside the polygon's bbox padded
+    by circumradius + inradius; a sample grid with spacing <=
+    inradius/sqrt(2) hits every such disk, and encoding all samples (one
+    vectorized call) therefore yields every such cell. Extra cells near the
+    boundary are harmless — the exact ray-cast refine drops their points.
+    """
+    import math as _m
+
+    import numpy as np
+
+    from simple_osm_queries_spark.functions import h3_encode as E
+    from simple_osm_queries_spark.operators.knn import (
+        h3_max_circumradius_deg,
+        h3_min_inradius_deg,
+    )
+
+    lons = [p[0] for p in ring]
+    lats = [p[1] for p in ring]
+    pad = h3_max_circumradius_deg(res) + h3_min_inradius_deg(res)
+    step = h3_min_inradius_deg(res) / _m.sqrt(2.0) * 0.99
+    lat0, lat1 = min(lats) - pad, max(lats) + pad
+    coslat = _m.cos(_m.radians(max(abs(lat0), abs(lat1))))
+    lon_step = step / max(coslat, 1e-9)
+    lon0, lon1 = min(lons) - pad / coslat, max(lons) + pad / coslat
+    gx = np.arange(lon0, lon1 + lon_step, lon_step)
+    gy = np.arange(lat0, lat1 + step, step)
+    if len(gx) * len(gy) > 4_000_000:
+        raise ValueError(
+            f"polyfill at res {res} needs {len(gx)*len(gy)} samples; use a "
+            "coarser resolution for polygons this large"
+        )
+    mx, my = np.meshgrid(gx, gy)
+    cells = E.lnglat_to_cell(mx.ravel(), np.clip(my.ravel(), -89.9, 89.9), res)
+    return np.unique(cells)
+
+
+def point_in_polygon_h3_join(
+    points: DataFrame,
+    polygons: list[tuple[int, list[tuple[float, float]]]],
+    res: int = 8,
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Point-in-polygon with an H3 cell-prefilter: each polygon polyfills to
+    a cover of real H3 cells (driver-side, vectorized), points key by their
+    cell, and a broadcast equi-join on the cell id prunes the table down to
+    boundary-region candidates BEFORE the exact ray cast. At planet scale
+    with a cell-partitioned table the same cover doubles as a partition
+    filter; the refine touches only cover-cell rows instead of every row
+    that survives a bbox check."""
+    import pandas as pd
+
+    from simple_osm_queries_spark.functions import cells as C
+
+    spark = points.sparkSession
+    rows = []
+    for qid, ring in polygons:
+        for cell in h3_polyfill(ring, res).view("int64").tolist():
+            rows.append(
+                (int(qid), int(cell), [{"lon": float(x), "lat": float(y)} for x, y in ring])
+            )
+    cover = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["qid", "__cell", "__ring"]),
+        "qid long, __cell long, __ring array<struct<lon: double, lat: double>>",
+    )
+    keyed = points.withColumn("__cell", C.cell_h3(F.col(lon), F.col(lat), res))
+    cand = keyed.join(F.broadcast(cover), "__cell")
+    return (
+        cand.filter(point_in_polygon_col(F.col(lon), F.col(lat), F.col("__ring")))
+        .drop("__cell", "__ring")
+    )

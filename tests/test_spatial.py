@@ -262,3 +262,39 @@ def test_knn_h3_disc_cover_is_superset(spark):
     lats = qlat + rad * np.sin(ang)
     cells = set(E.lnglat_to_cell(lons, lats, res).view(np.int64).tolist())
     assert cells <= cover, f"{len(cells - cover)} cells escaped the cover"
+
+
+def test_h3_polyfill_is_superset(spark):
+    """Every cell containing a polygon point must be in the cover."""
+    import numpy as np
+
+    from simple_osm_queries_spark.functions import h3_encode as E
+    from simple_osm_queries_spark.operators.spatial_join import h3_polyfill
+
+    ring = PENTAGON
+    cover = set(h3_polyfill(ring, 8).tolist())
+    # dense interior + boundary samples of the polygon
+    rng = np.random.default_rng(9)
+    lons = rng.uniform(min(p[0] for p in ring), max(p[0] for p in ring), 20000)
+    lats = rng.uniform(min(p[1] for p in ring), max(p[1] for p in ring), 20000)
+    inside = np.array([_pip_oracle(x, y, ring) for x, y in zip(lons, lats)])
+    cells = set(E.lnglat_to_cell(lons[inside], lats[inside], 8).tolist())
+    assert cells <= cover, f"{len(cells - cover)} escaped"
+
+
+def test_point_in_polygon_h3_matches_plain(spark, points, points_pd):
+    from simple_osm_queries_spark.operators.spatial_join import (
+        point_in_polygon_h3_join,
+        point_in_polygon_literal_join,
+    )
+
+    catalog = [(0, PENTAGON), (1, STAR)]
+    plain = {
+        (r.id, r.qid)
+        for r in point_in_polygon_literal_join(points, catalog).select("id", "qid").collect()
+    }
+    h3ed = {
+        (r.id, r.qid)
+        for r in point_in_polygon_h3_join(points, catalog, res=8).select("id", "qid").collect()
+    }
+    assert h3ed == plain and plain
