@@ -359,11 +359,6 @@ def _ijk_normalize(i, j, k):
     return i - m, j - m, k - m
 
 
-def _lround(v):
-    """Round half away from zero (C lround). Inputs are never exactly .5."""
-    return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype(np.int64)
-
-
 def _up_ap7(i, j, k):
     """One aperture-7 step up, counter-clockwise (class III -> II)."""
     di = i - k
