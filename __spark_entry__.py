@@ -851,6 +851,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["s2_encode_cells"] = q_s2_encode
 
+    # S2 compact/uncompact: synthesized level-20 cells (s2_rollup's
+    # construction — the hashed bits make complete 4-sibling coincidences
+    # vanishingly unlikely and any would fail the hash), expanded one level
+    # and compacted back; oracle rebuilds the input set
+    def q_s2_compact(spark, sf_dir):
+        from simple_osm_queries_spark.operators import s2_sets
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+        face = F.col("doc_id") % 6
+        bits = (F.col("doc_id") * 48271) % F.lit(1 << 40)
+        rest = bits * F.lit(1 << 21) + F.lit(1 << 20)
+        sid = (
+            F.when(face >= 4, (face - 8) * F.lit(1 << 61) + rest)
+            .otherwise(face * F.lit(1 << 61) + rest)
+            .cast("long")
+        )
+        cells = d.select(sid.alias("cell")).distinct()
+        return s2_sets.compact_cells(s2_sets.uncompact_cells(cells, 21))
+
+    q["s2_compact_roundtrip"] = q_s2_compact
+
     # A1: per-cell density (the import pass-1 histogram)
     def cell_count(spark, sf_dir):
         pts = _derived_points(spark, sf_dir)
@@ -1307,6 +1328,18 @@ SELECT CAST(CASE WHEN up >= 9223372036854775808
 FROM p GROUP BY parent
 """
     o["s2_encode_cells"] = _s2_encode_sql()
+    o["s2_compact_roundtrip"] = """
+WITH ids AS (
+  SELECT DISTINCT CAST(doc_id % 6 AS HUGEINT) AS face,
+         CAST((doc_id * 48271) % 1099511627776 AS HUGEINT) AS bits
+  FROM documents
+), u AS (
+  SELECT DISTINCT face * 2305843009213693952 + bits * 2097152 + 1048576 AS uid FROM ids
+)
+SELECT CAST(CASE WHEN uid >= 9223372036854775808
+            THEN uid - 18446744073709551616 ELSE uid END AS BIGINT) AS cell
+FROM u
+"""
 
     # osm_rel_*: derived relations (idx = doc_id//50). bbox intersection is
     # always true by construction (every member point lies inside the query
