@@ -883,6 +883,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cell_count"] = cell_count
 
+    # geohash + morton z-order: pure column-math encoders, full SQL twins
+    def q_geohash(spark, sf_dir):
+        pts = _derived_points(spark, sf_dir)
+        return pts.select("id", C.geohash(F.col("lon"), F.col("lat"), 9).alias("gh"))
+
+    q["geohash_encode"] = q_geohash
+
+    def q_zorder(spark, sf_dir):
+        pts = _derived_points(spark, sf_dir)
+        z = C.zorder_key(
+            C._bits_col(F.col("lon"), -180.0, 180.0, 16),
+            C._bits_col(F.col("lat"), -90.0, 90.0, 16),
+            16,
+        )
+        return pts.select("id", z.alias("z"))
+
+    q["zorder_key"] = q_zorder
+
     # north rule: bbox join
     def q_bbox_join(spark, sf_dir):
         pts = _derived_points(spark, sf_dir)
@@ -1499,6 +1517,20 @@ ORDER BY a.id
         f"SELECT id FROM {pts} WHERE " + _sql_pip("lon", "lat", PENTAGON)
     )
     o["point_in_polygon_h3"] = o["point_in_polygon"]
+
+    o["geohash_encode"] = """
+WITH pts AS (SELECT doc_id AS id, {LON} AS lon, {LAT} AS lat FROM documents),
+b AS (SELECT id, least(greatest(CAST(floor((lon - (-180.0)) / (180.0 - (-180.0)) * 8388608.0) AS BIGINT), 0), 8388607) AS lonb,
+             least(greatest(CAST(floor((lat - (-90.0)) / (90.0 - (-90.0)) * 4194304.0) AS BIGINT), 0), 4194303) AS latb FROM pts),
+p AS (SELECT id, ((lonb >> 22) & 1) * 17592186044416 + ((latb >> 21) & 1) * 8796093022208 + ((lonb >> 21) & 1) * 4398046511104 + ((latb >> 20) & 1) * 2199023255552 + ((lonb >> 20) & 1) * 1099511627776 + ((latb >> 19) & 1) * 549755813888 + ((lonb >> 19) & 1) * 274877906944 + ((latb >> 18) & 1) * 137438953472 + ((lonb >> 18) & 1) * 68719476736 + ((latb >> 17) & 1) * 34359738368 + ((lonb >> 17) & 1) * 17179869184 + ((latb >> 16) & 1) * 8589934592 + ((lonb >> 16) & 1) * 4294967296 + ((latb >> 15) & 1) * 2147483648 + ((lonb >> 15) & 1) * 1073741824 + ((latb >> 14) & 1) * 536870912 + ((lonb >> 14) & 1) * 268435456 + ((latb >> 13) & 1) * 134217728 + ((lonb >> 13) & 1) * 67108864 + ((latb >> 12) & 1) * 33554432 + ((lonb >> 12) & 1) * 16777216 + ((latb >> 11) & 1) * 8388608 + ((lonb >> 11) & 1) * 4194304 + ((latb >> 10) & 1) * 2097152 + ((lonb >> 10) & 1) * 1048576 + ((latb >> 9) & 1) * 524288 + ((lonb >> 9) & 1) * 262144 + ((latb >> 8) & 1) * 131072 + ((lonb >> 8) & 1) * 65536 + ((latb >> 7) & 1) * 32768 + ((lonb >> 7) & 1) * 16384 + ((latb >> 6) & 1) * 8192 + ((lonb >> 6) & 1) * 4096 + ((latb >> 5) & 1) * 2048 + ((lonb >> 5) & 1) * 1024 + ((latb >> 4) & 1) * 512 + ((lonb >> 4) & 1) * 256 + ((latb >> 3) & 1) * 128 + ((lonb >> 3) & 1) * 64 + ((latb >> 2) & 1) * 32 + ((lonb >> 2) & 1) * 16 + ((latb >> 1) & 1) * 8 + ((lonb >> 1) & 1) * 4 + ((latb >> 0) & 1) * 2 + ((lonb >> 0) & 1) * 1 AS packed FROM b)
+SELECT id, substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((packed >> 40) & 31) + 1 AS INTEGER), 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((packed >> 35) & 31) + 1 AS INTEGER), 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((packed >> 30) & 31) + 1 AS INTEGER), 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((packed >> 25) & 31) + 1 AS INTEGER), 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((packed >> 20) & 31) + 1 AS INTEGER), 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((packed >> 15) & 31) + 1 AS INTEGER), 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((packed >> 10) & 31) + 1 AS INTEGER), 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((packed >> 5) & 31) + 1 AS INTEGER), 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((packed >> 0) & 31) + 1 AS INTEGER), 1) AS gh FROM p
+""".replace("{LON}", SQL_LON).replace("{LAT}", SQL_LAT)
+    o["zorder_key"] = """
+WITH pts AS (SELECT doc_id AS id, {LON} AS lon, {LAT} AS lat FROM documents),
+b AS (SELECT id, least(greatest(CAST(floor((lon - (-180.0)) / (180.0 - (-180.0)) * 65536.0) AS BIGINT), 0), 65535) AS xb,
+             least(greatest(CAST(floor((lat - (-90.0)) / (90.0 - (-90.0)) * 65536.0) AS BIGINT), 0), 65535) AS yb FROM pts)
+SELECT id, ((xb >> 0) & 1) * 2 + ((yb >> 0) & 1) * 1 + ((xb >> 1) & 1) * 8 + ((yb >> 1) & 1) * 4 + ((xb >> 2) & 1) * 32 + ((yb >> 2) & 1) * 16 + ((xb >> 3) & 1) * 128 + ((yb >> 3) & 1) * 64 + ((xb >> 4) & 1) * 512 + ((yb >> 4) & 1) * 256 + ((xb >> 5) & 1) * 2048 + ((yb >> 5) & 1) * 1024 + ((xb >> 6) & 1) * 8192 + ((yb >> 6) & 1) * 4096 + ((xb >> 7) & 1) * 32768 + ((yb >> 7) & 1) * 16384 + ((xb >> 8) & 1) * 131072 + ((yb >> 8) & 1) * 65536 + ((xb >> 9) & 1) * 524288 + ((yb >> 9) & 1) * 262144 + ((xb >> 10) & 1) * 2097152 + ((yb >> 10) & 1) * 1048576 + ((xb >> 11) & 1) * 8388608 + ((yb >> 11) & 1) * 4194304 + ((xb >> 12) & 1) * 33554432 + ((yb >> 12) & 1) * 16777216 + ((xb >> 13) & 1) * 134217728 + ((yb >> 13) & 1) * 67108864 + ((xb >> 14) & 1) * 536870912 + ((yb >> 14) & 1) * 268435456 + ((xb >> 15) & 1) * 2147483648 + ((yb >> 15) & 1) * 1073741824 AS z FROM b
+""".replace("{LON}", SQL_LON).replace("{LAT}", SQL_LAT)
 
     knn_parts = []
     for qid, qlon, qlat in KNN_QUERIES:

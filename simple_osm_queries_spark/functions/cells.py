@@ -228,3 +228,97 @@ def h3_center(cell: Column) -> Column:
         return pd.DataFrame({"lon": lng, "lat": lat})
 
     return _dec(cell)
+
+
+# ---------------------------------------------------------------------------
+# Geohash + Morton z-order (pure JVM column math, fully SQL-twinnable)
+# ---------------------------------------------------------------------------
+
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _bits_col(v: Column, lo: float, hi: float, nbits: int) -> Column:
+    """Bisection bits of v within [lo, hi) as one integer: exactly
+    floor((v - lo) / (hi - lo) * 2^nbits), clamped into range."""
+    scaled = F.floor((v - F.lit(lo)) / F.lit(hi - lo) * F.lit(float(1 << nbits))).cast("long")
+    return F.least(F.greatest(scaled, F.lit(0)), F.lit((1 << nbits) - 1))
+
+
+def zorder_key(x_bits: Column, y_bits: Column, nbits: int) -> Column:
+    """Morton interleave of two nbits-wide integers (x in even positions).
+    Unrolled shift/mask sum — whole-stage codegen, no UDF. The generic
+    2-D clustering key (Delta's OPTIMIZE ZORDER uses the same curve)."""
+    terms = []
+    for i in range(nbits):
+        xb = F.shiftright(x_bits, i).bitwiseAND(F.lit(1)).cast("long")
+        yb = F.shiftright(y_bits, i).bitwiseAND(F.lit(1)).cast("long")
+        terms.append(xb * F.lit(1 << (2 * i + 1)) + yb * F.lit(1 << (2 * i)))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def geohash(lon: Column, lat: Column, precision: int = 9) -> Column:
+    """Standard geohash string (base32, lon bit first) — pure column math.
+
+    precision chars = 5*precision bits, split ceil/floor between lon/lat.
+    Matches the public geohash algorithm exactly (bisection == the scaled
+    floor in _bits_col), reproducible in ANSI SQL for the oracle twin.
+    """
+    total = 5 * precision
+    n_lon = (total + 1) // 2
+    n_lat = total // 2
+    lon_b = _bits_col(lon, -180.0, 180.0, n_lon)
+    lat_b = _bits_col(lat, -90.0, 90.0, n_lat)
+    # interleave lon(hi) first: bit j of the geohash (MSB order) comes from
+    # lon when j even, lat when j odd
+    terms = []
+    for j in range(total):
+        src, idx = (lon_b, n_lon - 1 - j // 2) if j % 2 == 0 else (lat_b, n_lat - 1 - j // 2)
+        bit = F.shiftright(src, idx).bitwiseAND(F.lit(1)).cast("long")
+        terms.append(bit * F.lit(1 << (total - 1 - j)))
+    packed = terms[0]
+    for t in terms[1:]:
+        packed = packed + t
+    chars = [
+        F.substring(
+            F.lit(_GEOHASH32),
+            (F.shiftright(packed, (precision - 1 - c) * 5).bitwiseAND(F.lit(31)) + 1).cast("int"),
+            1,
+        )
+        for c in range(precision)
+    ]
+    return F.concat(*chars)
+
+
+def geohash_py(lon: float, lat: float, precision: int = 9) -> str:
+    """Scalar oracle: classic bisection implementation."""
+    lo_lon, hi_lon, lo_lat, hi_lat = -180.0, 180.0, -90.0, 90.0
+    bits = []
+    even = True
+    while len(bits) < 5 * precision:
+        if even:
+            mid = (lo_lon + hi_lon) / 2
+            if lon >= mid:
+                bits.append(1)
+                lo_lon = mid
+            else:
+                bits.append(0)
+                hi_lon = mid
+        else:
+            mid = (lo_lat + hi_lat) / 2
+            if lat >= mid:
+                bits.append(1)
+                lo_lat = mid
+            else:
+                bits.append(0)
+                hi_lat = mid
+        even = not even
+    out = []
+    for c in range(precision):
+        v = 0
+        for b in bits[c * 5 : c * 5 + 5]:
+            v = v * 2 + b
+        out.append(_GEOHASH32[v])
+    return "".join(out)

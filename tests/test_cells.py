@@ -81,3 +81,47 @@ def test_h3_s2_fallback_deterministic(spark):
     assert all(v is not None for row in a for v in row)
     # nearby but distinct points land in distinct fine cells
     assert a[0][0] != a[1][0]
+
+
+def test_geohash_column_matches_python_and_known_values(spark):
+    from simple_osm_queries_spark.functions.cells import geohash, geohash_py
+
+    pts = [(-5.6, 42.6), (-122.4194, 37.7749), (13.361389, 38.115556), (9.95, 53.55), (179.9, -89.9)]
+    pdf = pd.DataFrame(pts, columns=["lon", "lat"])
+    rows = (
+        spark.createDataFrame(pdf)
+        .select("lon", "lat", geohash(F.col("lon"), F.col("lat"), 9).alias("gh"))
+        .collect()
+    )
+    for r in rows:
+        assert r.gh == geohash_py(r.lon, r.lat, 9), (r.lon, r.lat)
+    # canonical published value (wikipedia geohash article)
+    assert geohash_py(-5.6, 42.6, 5) == "ezs42"
+
+
+def test_zorder_key_interleaves(spark):
+    from simple_osm_queries_spark.functions.cells import _bits_col, zorder_key
+
+    pdf = pd.DataFrame({"x": [0, 1, 2, 3, 100.0], "y": [0, 1, 2, 3, 200.0]})
+    rows = (
+        spark.createDataFrame(pdf)
+        .select(
+            "x", "y",
+            zorder_key(
+                _bits_col(F.col("x"), 0.0, 256.0, 8),
+                _bits_col(F.col("y"), 0.0, 256.0, 8),
+                8,
+            ).alias("z"),
+        )
+        .collect()
+    )
+
+    def interleave(a, b):
+        out = 0
+        for i in range(8):
+            out |= ((a >> i) & 1) << (2 * i + 1)
+            out |= ((b >> i) & 1) << (2 * i)
+        return out
+
+    for r in rows:
+        assert r.z == interleave(int(r.x), int(r.y))
