@@ -901,6 +901,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["zorder_key"] = q_zorder
 
+    # deterministic sampling: membership is a pure function of row content
+    # (md5 -> 52-bit dyadic uniform), so partitioning/retries/cluster size
+    # cannot change the sample — and DuckDB recomputes it verbatim
+    def q_sample(spark, sf_dir):
+        from simple_osm_queries_spark.operators import sampling
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return sampling.deterministic_sample(docs, 0.25, "doc_id", salt="gate").select("doc_id")
+
+    q["deterministic_sample"] = q_sample
+
+    def q_split(spark, sf_dir):
+        from simple_osm_queries_spark.operators import sampling
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return sampling.split(
+            docs, {"train": 0.8, "val": 0.1, "test": 0.1}, "doc_id"
+        ).select("doc_id", "split")
+
+    q["train_val_test_split"] = q_split
+
     # north rule: bbox join
     def q_bbox_join(spark, sf_dir):
         pts = _derived_points(spark, sf_dir)
@@ -1517,6 +1538,23 @@ ORDER BY a.id
         f"SELECT id FROM {pts} WHERE " + _sql_pip("lon", "lat", PENTAGON)
     )
     o["point_in_polygon_h3"] = o["point_in_polygon"]
+
+    _u_gate = "(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || '{salt}'), 1, 13) AS BIGINT) AS DOUBLE) / 4503599627370496.0)".replace("{salt}", "gate")
+    o["deterministic_sample"] = (
+        f"SELECT doc_id FROM documents WHERE {_u_gate} < CAST(0.25 AS DOUBLE)"
+    )
+    _u_split = "(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || '{salt}'), 1, 13) AS BIGINT) AS DOUBLE) / 4503599627370496.0)".replace("{salt}", "")
+    o["train_val_test_split"] = f"""
+SELECT doc_id,
+       CASE WHEN {_u_split} >= CAST(0.0 AS DOUBLE) AND {_u_split} < CAST(0.8 AS DOUBLE) THEN 'train'
+            WHEN {_u_split} >= CAST(0.8 AS DOUBLE)
+                 AND {_u_split} < CAST(0.8 AS DOUBLE) + CAST(0.1 AS DOUBLE) THEN 'val'
+            WHEN {_u_split} >= CAST(0.8 AS DOUBLE) + CAST(0.1 AS DOUBLE)
+                 AND {_u_split} < CAST(0.8 AS DOUBLE) + CAST(0.1 AS DOUBLE) + CAST(0.1 AS DOUBLE) THEN 'test'
+       END AS split
+FROM documents
+WHERE {_u_split} < CAST(0.8 AS DOUBLE) + CAST(0.1 AS DOUBLE) + CAST(0.1 AS DOUBLE)
+"""
 
     o["geohash_encode"] = """
 WITH pts AS (SELECT doc_id AS id, {LON} AS lon, {LAT} AS lat FROM documents),
