@@ -302,6 +302,38 @@ def run_image_block(spark) -> dict:
     return out
 
 
+def run_h3_block(spark, points_dir: str) -> dict:
+    """The round-3 H3-native operators at headline scale (single-shot):
+    whole-table encode throughput, kNN over H3 disc covers, and the
+    polyfill-prefiltered point-in-polygon."""
+    from simple_osm_queries_spark.operators.spatial_join import point_in_polygon_h3_join
+
+    slim = spark.read.parquet(os.path.join(points_dir, "slim"))
+    out: dict[str, float] = {}
+
+    def one(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        out[name] = round(time.time() - t0, 3)
+        print(f"[h3_ops] {name}: {out[name]}s", file=sys.stderr, flush=True)
+
+    one(
+        "encode_res8_all_rows",
+        lambda: slim.select(C.cell_h3(F.col("lon"), F.col("lat"), 8).alias("h"))
+        .agg(F.count_distinct("h"))
+        .collect(),
+    )
+    qpts = [(i, 9.9505 + (i % 10) * 1e-4, 53.5505 + (i % 10) * 1e-4, 10) for i in range(50)]
+    qpts += [(50 + i, 9.90 + (i * 0.004) % 0.2, 53.50 + (i * 0.0029) % 0.2, 10) for i in range(50)]
+    queries_df = spark.createDataFrame(qpts, "qid long, lon double, lat double, k int")
+    one("knn_h3_100q", lambda: knn.knn_h3(slim, queries_df, res=10).count())
+    one(
+        "pip_h3_polyfill",
+        lambda: point_in_polygon_h3_join(slim, [(0, PENTAGON)], res=8).count(),
+    )
+    return out
+
+
 def main() -> None:
     # maxPartitionBytes sized to the input: at the default 128MB the ~200MB
     # bench table packs into ~4 file splits, capping every scan stage at
@@ -371,6 +403,10 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_IMAGE_BLOCK", "1") != "0":
         image_block = run_image_block(spark)
 
+    h3_ops = None
+    if os.environ.get("SPARK_GRAFT_H3_BLOCK", "1") != "0":
+        h3_ops = run_h3_block(spark, POINTS_DIR)
+
     print(
         json.dumps(
             {
@@ -387,6 +423,7 @@ def main() -> None:
                 "data_scaling": data_scaling,
                 "dedup_1m": dedup_1m,
                 "image_block": image_block,
+                "h3_ops": h3_ops,
             }
         )
     )
@@ -407,6 +444,7 @@ def scaling_main() -> None:
             SPARK_GRAFT_DATA_SCALING="0",  # cores-scaling runs skip the data pair
             SPARK_GRAFT_DEDUP_BLOCK="0",  # ...and the dedup block
             SPARK_GRAFT_IMAGE_BLOCK="0",  # ...and the image block
+            SPARK_GRAFT_H3_BLOCK="0",
         )
         out = subprocess.run(
             [sys.executable, __file__], env=env, capture_output=True, text=True, check=True
