@@ -1084,3 +1084,33 @@ def cell_to_lnglat(cells) -> tuple[np.ndarray, np.ndarray]:
     if scalar:
         return lng_deg[0], lat_deg[0]
     return lng_deg, lat_deg
+
+
+def cell_boundary(cells) -> np.ndarray:
+    """Approximate boundary vertices per cell, shape (n, 6, 2) of
+    (lng_deg, lat_deg) — for rendering and coverage visualisation.
+
+    NOT bit-parity with the reference library's cellToBoundary: vertices
+    are unprojected from the center's verified face without cross-face
+    overage adjustment, so cells touching icosahedron edges distort
+    slightly, and the 12 pentagon cells get the naive six-corner ring.
+    Centers (cell_to_lnglat) remain exact — only the corner positions are
+    approximate."""
+    h = np.atleast_1d(np.asarray(cells, dtype=np.uint64))
+    if not len(h):
+        return np.empty((0, 6, 2))
+    res = int((h[0] >> np.uint64(52)) & np.uint64(0xF))
+    lng, lat = cell_to_lnglat(h)
+    latr, lngr = np.radians(lat), np.radians(lng)
+    face = _nearest_face(latr, lngr)
+    x, y = _project_to_face(face, latr, lngr, res)
+    out = np.empty((len(h), 6, 2))
+    r_vert = 1.0 / math.sqrt(3.0)  # hexagon circumradius in lattice units
+    for k in range(6):
+        ang = math.radians(30.0 + 60.0 * k)
+        vx = x + r_vert * math.cos(ang)
+        vy = y + r_vert * math.sin(ang)
+        vlat, vlng = _unproject_res(face, vx, vy, res)
+        out[:, k, 0] = (np.degrees(vlng) + 180.0) % 360.0 - 180.0
+        out[:, k, 1] = np.degrees(vlat)
+    return out

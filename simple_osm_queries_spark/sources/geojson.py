@@ -110,3 +110,27 @@ def write_geojson_lines(result: DataFrame, path: str) -> None:
         ).alias("value")
     )
     lines.write.mode("overwrite").text(path)
+
+
+def h3_cells_feature_collection(cells, properties: dict | None = None) -> dict:
+    """GeoJSON FeatureCollection of H3 cell polygons (render/inspect aid —
+    boundary positions are the documented approximation of
+    functions/h3_encode.py::cell_boundary; centers are exact)."""
+    import numpy as np
+
+    from simple_osm_queries_spark.functions import h3_encode as E
+
+    arr = np.atleast_1d(np.asarray(cells, dtype=np.uint64))
+    bounds = E.cell_boundary(arr)
+    feats = []
+    for cell, ring in zip(arr.tolist(), bounds):
+        coords = [[float(x), float(y)] for x, y in ring]
+        coords.append(coords[0])
+        feats.append(
+            {
+                "type": "Feature",
+                "geometry": {"type": "Polygon", "coordinates": [coords]},
+                "properties": {"h3": f"{cell:x}", **(properties or {})},
+            }
+        )
+    return {"type": "FeatureCollection", "features": feats}

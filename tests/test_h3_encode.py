@@ -264,3 +264,40 @@ def test_encode_decode_hypothesis_round_trip():
         assert E.latlng_to_cell_py(dlat[0], dlng[0], res) == int(c[0])
 
     run()
+
+
+def test_cell_boundary_surrounds_center():
+    from simple_osm_queries_spark.functions.cells import DEFAULT_CELL_W  # noqa: F401
+
+    lng, lat = np.array([9.95, 10.0, -122.4]), np.array([53.55, 53.6, 37.77])
+    cells = E.lnglat_to_cell(lng, lat, 7)
+    rings = E.cell_boundary(cells)
+    clng, clat = E.cell_to_lnglat(cells)
+    for i in range(len(cells)):
+        # vertices shrunk 10% toward the center re-encode to the same cell
+        for k in range(6):
+            vx = clng[i] + 0.9 * (rings[i, k, 0] - clng[i])
+            vy = clat[i] + 0.9 * (rings[i, k, 1] - clat[i])
+            assert E.latlng_to_cell_py(vy, vx, 7) == int(cells[i]), (i, k)
+        # and 20% beyond the vertex they leave the cell
+        outside = sum(
+            E.latlng_to_cell_py(
+                clat[i] + 1.2 * (rings[i, k, 1] - clat[i]),
+                clng[i] + 1.2 * (rings[i, k, 0] - clng[i]),
+                7,
+            )
+            != int(cells[i])
+            for k in range(6)
+        )
+        assert outside == 6
+
+
+def test_cells_geojson_sink():
+    from simple_osm_queries_spark.sources.geojson import h3_cells_feature_collection
+
+    cells = E.lnglat_to_cell(np.array([9.95]), np.array([53.55]), 8)
+    fc = h3_cells_feature_collection(cells, {"layer": "cover"})
+    assert fc["type"] == "FeatureCollection" and len(fc["features"]) == 1
+    geom = fc["features"][0]["geometry"]
+    assert geom["type"] == "Polygon" and len(geom["coordinates"][0]) == 7
+    assert fc["features"][0]["properties"]["layer"] == "cover"
