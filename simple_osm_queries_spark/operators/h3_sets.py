@@ -32,9 +32,17 @@ from simple_osm_queries_spark.functions import h3 as H
 def uncompact_cells(df: DataFrame, res: int, cell_col: str = "cell") -> DataFrame:
     """All descendants at ``res`` of every (possibly mixed-resolution) cell."""
     cur = df.select(F.col(cell_col).alias("cell"))
-    min_res = cur.agg(F.min(H.resolution(F.col("cell")))).first()[0]
+    bounds = cur.agg(
+        F.min(H.resolution(F.col("cell"))), F.max(H.resolution(F.col("cell")))
+    ).first()
+    min_res, max_res = bounds[0], bounds[1]
     if min_res is None:
         return cur
+    if int(max_res) > res:
+        raise ValueError(
+            f"uncompact target res {res} is coarser than an input cell "
+            f"(max res {max_res}); refusing to silently pass finer cells through"
+        )
     for r in range(int(min_res), res):
         at_r = F.col("__res") == r
         with_res = cur.withColumn("__res", H.resolution(F.col("cell")))

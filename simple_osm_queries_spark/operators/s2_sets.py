@@ -36,9 +36,17 @@ def _level_col(cell):
 def uncompact_cells(df: DataFrame, level: int, cell_col: str = "cell") -> DataFrame:
     """All descendants at ``level`` of every (possibly mixed-level) cell."""
     cur = df.select(F.col(cell_col).alias("cell"))
-    min_level = cur.agg(F.min(_level_col(F.col("cell")))).first()[0]
+    bounds = cur.agg(
+        F.min(_level_col(F.col("cell"))), F.max(_level_col(F.col("cell")))
+    ).first()
+    min_level, max_level = bounds[0], bounds[1]
     if min_level is None:
         return cur
+    if int(max_level) > level:
+        raise ValueError(
+            f"uncompact target level {level} is coarser than an input cell "
+            f"(max level {max_level}); refusing to silently pass finer cells through"
+        )
     for lv in range(int(min_level), level):
         lvl = _level_col(F.col("cell"))
         done = cur.filter(lvl != lv)

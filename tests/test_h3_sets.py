@@ -94,3 +94,11 @@ def test_mixed_resolution_input(spark):
     assert u == _uncompact_py(mixed, 5)
     back = {r.cell for r in S.compact_cells(_df(spark, mixed)).collect()}
     assert back == {a, b}
+
+
+def test_uncompact_rejects_finer_input(spark):
+    import pytest as _pytest
+
+    cells = _cells_fixture(5)[:2]
+    with _pytest.raises(ValueError, match="coarser than an input cell"):
+        S.uncompact_cells(_df(spark, cells), 4).collect()

@@ -70,3 +70,11 @@ def test_compact_partial_families_stay(spark):
         for c in dropped
     } - {victim_parent}
     assert others <= back
+
+
+def test_uncompact_rejects_finer_input(spark):
+    import pytest as _pytest
+
+    cells = _cells_fixture(7)[:2]
+    with _pytest.raises(ValueError, match="coarser than an input cell"):
+        SS.uncompact_cells(_df(spark, cells), 6).collect()
