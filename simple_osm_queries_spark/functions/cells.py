@@ -263,8 +263,11 @@ def geohash(lon: Column, lat: Column, precision: int = 9) -> Column:
     """Standard geohash string (base32, lon bit first) — pure column math.
 
     precision chars = 5*precision bits, split ceil/floor between lon/lat.
-    Matches the public geohash algorithm exactly (bisection == the scaled
-    floor in _bits_col), reproducible in ANSI SQL for the oracle twin.
+    The scaled-floor bit extraction equals classic bisection for every
+    coordinate except values within one ulp of a bisection boundary (the
+    floor path divides by the range once; bisection compares against exact
+    dyadic midpoints) — generic coordinates never sit there. Reproducible
+    verbatim in ANSI SQL for the oracle twin (which mirrors the floor).
     """
     total = 5 * precision
     n_lon = (total + 1) // 2

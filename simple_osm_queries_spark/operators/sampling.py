@@ -28,7 +28,9 @@ _DENOM = float(1 << 52)
 
 
 def hash_uniform(key: Column, salt: str = "") -> Column:
-    """Deterministic uniform in [0,1) from row content (md5-based)."""
+    """Deterministic uniform in [0,1) from row content (md5-based).
+    Use integer/string keys: the cast-to-string of floats may differ
+    between engines, breaking oracle parity (ids are the natural key)."""
     h = F.md5(F.concat_ws("\x1f", key.cast("string"), F.lit(salt)))
     return F.conv(F.substring(h, 1, 13), 16, 10).cast("double") / F.lit(_DENOM)
 
