@@ -46,8 +46,60 @@ def make_handler(dataset: OsmDataset):
         def do_GET(self):  # noqa: N802 (http.server API)
             if self.path.rstrip("/") in ("", "/app"):
                 self._send(200, _app_html(), "text/html")
+            elif self.path.startswith("/cells"):
+                self._get_cells()
             else:
                 self._send(404, b'{"error": "not found"}', "application/json")
+
+        def _get_cells(self) -> None:
+            """GET /cells?bbox=minlon,minlat,maxlon,maxlat&res=7 — per-H3-cell
+            node density over the bbox as a GeoJSON FeatureCollection of cell
+            polygons with a `count` property (the round-3 encoder + boundary
+            machinery as a user surface)."""
+            from urllib.parse import parse_qs, urlparse
+
+            import numpy as np
+            from pyspark.sql import functions as F
+
+            from simple_osm_queries_spark.functions import cells as C
+            from simple_osm_queries_spark.sources.geojson import (
+                h3_cells_feature_collection,
+            )
+
+            try:
+                qs = parse_qs(urlparse(self.path).query)
+                x1, y1, x2, y2 = (float(v) for v in qs["bbox"][0].split(","))
+                res = int(qs.get("res", ["7"])[0])
+                if not 0 <= res <= 12:
+                    raise ValueError("res must be in [0, 12]")
+            except (KeyError, ValueError) as e:
+                self._send(
+                    400,
+                    json.dumps({"error": "bad request", "message": str(e)}).encode(),
+                    "application/json",
+                )
+                return
+            try:
+                rows = (
+                    dataset.nodes.filter(
+                        (F.col("lon") >= x1) & (F.col("lon") <= x2)
+                        & (F.col("lat") >= y1) & (F.col("lat") <= y2)
+                    )
+                    .groupBy(C.cell_h3(F.col("lon"), F.col("lat"), res).alias("cell"))
+                    .agg(F.count("*").alias("n"))
+                    .collect()
+                )
+                cells = np.array([r.cell for r in rows], dtype=np.int64).view(np.uint64)
+                fc = h3_cells_feature_collection(cells)
+                for feat, r in zip(fc["features"], rows):
+                    feat["properties"]["count"] = r.n
+                self._send(200, json.dumps(fc).encode(), "application/geo+json")
+            except Exception as e:  # execution error envelope
+                self._send(
+                    500,
+                    json.dumps({"error": "execution error", "message": str(e)}).encode(),
+                    "application/json",
+                )
 
         def do_POST(self):  # noqa: N802
             if self.path != "/query":

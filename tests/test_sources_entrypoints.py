@@ -260,3 +260,28 @@ def test_cells_layout_partition_pruning(spark, tmp_path):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "h3_part" in plan.split("PartitionFilters")[1][:120]
     assert q.count() > 0
+
+
+def test_http_server_h3_cells_endpoint(ref_dataset):
+    from simple_osm_queries_spark.web import serve
+
+    httpd = serve(ref_dataset, port=18101)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+            "http://127.0.0.1:18101/cells?bbox=9.9,53.5,10.0,53.6&res=7"
+        ) as resp:
+            fc = json.loads(resp.read())
+        assert resp.status == 200 and fc["type"] == "FeatureCollection"
+        total = sum(f["properties"]["count"] for f in fc["features"])
+        assert total == 3  # the reference fixture's 3 nodes in the window
+        for f in fc["features"]:
+            assert f["geometry"]["type"] == "Polygon"
+            assert len(f["properties"]["h3"]) == 15  # hex token
+
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen("http://127.0.0.1:18101/cells?bbox=oops")
+        assert e.value.code == 400
+    finally:
+        httpd.shutdown()
