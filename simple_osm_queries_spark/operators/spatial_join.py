@@ -318,3 +318,56 @@ def point_in_polygon_h3_join(
         cand.filter(point_in_polygon_col(F.col(lon), F.col(lat), F.col("__ring")))
         .drop("__cell", "__ring")
     )
+
+
+def h3_cover_bbox(
+    min_lon: float, min_lat: float, max_lon: float, max_lat: float, res: int = 8
+):
+    """Superset cover of a bbox with H3 cells (uint64 array) — polyfill of
+    the rectangle. The planner recipe for bbox scans over a cell-partitioned
+    table (the `cells` CLI layout): filter the partition column with the
+    cover's parents and the fine column with the cover itself — both
+    predicates are partition/row-group pruning, no geometry evaluated until
+    the residual lon/lat refine."""
+    ring = [
+        (min_lon, min_lat),
+        (max_lon, min_lat),
+        (max_lon, max_lat),
+        (min_lon, max_lat),
+    ]
+    return h3_polyfill(ring, res)
+
+
+def bbox_scan_h3_partitioned(
+    df: DataFrame,
+    min_lon: float,
+    min_lat: float,
+    max_lon: float,
+    max_lat: float,
+    res: int = 8,
+    partition_res: int = 4,
+    lon: str = "lon",
+    lat: str = "lat",
+    cell_col: str = "h3",
+    part_col: str = "h3_part",
+) -> DataFrame:
+    """bbox query over a `cells`-CLI-partitioned table with THREE pruning
+    tiers: partition directories (coarse H3 parents of the cover), parquet
+    row groups (fine cell ids, sorted within files), then the exact lon/lat
+    refine. The read touches only the bbox's cell directories — the
+    distributed equivalent of the reference's per-cell file scan
+    (/root/reference/src/index/grid_reader.go:39-78)."""
+    import numpy as np
+
+    from simple_osm_queries_spark.functions import h3 as H
+
+    cover = h3_cover_bbox(min_lon, min_lat, max_lon, max_lat, res)
+    parents = np.unique(
+        np.array([H.parent_py(int(c), partition_res) for c in cover.tolist()], dtype=np.uint64)
+    )
+    return df.filter(
+        F.col(part_col).isin([int(np.int64(p)) for p in parents.tolist()])
+        & F.col(cell_col).isin([int(np.int64(c)) for c in cover.view(np.int64).tolist()])
+        & (F.col(lon) >= min_lon) & (F.col(lon) <= max_lon)
+        & (F.col(lat) >= min_lat) & (F.col(lat) <= max_lat)
+    )

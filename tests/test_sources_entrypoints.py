@@ -285,3 +285,44 @@ def test_http_server_h3_cells_endpoint(ref_dataset):
         assert e.value.code == 400
     finally:
         httpd.shutdown()
+
+
+def test_bbox_scan_on_cells_layout_prunes_and_matches(spark, tmp_path):
+    """bbox over the cells-CLI layout: three-tier pruning (PartitionFilters
+    on h3_part + fine-cell isin + residual), result equals the naive scan."""
+    import pandas as pd
+
+    from simple_osm_queries_spark import cli
+    from simple_osm_queries_spark.operators.spatial_join import (
+        bbox_scan_h3_partitioned,
+    )
+
+    src = str(tmp_path / "in3.parquet")
+    pdf = pd.DataFrame(
+        {
+            "id": range(400),
+            "lon": [9.0 + (i % 20) * 0.1 for i in range(400)],
+            "lat": [50.0 + (i // 20) * 0.1 for i in range(400)],
+        }
+    )
+    spark.createDataFrame(pdf).write.parquet(src)
+    out = str(tmp_path / "cells3")
+    cli.cmd_cells(
+        spark,
+        type("A", (), {"file": src, "out": out, "h3_res": 8, "s2_level": 12, "zoom": 13, "partition_res": 3})(),
+    )
+    table = spark.read.parquet(out + "/data")
+    bbox = (9.4, 50.4, 9.9, 50.9)
+    q = bbox_scan_h3_partitioned(table, *bbox, res=8, partition_res=3)
+    got = sorted(r.id for r in q.collect())
+    want = sorted(
+        r.id
+        for r in table.filter(
+            (F.col("lon") >= bbox[0]) & (F.col("lon") <= bbox[2])
+            & (F.col("lat") >= bbox[1]) & (F.col("lat") <= bbox[3])
+        ).collect()
+    )
+    assert got == want and got
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "h3_part" in plan.split("PartitionFilters")[1][:200]
