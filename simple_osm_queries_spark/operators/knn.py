@@ -255,10 +255,7 @@ def _h3_disc_cells_col(qlon, qlat, res: int, disc_deg: float):
             f"disc {disc_deg} deg needs {(2*n_side+1)**2} samples per query "
             f"at res {res}; use a coarser resolution for discs this large"
         )
-    offs = np.arange(-n_side, n_side + 1, dtype=np.float64) * step
-    ox, oy = np.meshgrid(offs, offs)
-    keep = ox * ox + oy * oy <= R * R
-    ox, oy = ox[keep], oy[keep]  # (m,) disc sample offsets in degrees
+    offs = np.arange(-n_side, n_side + 1, dtype=np.float64) * step  # lat rows
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _cover(lon: pd.Series, lat: pd.Series) -> pd.Series:
@@ -268,14 +265,72 @@ def _h3_disc_cells_col(qlon, qlat, res: int, disc_deg: float):
             return pd.Series([], dtype=object)
         lo = lon.to_numpy(dtype=np.float64)
         la = lat.to_numpy(dtype=np.float64)
-        # equirectangular offsets: lon shrinks by cos(lat)
-        slon = (lo[:, None] + ox[None, :] / np.cos(np.radians(la))[:, None]).ravel()
-        slat = (la[:, None] + oy[None, :]).ravel()
-        np.clip(slat, -89.9, 89.9, out=slat)
-        cells = E.lnglat_to_cell(slon, slat, res).view(np.int64).reshape(len(lo), -1)
-        return pd.Series([np.unique(row).tolist() for row in cells])
+        # Per-latitude-ROW lon sampling (same fix as h3_polyfill, ADVICE r3):
+        # scaling every row's lon offsets by the single query-latitude cos
+        # under-samples rows nearer the equator than the query. Each row uses
+        # its own band cos: spacing from the band's largest cos, extent from
+        # its smallest. Queries close enough to a pole for the extent to wrap
+        # are routed to brute force by knn_h3 before this UDF runs.
+        sample_lon: list[np.ndarray] = []
+        sample_lat: list[np.ndarray] = []
+        totals: list[int] = []
+        for i in range(len(lo)):
+            rows = la[i] + offs
+            half_arc = np.sqrt(np.maximum(R * R - offs * offs, 0.0))
+            band_abs = np.abs(rows)
+            c_hi = np.cos(np.radians(np.clip(band_abs - step, 0.0, 89.95)))
+            c_lo = np.maximum(
+                np.cos(np.radians(np.minimum(band_abs + step, 89.95))), 1e-9
+            )
+            dl = step / c_hi
+            halfw = np.minimum(half_arc / c_lo, 180.0)
+            counts = np.ceil(2.0 * halfw / dl).astype(np.int64) + 1
+            total = int(counts.sum())
+            if total > 65536:
+                raise ValueError(
+                    f"disc {disc_deg} deg at lat {la[i]:.2f} needs {total} "
+                    f"samples per query at res {res}; use a coarser "
+                    "resolution for discs this large"
+                )
+            ridx = np.repeat(np.arange(len(rows)), counts)
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            within = np.arange(total) - np.repeat(starts, counts)
+            sample_lon.append(lo[i] - halfw[ridx] + within * dl[ridx])
+            sample_lat.append(np.clip(rows[ridx], -89.9, 89.9))
+            totals.append(total)
+        cells = E.lnglat_to_cell(
+            np.concatenate(sample_lon), np.concatenate(sample_lat), res
+        ).view(np.int64)
+        out: list[list[int]] = []
+        pos = 0
+        for t in totals:
+            out.append(np.unique(cells[pos : pos + t]).tolist())
+            pos += t
+        return pd.Series(out)
 
     return _cover(qlon, qlat)
+
+
+def _knn_brute_equirect(points: DataFrame, queries: DataFrame, k: int | None) -> DataFrame:
+    """Exact kNN under the same equirect (cos-scaled) metric knn_h3 ranks by;
+    the fallback for discs the cover sampler can't serve (pole-adjacent
+    queries, outgrown discs). Always ``exact``."""
+    q = queries.select(
+        "qid",
+        F.col("lon").alias("qlon"),
+        F.col("lat").alias("qlat"),
+        (F.lit(k) if k is not None else F.col("k")).alias("k"),
+    )
+    cand = points.select("id", "lon", "lat").crossJoin(F.broadcast(q))
+    coslat = F.cos(F.radians(F.col("qlat")))
+    dx = (F.col("lon") - F.col("qlon")) * coslat
+    dy = F.col("lat") - F.col("qlat")
+    cand = cand.withColumn("dist2", dx * dx + dy * dy)
+    return (
+        _topk(cand)
+        .select("qid", "id", "lon", "lat", "dist2", "rank")
+        .withColumn("exact", F.lit(True))
+    )
 
 
 def knn_h3(
@@ -293,9 +348,20 @@ def knn_h3(
     guarantee: true iff >= k candidates were found and the k-th lies inside
     the disc. Hot cells: AQE skew splitting by default; ``salt`` > 1
     pre-salts the point side like knn_kring.
+
+    Queries whose padded disc reaches a pole (where the cover's lon extent
+    wraps the full circle and the sampler can't bound its sample count) are
+    split off and answered by the exact equirect brute path (ADVICE r3 #5).
     """
     if disc_deg is None:
         disc_deg = 2.0 * h3_max_circumradius_deg(res)
+    polar_cut = 89.5 - (1.05 * disc_deg + h3_max_circumradius_deg(res))
+    polar = queries.filter(F.abs(F.col("lat")) >= F.lit(polar_cut))
+    if not polar.isEmpty():  # query side is small by contract
+        rest = queries.filter(F.abs(F.col("lat")) < F.lit(polar_cut))
+        return knn_h3(points, rest, k, res, disc_deg, salt).unionByName(
+            _knn_brute_equirect(points, polar, k)
+        )
     q = queries.select(
         "qid",
         F.col("lon").alias("qlon"),
@@ -368,20 +434,7 @@ def knn_h3_exact(
     else:
         brute_rest = True
     if brute_rest:
-        coslat = F.cos(F.radians(F.col("qlat")))
-        q = pending.select(
-            "qid", F.col("lon").alias("qlon"), F.col("lat").alias("qlat"),
-            (F.lit(k) if k is not None else F.col("k")).alias("k"),
-        )
-        cand = points.select("id", "lon", "lat").crossJoin(F.broadcast(q))
-        dx = (F.col("lon") - F.col("qlon")) * coslat
-        dy = F.col("lat") - F.col("qlat")
-        cand = cand.withColumn("dist2", dx * dx + dy * dy)
-        results.append(
-            _topk(cand)
-            .select("qid", "id", "lon", "lat", "dist2", "rank")
-            .withColumn("exact", F.lit(True))
-        )
+        results.append(_knn_brute_equirect(points, pending, k))
     out = results[0]
     for extra in results[1:]:
         out = out.unionByName(extra)

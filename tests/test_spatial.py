@@ -282,6 +282,87 @@ def test_h3_polyfill_is_superset(spark):
     assert cells <= cover, f"{len(cells - cover)} escaped"
 
 
+def test_h3_polyfill_wide_latitude_span():
+    """ADVICE r3 #1 regression: a ring spanning 0N..85N must not drop
+    low-latitude cells (the old sampler scaled every row's lon spacing by
+    one worst-case cos and missed 75% of interior cells here)."""
+    import numpy as np
+
+    from simple_osm_queries_spark.functions import h3_encode as E
+    from simple_osm_queries_spark.operators.spatial_join import h3_polyfill
+
+    rng = np.random.default_rng(7)
+    for (lo0, la0, lo1, la1, res) in [
+        (10, 0, 20, 85, 2),
+        (10, 0, 20, 89, 2),
+        (-5, -80, 5, 80, 3),
+    ]:
+        ring = [(lo0, la0), (lo1, la0), (lo1, la1), (lo0, la1)]
+        cover = set(h3_polyfill(ring, res).tolist())
+        lons = rng.uniform(lo0, lo1, 20000)
+        lats = rng.uniform(la0, la1, 20000)
+        cells = set(E.lnglat_to_cell(lons, lats, res).tolist())
+        assert cells <= cover, (
+            f"bbox=({lo0},{la0},{lo1},{la1}) res={res}: "
+            f"{len(cells - cover)}/{len(cells)} cells escaped"
+        )
+
+
+def test_knn_h3_disc_cover_high_latitude(spark):
+    """Disc-cover superset at high latitude: rows of the sample grid nearer
+    the equator than the query need tighter lon spacing than the query's own
+    cos provides (ADVICE r3 #5)."""
+    import math as _m
+
+    import numpy as np
+
+    from simple_osm_queries_spark.functions import h3_encode as E
+    from simple_osm_queries_spark.operators.knn import (
+        _h3_disc_cells_col,
+        h3_max_circumradius_deg,
+    )
+
+    qlon, qlat, res = 12.0, 75.0, 3
+    disc = 2.0 * h3_max_circumradius_deg(res)
+    df = spark.createDataFrame(pd.DataFrame({"qlon": [qlon], "qlat": [qlat]}))
+    cover = set(
+        df.select(_h3_disc_cells_col(F.col("qlon"), F.col("qlat"), res, disc).alias("c"))
+        .collect()[0]
+        .c
+    )
+    rng = np.random.default_rng(11)
+    ang = rng.uniform(0, 2 * np.pi, 6000)
+    rad = disc * np.sqrt(rng.uniform(0, 1, 6000))
+    lats = qlat + rad * np.sin(ang)
+    lons = qlon + rad * np.cos(ang) / np.cos(np.radians(lats))
+    cells = set(E.lnglat_to_cell(lons, lats, res).view(np.int64).tolist())
+    assert cells <= cover, f"{len(cells - cover)} cells escaped the cover"
+
+
+def test_knn_h3_pole_query_falls_back_to_brute(spark, points, points_pd):
+    """A pole-adjacent query (padded disc reaches 89.5N) routes to the exact
+    brute path instead of the cover sampler; results still match the
+    equirect oracle and report exact."""
+    polar = spark.createDataFrame(
+        [(0, 9.97, 89.8, 5), (1, 9.97, 53.57, 5)],
+        "qid long, lon double, lat double, k int",
+    )
+    pts = points.select("id", "lon", "lat").unionByName(
+        spark.createDataFrame(
+            [(90001 + i, 9.0 + i * 0.3, 89.7 + 0.01 * i) for i in range(8)],
+            "id long, lon double, lat double",
+        )
+    )
+    res = knn.knn_h3(pts, polar, res=8)
+    rows = res.collect()
+    assert all(r.exact for r in rows)
+    pts_pd = pts.select("id", "lon", "lat").toPandas()
+    for qid, qlon, qlat, k in [(0, 9.97, 89.8, 5), (1, 9.97, 53.57, 5)]:
+        expected = [i for i, _ in _knn_oracle_equirect(pts_pd, qlon, qlat, k)]
+        got = [r.id for r in sorted((r for r in rows if r.qid == qid), key=lambda r: r.rank)]
+        assert got == expected, f"qid={qid}"
+
+
 def test_point_in_polygon_h3_matches_plain(spark, points, points_pd):
     from simple_osm_queries_spark.operators.spatial_join import (
         point_in_polygon_h3_join,

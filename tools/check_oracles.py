@@ -104,18 +104,25 @@ def main() -> int:
     unknown_oracles = set(os_) - set(qs)
     assert not unknown_oracles, f"oracle_sql keys without queries: {unknown_oracles}"
 
+    import time
+
     failures = []
+    total_t0 = time.time()
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.time()
         sdf = fn(spark, sf_dir)
         srows = sdf.collect()
+        spark_sec = time.time() - t0
         scols = sdf.columns
         if name not in os_:
-            print(f"  {name:28s} rows-only: {len(srows)} rows")
+            print(f"  {name:28s} rows-only: {len(srows)} rows [{spark_sec:.1f}s]")
             continue
+        t0 = time.time()
         drel = con.sql(os_[name])
         dtab = drel.arrow()
+        duck_sec = time.time() - t0
         drows = [tuple(r.values()) for r in dtab.to_pylist()]
         dcols = dtab.schema.names
         status = []
@@ -139,10 +146,14 @@ def main() -> int:
             failures.append(name)
             print(f"  {name:28s} FAIL  " + " | ".join(status))
         else:
-            print(f"  {name:28s} OK    {len(srows)} rows")
+            print(
+                f"  {name:28s} OK    {len(srows)} rows"
+                f" [spark {spark_sec:.1f}s, duck {duck_sec:.1f}s]"
+            )
 
     print(f"\n{len(qs) - len(failures)}/{len(qs)} queries pass"
-          f" ({len(os_)} SQL-checked, {len(qs) - len(os_)} rows-only)")
+          f" ({len(os_)} SQL-checked, {len(qs) - len(os_)} rows-only)"
+          f" in {time.time() - total_t0:.0f}s")
     return 1 if failures else 0
 
 
