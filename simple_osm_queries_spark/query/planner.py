@@ -15,10 +15,11 @@ pushdown and join selection:
   become a DataFrame built once; membership is explode(adjacency) + left-semi
   join, re-attached as a boolean column so it composes with arbitrary
   AND/OR/NOT nesting. This strictly dominates the reference's memoized
-  nested-loop (filter.go:166-337). The reference restricts inner candidates
-  to the outer feature's cells — semantically neutral, because direct
-  membership implies cell co-location (grid_writer.go:90-252 stores parents
-  in every member cell), so we skip it and keep the plan shuffle-minimal.
+  nested-loop (filter.go:166-337). Like the reference's cell-scoped fetch
+  (filter.go:196-263), the inner scan is pruned to the outer candidates'
+  cell set first (_scope_inner_by_outer_cells) — a broadcast semi join that
+  becomes a dynamic partition filter on a cell-partitioned layout, so the
+  inner side never reads the whole planet for a city-sized bbox.
 * multiple top-level statements -> unionByName (query.go:29-35).
 
 Output schema is uniform across object types:
@@ -115,6 +116,45 @@ def compile_filter(
     raise PlanError(f"Unknown filter expression {expr!r}")
 
 
+def _scope_inner_by_outer_cells(
+    inner_df: DataFrame, inner_base: str, df: DataFrame, outer_type: str
+) -> DataFrame:
+    """Prune the sub-statement's inner scan to the outer candidates' cells —
+    the distributed form of the reference's cell-scoped sub-statement fetch
+    (/root/reference/src/query/filter.go:196-263: it computes the outer
+    features' cells at :196-222 and fetches inner features per cell at
+    :227-263, instead of scanning the whole inner table).
+
+    Safe because direct membership implies cell co-location: a way's
+    ``cells`` contains every member node's cell (grid_writer.go:90-252), so
+    any inner feature adjacent to SOME outer candidate shares a cell with
+    it; pruning to the outer cell set cannot drop a qualifying inner row,
+    and therefore leaves every membership flag — including negated ones —
+    unchanged. The distinct cell set is bounded by the grid vocabulary
+    (bbox cover cells for top-level statements), so the broadcast is small;
+    on a cell-partitioned layout the broadcast semi join doubles as a
+    dynamic partition filter. Relations carry no cell column (small table
+    at any scale) — they scan unscoped on either side."""
+    if outer_type == "node":
+        oc = df.select(F.col("cell").alias("__ocell")).distinct()
+    elif outer_type == "way":
+        oc = df.select(F.explode("cells").alias("__ocell")).distinct()
+    else:
+        return inner_df
+    if inner_base == "node":
+        return inner_df.join(
+            F.broadcast(oc), inner_df["cell"] == oc["__ocell"], "left_semi"
+        )
+    if inner_base == "way":
+        hit = (
+            inner_df.select("id", F.explode("cells").alias("__icell"))
+            .join(F.broadcast(oc), F.col("__icell") == F.col("__ocell"), "left_semi")
+            .select("id")
+        )
+        return inner_df.join(hit, "id", "left_semi")
+    return inner_df
+
+
 def _compile_substatement(
     df: DataFrame, stmt: ast.Statement, outer_type: str, dataset: OsmDataset
 ) -> tuple[DataFrame, Column]:
@@ -127,6 +167,7 @@ def _compile_substatement(
 
     inner_base = ast.BASE_TYPE[inner_qtype]
     inner_df = dataset.df_for(inner_base)
+    inner_df = _scope_inner_by_outer_cells(inner_df, inner_base, df, outer_type)
     inner_df, inner_pred = compile_filter(inner_df, stmt.filter, inner_base, dataset)
     inner_ids = inner_df.filter(inner_pred).select(F.col("id").alias("__mid"))
 

@@ -152,3 +152,36 @@ def test_geojson_sink(dataset):
     assert f["geometry"]["type"] == "Point"
     assert f["properties"]["@osm_type"] == "node"
     assert f["properties"]["amenity"] == "bench"
+
+
+def test_substatement_inner_scan_is_cell_scoped(spark, dataset):
+    """VERDICT r3 #1 guard: the this.* inner scan must carry the outer cell
+    prune (broadcast semi join on the distinct outer cell set) — and on a
+    cell-PARTITIONED layout Spark must turn it into a dynamic partition
+    filter on the inner FileScan, the distributed twin of the reference's
+    per-cell sub-statement fetch (filter.go:227-263)."""
+    import tempfile
+
+    from simple_osm_queries_spark.sources.dataset import OsmDataset
+
+    q = f"bbox({WINDOW}).ways{{ building=yes AND this.nodes{{ amenity=bench }} }}"
+
+    # in-memory layout: the semi join on __ocell is present in the plan
+    df = plan_query(parse_query(q), dataset)
+    plan = df._jdf.queryExecution().toString()
+    assert "__ocell" in plan, "inner scan lost the outer-cell semi join"
+
+    # partitioned layout: the inner nodes scan gets a dynamicpruning filter
+    out = tempfile.mkdtemp(prefix="soq_dpp_guard_")
+    dataset.nodes.write.mode("overwrite").partitionBy("cell").parquet(out)
+    ds2 = OsmDataset(
+        nodes=spark.read.parquet(out), ways=dataset.ways, relations=dataset.relations
+    )
+    df2 = plan_query(parse_query(q), ds2)
+    plan2 = df2._jdf.queryExecution().toString()
+    assert "dynamicpruning" in plan2.lower(), "no dynamic partition filter on inner scan"
+
+    # same rows either way, and same rows as the module's other e2e checks
+    a = sorted(r.id for r in df.collect())
+    b = sorted(r.id for r in df2.collect())
+    assert a == b
