@@ -354,6 +354,63 @@ def h3_cover_bbox(
     return h3_polyfill(ring, res)
 
 
+def _merged_ranges(ranges: list[tuple[int, int]], cap: int) -> list[tuple[int, int]]:
+    """Sort, merge overlapping/adjacent id ranges, then greedily close the
+    smallest gaps until at most ``cap`` ranges remain. Closing a gap only
+    widens the prune (extra ids pass to the exact refine), never drops rows
+    — so the cap trades read amplification for bounded plan size."""
+    ranges = sorted(ranges)
+    merged = [list(ranges[0])]
+    for lo, hi in ranges[1:]:
+        if lo <= merged[-1][1] + 1:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+    while len(merged) > cap:
+        gaps = sorted(
+            (merged[i + 1][0] - merged[i][1], i) for i in range(len(merged) - 1)
+        )
+        n_close = len(merged) - cap
+        close = {i for _, i in gaps[:n_close]}
+        out = [merged[0]]
+        for i in range(1, len(merged)):
+            if i - 1 in close:
+                out[-1][1] = merged[i][1]
+            else:
+                out.append(merged[i])
+        merged = out
+    return [(lo, hi) for lo, hi in merged]
+
+
+def h3_cover_bbox_compact(
+    min_lon: float,
+    min_lat: float,
+    max_lon: float,
+    max_lat: float,
+    res: int = 8,
+    max_cells: int = 4096,
+) -> tuple[list[int], int]:
+    """Compacted superset cover of a bbox: polyfill at ``res``, coarsening
+    the resolution while the COMPACTED cover exceeds ``max_cells`` (or the
+    sampler's budget), then driver-side H3 compaction. A coarser cover is a
+    superset — callers always refine with the exact lon/lat predicate — so
+    a continental bbox costs a few hundred mixed-res cells instead of
+    millions of fine literals (the r3 plan-size blowup; the reference's
+    equivalent is a min/max cell range, grid_reader.go:41-42). Returns
+    (compacted cells, effective resolution used)."""
+    from simple_osm_queries_spark.functions import h3 as H
+
+    for r in range(res, -1, -1):
+        try:
+            cover = h3_cover_bbox(min_lon, min_lat, max_lon, max_lat, r)
+        except ValueError:
+            continue  # sample budget exceeded: coarsen
+        compacted = H.compact_cells_py(cover.tolist())
+        if len(compacted) <= max_cells or r == 0:
+            return compacted, r
+    raise AssertionError("unreachable: res 0 cover is always <= 122 cells")
+
+
 def bbox_scan_h3_partitioned(
     df: DataFrame,
     min_lon: float,
@@ -366,24 +423,45 @@ def bbox_scan_h3_partitioned(
     lat: str = "lat",
     cell_col: str = "h3",
     part_col: str = "h3_part",
+    max_ranges: int = 128,
 ) -> DataFrame:
     """bbox query over a `cells`-CLI-partitioned table with THREE pruning
-    tiers: partition directories (coarse H3 parents of the cover), parquet
-    row groups (fine cell ids, sorted within files), then the exact lon/lat
-    refine. The read touches only the bbox's cell directories — the
-    distributed equivalent of the reference's per-cell file scan
-    (/root/reference/src/index/grid_reader.go:39-78)."""
-    import numpy as np
+    tiers: partition directories (cell-id ranges on the coarse H3 partition
+    column), parquet row groups (cell-id ranges on the fine column, sorted
+    within files), then the exact lon/lat refine. The read touches only the
+    bbox's cell directories — the distributed equivalent of the reference's
+    per-cell file scan (/root/reference/src/index/grid_reader.go:39-78).
 
+    Plan size is BOUNDED regardless of bbox extent: the cover is compacted
+    (h3_cover_bbox_compact) and each compacted cell becomes a min/max id
+    range over its descendants (functions/h3.child_range_py), merged down
+    to at most ``max_ranges`` BETWEEN terms per tier — a hemisphere bbox
+    compiles to the same plan shape as a city block, mirroring the
+    reference's min/max cell range scan (grid_reader.go:41-42)."""
     from simple_osm_queries_spark.functions import h3 as H
 
-    cover = h3_cover_bbox(min_lon, min_lat, max_lon, max_lat, res)
-    parents = np.unique(
-        np.array([H.parent_py(int(c), partition_res) for c in cover.tolist()], dtype=np.uint64)
-    )
+    compacted, _eff = h3_cover_bbox_compact(min_lon, min_lat, max_lon, max_lat, res)
+    fine_ranges = []
+    part_ranges = []
+    for c in compacted:
+        rc = H.resolution_py(c)
+        fine_ranges.append(H.child_range_py(c, res) if rc <= res else (c, c))
+        if rc <= partition_res:
+            part_ranges.append(H.child_range_py(c, partition_res))
+        else:
+            p = H.parent_py(c, partition_res)
+            part_ranges.append((p, p))
+
+    def _pred(col: str, ranges: list[tuple[int, int]]):
+        out = None
+        for lo, hi in _merged_ranges(ranges, max_ranges):
+            term = F.col(col).between(int(np.int64(np.uint64(lo))), int(np.int64(np.uint64(hi))))
+            out = term if out is None else out | term
+        return out
+
     return df.filter(
-        F.col(part_col).isin([int(np.int64(p)) for p in parents.tolist()])
-        & F.col(cell_col).isin([int(np.int64(c)) for c in cover.view(np.int64).tolist()])
+        _pred(part_col, part_ranges)
+        & _pred(cell_col, fine_ranges)
         & (F.col(lon) >= min_lon) & (F.col(lon) <= max_lon)
         & (F.col(lat) >= min_lat) & (F.col(lat) <= max_lat)
     )
