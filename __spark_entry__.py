@@ -658,10 +658,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run
 
+    # two relation statements in ONE query (A4 union): member semi join
+    # (J1 on relations) plus child_relations (the reference's fourth
+    # queryable type) — merged so the gate stays within 50 entries (the
+    # driver's correctness file truncates at 50, observed r03)
     q["osm_rel_members"] = _osm_rel(
-        "bbox(9.90, 53.50, 10.10, 53.70).relations{ route=bus AND this.nodes{ seats=* } }"
-    )
-    q["osm_rel_children"] = _osm_rel(
+        "bbox(9.90, 53.50, 10.10, 53.70).relations{ route=bus AND this.nodes{ seats=* } } "
         "bbox(9.90, 53.50, 10.10, 53.70).relations{ this.child_relations{ route=bus } }"
     )
 
@@ -753,43 +755,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rolled up to res-5 parents. The oracle recomputes the whole encode in
     # SQL (_h3_encode_rollup_sql). Pentagon base cells excluded on both
     # sides — their deleted-K-axis branch is pytest-covered.
+    # BOTH resolution classes in one entry (even/class II at res 8 AND the
+    # aperture-7 theta-rotation branch at odd res 7), unioned with a `res`
+    # tag — merged to keep the gate within the driver's 50-entry file cap
     def q_h3_encode_rollup(spark, sf_dir):
         from simple_osm_queries_spark.functions import h3 as H
 
         d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
         lon = ((F.col("doc_id") * 7919) % 36000) / F.lit(100.0) - F.lit(180.0) + F.lit(0.005)
         lat = ((F.col("doc_id") * 104729) % 12000) / F.lit(100.0) - F.lit(60.0) + F.lit(0.005)
-        cells = d.select(C.cell_h3(lon, lat, H3E_RES).alias("h"))
-        hexes = cells.filter(
-            ~H.base_cell(F.col("h")).isin(*sorted(H.PENTAGON_BASE_CELLS))
-        )
-        return (
-            hexes.select(H.parent(F.col("h"), H3E_PARENT).alias("parent"))
-            .groupBy("parent")
-            .agg(F.count("*").alias("n"))
-        )
+
+        def roll(enc_res: int, parent_res: int):
+            cells = d.select(C.cell_h3(lon, lat, enc_res).alias("h"))
+            hexes = cells.filter(
+                ~H.base_cell(F.col("h")).isin(*sorted(H.PENTAGON_BASE_CELLS))
+            )
+            return (
+                hexes.select(
+                    F.lit(enc_res).alias("res"),
+                    H.parent(F.col("h"), parent_res).alias("parent"),
+                )
+                .groupBy("res", "parent")
+                .agg(F.count("*").alias("n"))
+            )
+
+        return roll(H3E_RES, H3E_PARENT).unionByName(roll(7, 4))
 
     q["h3_encode_rollup"] = q_h3_encode_rollup
-
-    # odd (class III) resolution variant: exercises the aperture-7 theta
-    # rotation branch of both the encoder and its SQL twin
-    def q_h3_encode_rollup_r7(spark, sf_dir):
-        from simple_osm_queries_spark.functions import h3 as H
-
-        d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
-        lon = ((F.col("doc_id") * 7919) % 36000) / F.lit(100.0) - F.lit(180.0) + F.lit(0.005)
-        lat = ((F.col("doc_id") * 104729) % 12000) / F.lit(100.0) - F.lit(60.0) + F.lit(0.005)
-        cells = d.select(C.cell_h3(lon, lat, 7).alias("h"))
-        hexes = cells.filter(
-            ~H.base_cell(F.col("h")).isin(*sorted(H.PENTAGON_BASE_CELLS))
-        )
-        return (
-            hexes.select(H.parent(F.col("h"), 4).alias("parent"))
-            .groupBy("parent")
-            .agg(F.count("*").alias("n"))
-        )
-
-    q["h3_encode_rollup_r7"] = q_h3_encode_rollup_r7
 
     # compact/uncompact set algebra: synthesized res-5 cells (digit values
     # 2..6 — no complete sibling family can pre-exist, so the round-trip is
@@ -883,23 +875,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cell_count"] = cell_count
 
-    # geohash + morton z-order: pure column-math encoders, full SQL twins
+    # geohash + morton z-order: pure column-math encoders, full SQL twins;
+    # one entry for both (50-entry gate-file cap)
     def q_geohash(spark, sf_dir):
-        pts = _derived_points(spark, sf_dir)
-        return pts.select("id", C.geohash(F.col("lon"), F.col("lat"), 9).alias("gh"))
-
-    q["geohash_encode"] = q_geohash
-
-    def q_zorder(spark, sf_dir):
         pts = _derived_points(spark, sf_dir)
         z = C.zorder_key(
             C._bits_col(F.col("lon"), -180.0, 180.0, 16),
             C._bits_col(F.col("lat"), -90.0, 90.0, 16),
             16,
         )
-        return pts.select("id", z.alias("z"))
+        return pts.select(
+            "id", C.geohash(F.col("lon"), F.col("lat"), 9).alias("gh"), z.alias("z")
+        )
 
-    q["zorder_key"] = q_zorder
+    q["geohash_encode"] = q_geohash
 
     # deterministic sampling: membership is a pure function of row content
     # (md5 -> 52-bit dyadic uniform), so partitioning/retries/cluster size
@@ -1232,17 +1221,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "quality",
         )
 
+    # lang-id + winnowing-stable fingerprint in one entry (both per-doc
+    # scalar outputs over documents; 50-entry gate-file cap)
     def q_lang(spark, sf_dir):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        return textops.lang_id(docs).select("doc_id", "pred_lang")
-
-    def q_fp(spark, sf_dir):
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        return docs.select("doc_id", textops.doc_fingerprint(F.col("text")).alias("fp"))
+        return textops.lang_id(docs).select(
+            "doc_id", "pred_lang", textops.doc_fingerprint(F.col("text")).alias("fp")
+        )
 
     q["text_quality"] = q_text_quality
     q["lang_id"] = q_lang
-    q["doc_fingerprint"] = q_fp
 
     # similarity search
     def q_sim_topk(spark, sf_dir):
@@ -1332,8 +1320,12 @@ WITH parents AS (
 )
 SELECT parent, count(*) AS n FROM parents GROUP BY parent
 """
-    o["h3_encode_rollup"] = _h3_encode_rollup_sql()
-    o["h3_encode_rollup_r7"] = _h3_encode_rollup_sql(res=7, parent_res=4)
+    o["h3_encode_rollup"] = (
+        f"SELECT CAST({H3E_RES} AS INTEGER) AS res, parent, n "
+        f"FROM ({_h3_encode_rollup_sql()}) UNION ALL "
+        f"SELECT CAST(7 AS INTEGER) AS res, parent, n "
+        f"FROM ({_h3_encode_rollup_sql(res=7, parent_res=4)})"
+    )
 
     # h3_compact_roundtrip: compact(uncompact(S)) == S by construction —
     # the oracle just rebuilds S
@@ -1391,10 +1383,9 @@ FROM u
         "AND doc_id + 2 <= (SELECT max(doc_id) FROM documents)"
     )
     o["osm_rel_members"] = (
-        f"WITH rdef AS ({_rdef}) SELECT rid AS id FROM rdef WHERE idx % 6 = 5 ORDER BY id"
-    )
-    o["osm_rel_children"] = (
-        f"WITH rdef AS ({_rdef}) SELECT rid AS id FROM rdef "
+        f"WITH rdef AS ({_rdef}) "
+        f"SELECT rid AS id FROM rdef WHERE idx % 6 = 5 "
+        f"UNION ALL SELECT rid AS id FROM rdef "
         f"WHERE idx % 3 = 0 AND idx > 0 AND (idx - 1) % 2 = 1 ORDER BY id"
     )
 
@@ -1556,19 +1547,23 @@ FROM documents
 WHERE {_u_split} < CAST(0.8 AS DOUBLE) + CAST(0.1 AS DOUBLE) + CAST(0.1 AS DOUBLE)
 """
 
-    o["geohash_encode"] = """
+    _geohash_sql = """
 WITH pts AS (SELECT doc_id AS id, {LON} AS lon, {LAT} AS lat FROM documents),
 b AS (SELECT id, least(greatest(CAST(floor((lon - (-180.0)) / (180.0 - (-180.0)) * 8388608.0) AS BIGINT), 0), 8388607) AS lonb,
              least(greatest(CAST(floor((lat - (-90.0)) / (90.0 - (-90.0)) * 4194304.0) AS BIGINT), 0), 4194303) AS latb FROM pts),
 p AS (SELECT id, ((lonb >> 22) & 1) * 17592186044416 + ((latb >> 21) & 1) * 8796093022208 + ((lonb >> 21) & 1) * 4398046511104 + ((latb >> 20) & 1) * 2199023255552 + ((lonb >> 20) & 1) * 1099511627776 + ((latb >> 19) & 1) * 549755813888 + ((lonb >> 19) & 1) * 274877906944 + ((latb >> 18) & 1) * 137438953472 + ((lonb >> 18) & 1) * 68719476736 + ((latb >> 17) & 1) * 34359738368 + ((lonb >> 17) & 1) * 17179869184 + ((latb >> 16) & 1) * 8589934592 + ((lonb >> 16) & 1) * 4294967296 + ((latb >> 15) & 1) * 2147483648 + ((lonb >> 15) & 1) * 1073741824 + ((latb >> 14) & 1) * 536870912 + ((lonb >> 14) & 1) * 268435456 + ((latb >> 13) & 1) * 134217728 + ((lonb >> 13) & 1) * 67108864 + ((latb >> 12) & 1) * 33554432 + ((lonb >> 12) & 1) * 16777216 + ((latb >> 11) & 1) * 8388608 + ((lonb >> 11) & 1) * 4194304 + ((latb >> 10) & 1) * 2097152 + ((lonb >> 10) & 1) * 1048576 + ((latb >> 9) & 1) * 524288 + ((lonb >> 9) & 1) * 262144 + ((latb >> 8) & 1) * 131072 + ((lonb >> 8) & 1) * 65536 + ((latb >> 7) & 1) * 32768 + ((lonb >> 7) & 1) * 16384 + ((latb >> 6) & 1) * 8192 + ((lonb >> 6) & 1) * 4096 + ((latb >> 5) & 1) * 2048 + ((lonb >> 5) & 1) * 1024 + ((latb >> 4) & 1) * 512 + ((lonb >> 4) & 1) * 256 + ((latb >> 3) & 1) * 128 + ((lonb >> 3) & 1) * 64 + ((latb >> 2) & 1) * 32 + ((lonb >> 2) & 1) * 16 + ((latb >> 1) & 1) * 8 + ((lonb >> 1) & 1) * 4 + ((latb >> 0) & 1) * 2 + ((lonb >> 0) & 1) * 1 AS packed FROM b)
 SELECT id, substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((packed >> 40) & 31) + 1 AS INTEGER), 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((packed >> 35) & 31) + 1 AS INTEGER), 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((packed >> 30) & 31) + 1 AS INTEGER), 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((packed >> 25) & 31) + 1 AS INTEGER), 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((packed >> 20) & 31) + 1 AS INTEGER), 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((packed >> 15) & 31) + 1 AS INTEGER), 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((packed >> 10) & 31) + 1 AS INTEGER), 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((packed >> 5) & 31) + 1 AS INTEGER), 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((packed >> 0) & 31) + 1 AS INTEGER), 1) AS gh FROM p
 """.replace("{LON}", SQL_LON).replace("{LAT}", SQL_LAT)
-    o["zorder_key"] = """
+    _zorder_sql = """
 WITH pts AS (SELECT doc_id AS id, {LON} AS lon, {LAT} AS lat FROM documents),
 b AS (SELECT id, least(greatest(CAST(floor((lon - (-180.0)) / (180.0 - (-180.0)) * 65536.0) AS BIGINT), 0), 65535) AS xb,
              least(greatest(CAST(floor((lat - (-90.0)) / (90.0 - (-90.0)) * 65536.0) AS BIGINT), 0), 65535) AS yb FROM pts)
 SELECT id, ((xb >> 0) & 1) * 2 + ((yb >> 0) & 1) * 1 + ((xb >> 1) & 1) * 8 + ((yb >> 1) & 1) * 4 + ((xb >> 2) & 1) * 32 + ((yb >> 2) & 1) * 16 + ((xb >> 3) & 1) * 128 + ((yb >> 3) & 1) * 64 + ((xb >> 4) & 1) * 512 + ((yb >> 4) & 1) * 256 + ((xb >> 5) & 1) * 2048 + ((yb >> 5) & 1) * 1024 + ((xb >> 6) & 1) * 8192 + ((yb >> 6) & 1) * 4096 + ((xb >> 7) & 1) * 32768 + ((yb >> 7) & 1) * 16384 + ((xb >> 8) & 1) * 131072 + ((yb >> 8) & 1) * 65536 + ((xb >> 9) & 1) * 524288 + ((yb >> 9) & 1) * 262144 + ((xb >> 10) & 1) * 2097152 + ((yb >> 10) & 1) * 1048576 + ((xb >> 11) & 1) * 8388608 + ((yb >> 11) & 1) * 4194304 + ((xb >> 12) & 1) * 33554432 + ((yb >> 12) & 1) * 16777216 + ((xb >> 13) & 1) * 134217728 + ((yb >> 13) & 1) * 67108864 + ((xb >> 14) & 1) * 536870912 + ((yb >> 14) & 1) * 268435456 + ((xb >> 15) & 1) * 2147483648 + ((yb >> 15) & 1) * 1073741824 AS z FROM b
 """.replace("{LON}", SQL_LON).replace("{LAT}", SQL_LAT)
+    o["geohash_encode"] = (
+        f"SELECT g.id, g.gh, z.z FROM ({_geohash_sql}) g "
+        f"JOIN ({_zorder_sql}) z ON g.id = z.id"
+    )
 
     knn_parts = []
     for qid, qlon, qlat in KNN_QUERIES:
@@ -1864,10 +1859,9 @@ FROM feats
         ) or "TRUE"
         case += f"WHEN {marker_scores[lang]} > 0 AND {others_not_greater} AND {earlier_less} THEN '{lang}' "
     case += "ELSE 'und' END"
-    o["lang_id"] = f"SELECT doc_id, {case} AS pred_lang FROM documents"
-
-    o["doc_fingerprint"] = (
-        "SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp "
+    o["lang_id"] = (
+        f"SELECT doc_id, {case} AS pred_lang, "
+        "md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp "
         "FROM documents"
     )
 

@@ -64,28 +64,37 @@ def uncompact_cells(df: DataFrame, res: int, cell_col: str = "cell") -> DataFram
 
 def compact_cells(df: DataFrame, cell_col: str = "cell") -> DataFrame:
     """Minimal covering set: complete sibling families fold into parents,
-    cascading to coarser resolutions."""
+    cascading to coarser resolutions.
+
+    Level-sparse like s2_sets.compact_cells: only resolutions that hold
+    cells are visited, and a resolution that folds nothing leaves the plan
+    (and its checkpoint) untouched — a same-res input costs one groupBy
+    round instead of max_res eager checkpoints."""
     cur = df.select(F.col(cell_col).alias("cell"))
-    max_res = cur.agg(F.max(H.resolution(F.col("cell")))).first()[0]
-    if max_res is None:
-        return cur
-    for r in range(int(max_res), 0, -1):
+    present = {
+        int(r_[0])
+        for r_ in cur.select(H.resolution(F.col("cell")).alias("r")).distinct().collect()
+    }
+    present.discard(0)
+    while present:
+        r = max(present)
+        present.discard(r)
         with_res = cur.withColumn("__res", H.resolution(F.col("cell")))
         at_r = with_res.filter(F.col("__res") == r).drop("__res")
-        rest = with_res.filter(F.col("__res") != r).drop("__res")
         fam = at_r.select("cell", H.parent(F.col("cell"), r - 1).alias("__p"))
         counts = fam.groupBy("__p").agg(F.count("*").alias("__n"))
         complete = counts.filter(
             (F.col("__n") == 7) & ~H.is_pentagon(F.col("__p"))
             | (F.col("__n") == 6) & H.is_pentagon(F.col("__p"))
-        ).select("__p")
-        kept = (
-            fam.join(complete, "__p", "left_anti").select("cell")
-        )
+        ).select("__p").localCheckpoint(eager=True)  # tiny; reused below
+        if complete.isEmpty():
+            continue
+        rest = with_res.filter(F.col("__res") != r).drop("__res")
+        kept = fam.join(complete, "__p", "left_anti").select("cell")
         parents = complete.select(F.col("__p").alias("cell"))
-        # parents join the next-coarser round's population; eager checkpoint
-        # keeps the per-round plan flat (cell sets are small by contract)
         cur = (
             rest.unionByName(kept).unionByName(parents).localCheckpoint(eager=True)
         )
+        if r - 1 > 0:
+            present.add(r - 1)
     return cur

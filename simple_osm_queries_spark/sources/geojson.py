@@ -53,6 +53,26 @@ def to_geojson(result: DataFrame) -> dict:
     }
 
 
+def to_geojson_capped(result: DataFrame, max_rows: int) -> dict:
+    """FeatureCollection bounded to ``max_rows`` features, fetched through
+    ``toLocalIterator`` (partition-at-a-time — the driver never holds more
+    than one partition plus the capped feature list, unlike the reference's
+    unbounded full-result write, api.go:117). When the cap cuts the result
+    the collection carries ``"truncated": true``."""
+    feats = []
+    truncated = False
+    it = result.toLocalIterator()
+    for row in it:
+        if len(feats) >= max_rows:
+            truncated = True
+            break
+        feats.append(_feature_dict(row))
+    fc: dict = {"type": "FeatureCollection", "features": feats}
+    if truncated:
+        fc["truncated"] = True
+    return fc
+
+
 def write_geojson_file(result: DataFrame, path: str) -> None:
     with open(path, "w") as f:
         json.dump(to_geojson(result), f)

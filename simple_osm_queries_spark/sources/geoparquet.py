@@ -203,7 +203,9 @@ def read_geoparquet(spark, path: str) -> DataFrame:
         ]))
         def _pts(col: pd.Series) -> pd.DataFrame:
             n = len(col)
-            if n and all(len(b) == 21 and b[0] == 1 for b in col):
+            # null geometries are legal GeoParquet: decode to (None, None)
+            # instead of crashing on len(None) (ADVICE r3 #4)
+            if n and all(b is not None and len(b) == 21 and b[0] == 1 for b in col):
                 # vectorized little-endian fast path (our own writer's shape)
                 buf = b"".join(col)
                 rec = np.frombuffer(
@@ -211,7 +213,7 @@ def read_geoparquet(spark, path: str) -> DataFrame:
                     dtype=np.dtype([("e", "u1"), ("t", "<u4"), ("x", "<f8"), ("y", "<f8")]),
                 )
                 return pd.DataFrame({"lon": rec["x"], "lat": rec["y"]})
-            pts = [_decode_point(b) for b in col]
+            pts = [(None, None) if b is None else _decode_point(b) for b in col]
             return pd.DataFrame(
                 {"lon": [p[0] for p in pts], "lat": [p[1] for p in pts]}
             )
@@ -226,6 +228,9 @@ def read_geoparquet(spark, path: str) -> DataFrame:
     def _lines(col: pd.Series) -> pd.Series:
         out = []
         for b in col:
+            if b is None:  # null geometry row (legal GeoParquet)
+                out.append(None)
+                continue
             order = "<" if b[0] == 1 else ">"
             (gtype,) = struct.unpack(order + "I", b[1:5])
             if gtype == 1:  # Point in a mixed dataset

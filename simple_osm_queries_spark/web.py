@@ -22,7 +22,15 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from simple_osm_queries_spark.query.parser import ParseError, parse_query
 from simple_osm_queries_spark.query.planner import PlanError, plan_query
 from simple_osm_queries_spark.sources.dataset import OsmDataset
-from simple_osm_queries_spark.sources.geojson import to_geojson
+from simple_osm_queries_spark.sources.geojson import to_geojson_capped
+
+# POST /query result cap: the reference streams the FULL GeoJSON result into
+# one response (api.go:117) — a planet-wide wildcard query OOMs the driver.
+# We fetch via toLocalIterator and stop at the cap, flagging "truncated".
+DEFAULT_MAX_ROWS = 100_000
+# GET /cells cap on the ESTIMATED cell count (bbox area / cell area at res):
+# a planet bbox at res 12 would otherwise group+collect millions of rows.
+DEFAULT_MAX_CELLS = 50_000
 
 
 @functools.cache
@@ -34,7 +42,11 @@ def _app_html() -> bytes:
     return resources.files("simple_osm_queries_spark").joinpath("web_app.html").read_bytes()
 
 
-def make_handler(dataset: OsmDataset):
+def make_handler(
+    dataset: OsmDataset,
+    max_rows: int = DEFAULT_MAX_ROWS,
+    max_cells: int = DEFAULT_MAX_CELLS,
+):
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload: bytes, content_type: str) -> None:
             self.send_response(code)
@@ -79,6 +91,28 @@ def make_handler(dataset: OsmDataset):
                     "application/json",
                 )
                 return
+            # estimated cell count: bbox area (cos-corrected) / hex area;
+            # reject before running anything (ADVICE r3 #3)
+            import math
+
+            from simple_osm_queries_spark.operators.knn import h3_min_inradius_deg
+
+            mid = math.cos(math.radians(min(abs(y1 + y2) / 2.0, 89.0)))
+            inr = h3_min_inradius_deg(res)
+            est = abs(x2 - x1) * abs(y2 - y1) * mid / (2.0 * math.sqrt(3.0) * inr * inr)
+            if est > max_cells:
+                self._send(
+                    413,
+                    json.dumps(
+                        {
+                            "error": "too many cells",
+                            "message": f"bbox at res {res} covers ~{int(est)} cells "
+                            f"(cap {max_cells}); use a coarser res or smaller bbox",
+                        }
+                    ).encode(),
+                    "application/json",
+                )
+                return
             try:
                 rows = (
                     dataset.nodes.filter(
@@ -117,7 +151,7 @@ def make_handler(dataset: OsmDataset):
                 )
                 return
             try:
-                fc = to_geojson(plan_query(query, dataset))
+                fc = to_geojson_capped(plan_query(query, dataset), max_rows)
             except PlanError as e:
                 self._send(
                     400,
@@ -140,6 +174,13 @@ def make_handler(dataset: OsmDataset):
     return Handler
 
 
-def serve(dataset: OsmDataset, port: int = 8080) -> ThreadingHTTPServer:
+def serve(
+    dataset: OsmDataset,
+    port: int = 8080,
+    max_rows: int = DEFAULT_MAX_ROWS,
+    max_cells: int = DEFAULT_MAX_CELLS,
+) -> ThreadingHTTPServer:
     """Build the server (caller decides serve_forever vs background thread)."""
-    return ThreadingHTTPServer(("127.0.0.1", port), make_handler(dataset))
+    return ThreadingHTTPServer(
+        ("127.0.0.1", port), make_handler(dataset, max_rows, max_cells)
+    )

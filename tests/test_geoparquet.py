@@ -131,3 +131,34 @@ def test_write_refuses_nonempty_dir_and_overwrites(spark, dataset, tmp_path):
     assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
     n = G.read_geoparquet(spark, out).count()
     assert n == df.count()
+
+
+def test_read_geoparquet_null_geometry(spark, dataset, tmp_path):
+    """Null geometry values are legal GeoParquet — the decoders must map
+    them to null lon/lat (points) or null nodes (lines), not crash inside
+    the pandas UDF (ADVICE r3 #4)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for kind, query, col in [
+        ("pts", "bbox(9.90, 53.50, 10.10, 53.70).nodes{ amenity=* }", "lon"),
+        ("lines", "bbox(9.90, 53.50, 10.10, 53.70).ways{ highway=* }", "nodes"),
+    ]:
+        out = str(tmp_path / f"null_{kind}")
+        res = run_query(query, dataset)
+        sel = res.select("id", "lon", "lat") if kind == "pts" else res.select("id", "nodes")
+        G.write_geoparquet(sel, out)
+        # splice a null-geometry row into the dataset with the same schema
+        import glob as _glob
+        f0 = sorted(_glob.glob(out + "/*.parquet"))[0]
+        t = pq.read_table(f0)
+        null_row = pa.table(
+            {"id": pa.array([999_999], t.schema.field("id").type),
+             "geometry": pa.array([None], t.schema.field("geometry").type)},
+            schema=t.schema,
+        )
+        pq.write_table(null_row, out + "/part-null.parquet")
+        back = G.read_geoparquet(spark, out)
+        row = [r for r in back.collect() if r.id == 999_999]
+        assert len(row) == 1
+        assert getattr(row[0], col) is None

@@ -372,3 +372,33 @@ def test_bbox_scan_hemisphere_bounded_plan(spark, tmp_path):
     cells, eff = h3_cover_bbox_compact(*bbox, res=8)
     assert len(cells) <= 4096
     assert eff < 8  # the sampler auto-coarsened instead of raising
+
+
+def test_http_server_caps(ref_dataset):
+    """VERDICT r3 #5 / ADVICE r3 #3: POST /query truncates at max_rows with
+    a truncated flag (toLocalIterator fetch, no unbounded collect); GET
+    /cells rejects bboxes whose estimated cell count exceeds the cap."""
+    from simple_osm_queries_spark.web import serve
+
+    httpd = serve(ref_dataset, port=18102, max_rows=1, max_cells=50_000)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        req = urllib.request.Request(
+            "http://127.0.0.1:18102/query",
+            data=b"bbox(9.9, 53.5, 10.0, 53.6).nodes{ amenity=bench }",
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as resp:
+            fc = json.loads(resp.read())
+        assert len(fc["features"]) == 1
+        assert fc["truncated"] is True
+
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(
+                "http://127.0.0.1:18102/cells?bbox=-180,-90,180,90&res=12"
+            )
+        assert e.value.code == 413
+        assert json.loads(e.value.read())["error"] == "too many cells"
+    finally:
+        httpd.shutdown()
