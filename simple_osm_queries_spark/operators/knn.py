@@ -340,6 +340,7 @@ def knn_h3(
     res: int = 8,
     disc_deg: float | None = None,
     salt: int = 1,
+    cell_col: str | None = None,
 ) -> DataFrame:
     """kNN via H3 cell cover: points are keyed by their real H3 cell at
     ``res``; each query explodes to the cells covering its search disc, the
@@ -352,6 +353,11 @@ def knn_h3(
     Queries whose padded disc reaches a pole (where the cover's lon extent
     wraps the full circle and the sampler can't bound its sample count) are
     split off and answered by the exact equirect brute path (ADVICE r3 #5).
+
+    ``cell_col``: name of a PRECOMPUTED res-``res`` H3 column on ``points``
+    (e.g. the cells-CLI layout's ``h3``) — skips the per-call re-encode and,
+    on a cell-partitioned/sorted layout, lets the cover join prune
+    partitions/row groups.
     """
     if disc_deg is None:
         disc_deg = 2.0 * h3_max_circumradius_deg(res)
@@ -359,7 +365,7 @@ def knn_h3(
     polar = queries.filter(F.abs(F.col("lat")) >= F.lit(polar_cut))
     if not polar.isEmpty():  # query side is small by contract
         rest = queries.filter(F.abs(F.col("lat")) < F.lit(polar_cut))
-        return knn_h3(points, rest, k, res, disc_deg, salt).unionByName(
+        return knn_h3(points, rest, k, res, disc_deg, salt, cell_col).unionByName(
             _knn_brute_equirect(points, polar, k)
         )
     q = queries.select(
@@ -372,7 +378,9 @@ def knn_h3(
         "cell", F.explode(_h3_disc_cells_col(F.col("qlon"), F.col("qlat"), res, disc_deg))
     )
     pts = points.select(
-        "id", "lon", "lat", C.cell_h3(F.col("lon"), F.col("lat"), res).alias("cell")
+        "id", "lon", "lat",
+        (F.col(cell_col) if cell_col is not None
+         else C.cell_h3(F.col("lon"), F.col("lat"), res)).alias("cell"),
     )
     if salt > 1:
         qcells = qcells.withColumn(

@@ -305,6 +305,7 @@ def point_in_polygon_h3_join(
     res: int = 8,
     lon: str = "lon",
     lat: str = "lat",
+    cell_col: str | None = None,
 ) -> DataFrame:
     """Point-in-polygon with an H3 cell-prefilter: each polygon polyfills to
     a cover of real H3 cells (driver-side, vectorized), points key by their
@@ -312,7 +313,9 @@ def point_in_polygon_h3_join(
     boundary-region candidates BEFORE the exact ray cast. At planet scale
     with a cell-partitioned table the same cover doubles as a partition
     filter; the refine touches only cover-cell rows instead of every row
-    that survives a bbox check."""
+    that survives a bbox check. ``cell_col`` names a precomputed
+    res-``res`` H3 column (the cells-CLI layout) to skip the per-call
+    re-encode."""
     import pandas as pd
 
     from simple_osm_queries_spark.functions import cells as C
@@ -328,7 +331,11 @@ def point_in_polygon_h3_join(
         pd.DataFrame(rows, columns=["qid", "__cell", "__ring"]),
         "qid long, __cell long, __ring array<struct<lon: double, lat: double>>",
     )
-    keyed = points.withColumn("__cell", C.cell_h3(F.col(lon), F.col(lat), res))
+    keyed = points.withColumn(
+        "__cell",
+        F.col(cell_col) if cell_col is not None
+        else C.cell_h3(F.col(lon), F.col(lat), res),
+    )
     cand = keyed.join(F.broadcast(cover), "__cell")
     return (
         cand.filter(point_in_polygon_col(F.col(lon), F.col(lat), F.col("__ring")))

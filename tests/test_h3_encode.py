@@ -50,6 +50,22 @@ def test_doc_anchored_ids():
     assert H.parent_py(cup7, 5) == 0x85283473FFFFFFF
     sf7 = E.latlng_to_cell_py(37.77670234943567, -122.41845932318311, 7)
     assert H.parent_py(0x8928308280FFFFF, 7) == sf7
+    # additional published anchors, asserted unconditionally (ADVICE r3 #2:
+    # the real-h3 parity test is environment-skipped, so external anchors
+    # are the only CI-enforced canonicality check):
+    # h3-js docs: latLngToCell(37.3615593, -122.0553238, 7) — ODD res,
+    # exercises the class-III aperture-7 theta rotation
+    assert cup7 == 0x87283472BFFFFFF
+    # h3-js docs cellToLatLng/cellToBoundary example id (Statue of Liberty),
+    # res 10 on the US-east face — different base-cell/face path than the
+    # SF anchors
+    assert E.latlng_to_cell_py(40.689167, -74.044444, 10) == 0x8A2A1072B59FFFF
+    # h3-java README: latLngToCellAddress(37.775938728915946,
+    # -122.41795063018799, 9) -> "8928308280fffff"
+    assert (
+        E.latlng_to_cell_py(37.775938728915946, -122.41795063018799, 9)
+        == 0x8928308280FFFFF
+    )
 
 
 def test_distinct_cell_counts():
