@@ -31,6 +31,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from simple_osm_queries_spark.caching import unpersist_intermediates  # noqa: E402
 from simple_osm_queries_spark.functions import cells as C  # noqa: E402
 from simple_osm_queries_spark.operators import dedup, knn, similarity, spatial_join, tiles  # noqa: E402
 from simple_osm_queries_spark.query.planner import run_query  # noqa: E402
@@ -97,6 +98,18 @@ def _make_timed(timings: dict, cold: dict):
         timings[name] = round(min(warm), 3)
 
     return timed
+
+
+def _count_release(df) -> int:
+    """Materialize, then release the operator's tracked persisted
+    intermediates. Without the release every timed repetition of a
+    persisting operator (minhash/ngram/simhash/phash) leaves another cached
+    plan in executor memory — the accumulated eviction pressure was the
+    reproducible part of the driver's r03 'suite +18%' regression (single
+    shot blocks measured 2-4x slower mid-bench than in a fresh session)."""
+    n = df.count()
+    unpersist_intermediates(df)
+    return n
 
 
 def run_headline(spark, points_dir: str) -> tuple[dict, dict]:
@@ -225,22 +238,20 @@ def run_dedup_block(spark) -> dict:
         out[name] = round(time.time() - t0, 3)
         print(f"[dedup_1m] {name}: {out[name]}s", file=sys.stderr, flush=True)
 
-    one("exact", lambda: dedup.exact_dup_groups(docs, "doc_id", "text").count())
-    one("minhash_lsh", lambda: dedup.minhash_near_dups(docs, threshold=0.5).count())
-    one("simhash", lambda: dedup.simhash_near_dups(docs, max_hamming=3).count())
+    one("exact", lambda: _count_release(dedup.exact_dup_groups(docs, "doc_id", "text")))
+    one("minhash_lsh", lambda: _count_release(dedup.minhash_near_dups(docs, threshold=0.5)))
+    one("simhash", lambda: _count_release(dedup.simhash_near_dups(docs, max_hamming=3)))
     one(
         "embedding_near_dups",
-        lambda: dedup.embedding_near_dups(
+        lambda: _count_release(dedup.embedding_near_dups(
             embs, id_col="vec_id", vec_col="embedding", threshold=0.95
-        ).count(),
+        )),
     )
     # materialize pairs first so the components line times label
     # propagation, not a minhash recompute
-    pairs = (
-        dedup.minhash_near_dups(docs, threshold=0.5)
-        .select("id_a", "id_b")
-        .localCheckpoint()
-    )
+    mh = dedup.minhash_near_dups(docs, threshold=0.5)
+    pairs = mh.select("id_a", "id_b").localCheckpoint()
+    unpersist_intermediates(mh)  # .select() dropped the tracked handles
     one("components", lambda: dedup.connected_components(pairs).count())
 
     def _ivf():
@@ -285,10 +296,10 @@ def run_image_block(spark) -> dict:
     one("decode_verify_psnr", _verify)
     one(
         "ahash_near_dup",
-        lambda: dedup.phash_near_dups(
+        lambda: _count_release(dedup.phash_near_dups(
             multimodal.ahash_images(imgs),
             id_col="image_id", phash_col="ahash", max_hamming=2,
-        ).count(),
+        )),
     )
     one("resize_32x32", lambda: multimodal.resize_images(imgs, 32, 32).count())
     one(
@@ -398,8 +409,13 @@ def run_h3_block(spark, points_dir: str) -> dict:
             C.cell_h3(F.col("lon"), F.col("lat"), 10).alias("h3r10"),
             H.parent(C.cell_h3(F.col("lon"), F.col("lat"), 8), 4).alias("h3_part"),
         )
+        # range-partition by the FINE cell: each of the ~2N files covers a
+        # contiguous h3 range (row-group pruning intact) and the scan keeps
+        # full parallelism — repartition("h3_part") alone wrote one file per
+        # coarse parent (2 files for this window) and capped every
+        # downstream stage at the row-group count (measured 24s pip vs 4s)
         (
-            keyed.repartition("h3_part")
+            keyed.repartitionByRange(max(CPUS * 2, 64), F.col("h3"))
             .sortWithinPartitions("h3")
             .write.mode("overwrite")
             .partitionBy("h3_part")
@@ -454,8 +470,8 @@ def main() -> None:
 
     # training-data ops on the driver tables at SF_DIR
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    timed("dedup_minhash_lsh", lambda: dedup.minhash_near_dups(docs, threshold=0.35).count())
-    timed("dedup_ngram_jaccard", lambda: dedup.ngram_jaccard_pairs(docs, threshold=0.5).count())
+    timed("dedup_minhash_lsh", lambda: _count_release(dedup.minhash_near_dups(docs, threshold=0.35)))
+    timed("dedup_ngram_jaccard", lambda: _count_release(dedup.ngram_jaccard_pairs(docs, threshold=0.5)))
 
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     timed(

@@ -474,7 +474,11 @@ def hamming_pairs(
     assert max_hamming <= chunks - 1, "pigeonhole completeness requires max_hamming < chunks"
     width = bits // chunks
     mask = (1 << width) - 1
-    sh = signed.select(F.col(id_col).alias("id"), F.col(sig_col).alias("sim"))
+    # persisted: the self-join consumes the signature plan TWICE, and the
+    # signature usually carries the Arrow bit-vote UDF (simhash/phash) —
+    # without the persist the UDF recomputes for both join sides (measured
+    # ~45% of simhash_near_dups wall time at 1M docs)
+    sh = signed.select(F.col(id_col).alias("id"), F.col(sig_col).alias("sim")).persist()
     chunked = sh.select(
         "id",
         "sim",
@@ -492,7 +496,7 @@ def hamming_pairs(
     ).select("id", "sim", F.col("cv.chunk").alias("chunk"), F.col("cv.val").alias("val"))
     a = chunked.select(F.col("id").alias("id_a"), F.col("sim").alias("sim_a"), "chunk", "val")
     b = chunked.select(F.col("id").alias("id_b"), F.col("sim").alias("sim_b"), "chunk", "val")
-    return (
+    out = (
         a.join(b, ["chunk", "val"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "sim_a", "sim_b")
@@ -501,6 +505,7 @@ def hamming_pairs(
         .filter(F.col("hamming") <= F.lit(max_hamming))
         .select("id_a", "id_b", "hamming")
     )
+    return _track_persisted(out, [sh])
 
 
 def simhash_near_dups(
