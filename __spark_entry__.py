@@ -997,17 +997,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_anti(spark, sf_dir):
         # "no order above 400k" — NOT EXISTS with a predicate (plain "no
-        # orders at all" is empty at every sf: all customers have orders)
+        # orders at all" is empty at every sf: all customers have orders);
+        # merged into the semi entry with a kind label (50-entry gate cap)
         cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
         orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
             F.col("o_totalprice") > 400000
         )
-        return cust.join(
-            orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
-        ).select("c_custkey")
+        return (
+            cust.join(
+                orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+            )
+            .select("c_custkey", "c_name")
+            .withColumn("kind", F.lit("not_exists"))
+        )
 
-    q["semi_join_exists"] = q_semi
-    q["anti_join_not_exists"] = q_anti
+    def q_semi_anti(spark, sf_dir):
+        semi = q_semi(spark, sf_dir).withColumn("kind", F.lit("exists"))
+        return semi.unionByName(q_anti(spark, sf_dir))
+
+    q["semi_join_exists"] = q_semi_anti
+
+    # multi-way dimensional join (TPC-H Q5 shape): region->nation->customer
+    # ->orders->lineitem->supplier with the same-nation residual — exercises
+    # Catalyst join reordering + broadcast chains over the four otherwise
+    # untouched dimension tables. Revenue in integer cents (floor both
+    # sides) so the twin is IEEE-order-independent.
+    def q_join5(spark, sf_dir):
+        region = spark.read.parquet(f"{sf_dir}/region.parquet")
+        nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        return (
+            region.join(nation, nation["n_regionkey"] == region["r_regionkey"])
+            .join(cust, cust["c_nationkey"] == nation["n_nationkey"])
+            .join(orders, orders["o_custkey"] == cust["c_custkey"])
+            .join(li, li["l_orderkey"] == orders["o_orderkey"])
+            .join(
+                supp,
+                (supp["s_suppkey"] == li["l_suppkey"])
+                & (supp["s_nationkey"] == cust["c_nationkey"]),
+            )
+            .groupBy("r_name", "n_name")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    F.floor(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100).cast("long")
+                ).alias("revenue_cents"),
+            )
+        )
+
+    q["join_region_revenue"] = q_join5
 
     # J3: reverse-edge aggregation (adjacency inversion)
     def q_reverse(spark, sf_dir):
@@ -1596,12 +1637,22 @@ SELECT id, ((xb >> 0) & 1) * 2 + ((yb >> 0) & 1) * 1 + ((xb >> 1) & 1) * 8 + ((y
     )
 
     o["semi_join_exists"] = (
-        "SELECT c_custkey, c_name FROM customer c WHERE EXISTS "
-        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)"
-    )
-    o["anti_join_not_exists"] = (
-        "SELECT c_custkey FROM customer c WHERE NOT EXISTS "
+        "SELECT c_custkey, c_name, 'exists' AS kind FROM customer c WHERE EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000) "
+        "UNION ALL "
+        "SELECT c_custkey, c_name, 'not_exists' AS kind FROM customer c WHERE NOT EXISTS "
         "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)"
+    )
+    o["join_region_revenue"] = (
+        "SELECT r_name, n_name, count(*) AS n, "
+        "CAST(sum(CAST(floor(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount) * 100) AS BIGINT)) AS BIGINT) "
+        "AS revenue_cents "
+        "FROM region JOIN nation ON n_regionkey = r_regionkey "
+        "JOIN customer ON c_nationkey = n_nationkey "
+        "JOIN orders ON o_custkey = c_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey "
+        "GROUP BY 1, 2"
     )
     o["reverse_edges"] = (
         "SELECT o_custkey AS custkey, count(*) AS n_orders, "
