@@ -70,6 +70,50 @@ def tile_stats(points: DataFrame, zoom: int, salt: int = 1) -> DataFrame:
     )
 
 
+def tile_parent(tile_id: Column, zoom: int) -> Column:
+    """Parent tile id at zoom-1 — pure bit math on the (zoom<<58|tx<<29|ty)
+    packing: halve tx and ty, decrement the zoom field."""
+    tx = F.shiftright(tile_id, 29).bitwiseAND(F.lit((1 << 29) - 1))
+    ty = tile_id.bitwiseAND(F.lit((1 << 29) - 1))
+    return (
+        F.lit((zoom - 1) << 58)
+        + F.shiftleft(F.shiftright(tx, 1), 29)
+        + F.shiftright(ty, 1)
+    ).cast("long")
+
+
+def tile_pyramid(
+    points: DataFrame, max_zoom: int, min_zoom: int, salt: int = 1
+) -> DataFrame:
+    """Multi-zoom tile rollup (the hypertable-pyramid shape): per-tile stats
+    at ``max_zoom`` from ONE pass over the points, then every coarser level
+    folds its four children's AGGREGATES (sum/min/max are decomposable) —
+    each level is a shuffle over tile-count rows, never a second scan of
+    the data. Output: one row per (zoom, tile_id) for zoom in
+    [min_zoom, max_zoom]."""
+    if not 0 <= min_zoom <= max_zoom:
+        raise ValueError(f"need 0 <= min_zoom <= max_zoom, got {min_zoom}..{max_zoom}")
+    cur = tile_stats(points, max_zoom, salt).withColumn("zoom", F.lit(max_zoom))
+    levels = [cur]
+    for z in range(max_zoom, min_zoom, -1):
+        cur = (
+            cur.groupBy(tile_parent(F.col("tile_id"), z).alias("tile_id"))
+            .agg(
+                F.sum("n").alias("n"),
+                F.min("min_lon").alias("min_lon"),
+                F.min("min_lat").alias("min_lat"),
+                F.max("max_lon").alias("max_lon"),
+                F.max("max_lat").alias("max_lat"),
+            )
+            .withColumn("zoom", F.lit(z - 1))
+        )
+        levels.append(cur)
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
+
+
 def make_tile_catalog(spark, zoom: int, min_lon: float, min_lat: float, max_lon: float, max_lat: float) -> DataFrame:
     """Enumerate the tiles covering a window (driver-side; tiny)."""
     x0, y1 = C.tile_xy_py(min_lon, min_lat, zoom)  # note: y inverted

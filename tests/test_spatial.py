@@ -379,3 +379,26 @@ def test_point_in_polygon_h3_matches_plain(spark, points, points_pd):
         for r in point_in_polygon_h3_join(points, catalog, res=8).select("id", "qid").collect()
     }
     assert h3ed == plain and plain
+
+
+def test_tile_pyramid_matches_per_level_recompute(points, points_pd):
+    """Pyramid rollup (aggregate-of-aggregates, one data pass) must equal
+    recomputing tile_stats independently at every zoom, and the parent bit
+    math must match the python tile packing."""
+    from simple_osm_queries_spark.functions import cells as C
+
+    res = tiles.tile_pyramid(points, max_zoom=13, min_zoom=10).collect()
+    got = {(r.zoom, r.tile_id): (r.n, r.min_lon, r.max_lat) for r in res}
+    assert len(got) == len(res)  # no duplicate (zoom, tile) rows
+    for z in range(10, 14):
+        expect = {}
+        for lon, lat in zip(points_pd.lon, points_pd.lat):
+            tx, ty = C.tile_xy_py(lon, lat, z)
+            tid = C.tile_id_py(tx, ty, z)
+            n, mnl, mxa = expect.get(tid, (0, 181.0, -91.0))
+            expect[tid] = (n + 1, min(mnl, lon), max(mxa, lat))
+        level = {tid: v for (zz, tid), v in got.items() if zz == z}
+        assert set(level) == set(expect), f"zoom {z} tile set"
+        for tid, (n, mnl, mxa) in expect.items():
+            gn, gmnl, gmxa = level[tid]
+            assert gn == n and gmnl == pytest.approx(mnl) and gmxa == pytest.approx(mxa)
