@@ -102,3 +102,31 @@ def test_uncompact_rejects_finer_input(spark):
     cells = _cells_fixture(5)[:2]
     with _pytest.raises(ValueError, match="coarser than an input cell"):
         S.uncompact_cells(_df(spark, cells), 4).collect()
+
+
+def test_h3_pyramid_matches_per_level_recompute(spark, dataset):
+    """Aggregate-of-aggregates pyramid equals recomputing the rollup
+    independently at every resolution."""
+    import numpy as np
+
+    from simple_osm_queries_spark.functions import h3_encode as E
+    from simple_osm_queries_spark.operators.h3_sets import h3_pyramid
+
+    pts = dataset.nodes.select("lon", "lat")
+    res = h3_pyramid(pts, res=8, min_res=5).collect()
+    got = {(r.res, r.cell): r.n for r in res}
+    assert len(got) == len(res)
+    pdf = pts.toPandas()
+    # oracle: ANCESTOR-of-the-res-8-assignment per level (H3 children are
+    # not geometrically nested, so per-level re-encode is a different — and
+    # inconsistent — hierarchy; see the operator docstring)
+    from simple_osm_queries_spark.functions import h3 as H
+
+    base = E.lnglat_to_cell(pdf.lon.to_numpy(), pdf.lat.to_numpy(), 8)
+    for r_ in range(5, 9):
+        anc = np.array([H.parent_py(int(c), r_) for c in base.tolist()], dtype=np.uint64)
+        vals, counts = np.unique(anc.view(np.int64), return_counts=True)
+        expect = dict(zip(vals.tolist(), counts.tolist()))
+        level = {c: n for (rr, c), n in got.items() if rr == r_}
+        assert level == expect, f"res {r_}"
+        assert sum(level.values()) == len(pdf)  # every row exactly once
