@@ -130,3 +130,28 @@ def test_h3_pyramid_matches_per_level_recompute(spark, dataset):
         level = {c: n for (rr, c), n in got.items() if rr == r_}
         assert level == expect, f"res {r_}"
         assert sum(level.values()) == len(pdf)  # every row exactly once
+
+
+def test_merged_ranges_superset_and_capped():
+    """Gap-closing may only WIDEN coverage and must respect the cap."""
+    import random
+
+    from simple_osm_queries_spark.operators.spatial_join import _merged_ranges
+
+    rng = random.Random(17)
+    for _ in range(50):
+        n = rng.randint(1, 200)
+        ranges = []
+        for _ in range(n):
+            lo = rng.randint(0, 10_000)
+            ranges.append((lo, lo + rng.randint(0, 50)))
+        cap = rng.randint(1, 40)
+        merged = _merged_ranges(list(ranges), cap)
+        assert len(merged) <= cap
+        assert merged == sorted(merged)
+        # non-overlapping and non-adjacent output
+        for (a0, a1), (b0, b1) in zip(merged, merged[1:]):
+            assert b0 > a1 + 1
+        # every input id stays covered
+        for lo, hi in ranges:
+            assert any(m0 <= lo and hi <= m1 for m0, m1 in merged), (lo, hi)
