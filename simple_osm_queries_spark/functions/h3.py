@@ -34,6 +34,12 @@ MODE_CELL = 1
 PENTAGON_BASE_CELLS = frozenset({4, 14, 24, 38, 49, 58, 63, 72, 83, 97, 107, 117})
 
 
+def _pentagon_bc_arr():
+    import numpy as np
+
+    return np.array(sorted(PENTAGON_BASE_CELLS), dtype=np.uint64)
+
+
 def _digit_shift(i: int) -> int:
     """Bit offset of resolution-digit i (1..15)."""
     return 45 - 3 * i
@@ -159,10 +165,15 @@ def compact_cells_py(cells) -> list[int]:
             | np.uint64(_digits_mask(r))
         )
         uniq, counts = np.unique(parents, return_counts=True)
-        need = np.array(
-            [6 if is_pentagon_py(int(p)) else 7 for p in uniq.tolist()],
-            dtype=np.int64,
-        )
+        # vectorized pentagon test (a per-parent python loop costs seconds
+        # on the 10^5-cell covers the bbox planner compacts): pentagon ⇔
+        # pentagon base cell AND all digits of the parent's res are 0
+        bc = (uniq >> np.uint64(45)) & np.uint64(0x7F)
+        is_pent = np.isin(bc, _pentagon_bc_arr())
+        if r - 1 >= 1:
+            digits_zero = (uniq & np.uint64(_digits_mask(1, r - 1))) == 0
+            is_pent &= digits_zero
+        need = np.where(is_pent, 6, 7)
         complete = uniq[counts >= need]
         fold = np.isin(parents, complete)
         out.append(at_r[~fold])

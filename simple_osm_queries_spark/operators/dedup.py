@@ -470,6 +470,11 @@ def hamming_pairs(
     Candidates: equal (bits/chunks)-bit chunk in any of ``chunks`` positions
     — pigeonhole-complete for max_hamming <= chunks-1. Shared by SimHash
     (text) and pHash (image) near-dup detection.
+
+    The signature plan is persisted (the self-join would recompute its UDF
+    for both sides) and the handle rides on the result — long-lived callers
+    release it with ``caching.unpersist_intermediates(result)`` after
+    materializing, like the rest of the dedup family.
     """
     assert max_hamming <= chunks - 1, "pigeonhole completeness requires max_hamming < chunks"
     width = bits // chunks

@@ -90,8 +90,8 @@ def h3_pyramid(
     if aggs is None:
         aggs = {"n": (F.count("*"), "sum")}
     base = (
-        df.select(C.cell_h3(F.col(lon), F.col(lat), res).alias("cell"))
-        .groupBy("cell")
+        df.withColumn("__h3cell", C.cell_h3(F.col(lon), F.col(lat), res))
+        .groupBy(F.col("__h3cell").alias("cell"))
         .agg(*[expr.alias(name) for name, (expr, _) in aggs.items()])
         .withColumn("res", F.lit(res))
     )

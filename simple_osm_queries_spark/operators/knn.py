@@ -234,6 +234,52 @@ def h3_max_disc_deg(res: int) -> float:
     return (63 * step - h3_max_circumradius_deg(res)) / 1.05
 
 
+class CoverBudgetExceeded(ValueError):
+    """Raised by banded_lon_offsets BEFORE expanding the sample arrays when
+    the count would exceed the caller's budget (so a hemisphere-at-res-8
+    attempt costs a counts sum, not a multi-GB allocation)."""
+
+    def __init__(self, total: int):
+        self.total = total
+        super().__init__(f"cover sampler needs {total} samples")
+
+
+def banded_lon_offsets(
+    lat_rows, arc_half, step: float, base_half_deg: float = 0.0,
+    max_samples: int | None = None,
+):
+    """Per-latitude-ROW lon sample offsets for superset cell covers.
+
+    One shared implementation of the r4 sampling fix (ADVICE r3 #1/#5):
+    scaling every row's lon spacing by a single cos(lat) under-samples rows
+    nearer the equator than the reference latitude. Each row instead uses
+    its own +-``step`` band: spacing from the band's largest cos (tightest
+    constraint), east-west extent from its smallest (widest reach), capped
+    at the full circle. ``arc_half`` is the per-row half-extent in ARC
+    degrees (divided by the band cos); ``base_half_deg`` a latitude-
+    independent extra half-extent in LON degrees (e.g. a bbox's own span).
+
+    Returns (row_index, lon_offset) arrays: sample i sits at latitude
+    ``lat_rows[row_index[i]]`` and longitude ``center + lon_offset[i]``.
+    Used by knn's disc cover and spatial_join.h3_polyfill — a sampling fix
+    here fixes both."""
+    lat_rows = np.asarray(lat_rows, dtype=np.float64)
+    arc_half = np.broadcast_to(np.asarray(arc_half, dtype=np.float64), lat_rows.shape)
+    band_abs = np.abs(lat_rows)
+    c_hi = np.cos(np.radians(np.clip(band_abs - step, 0.0, 89.95)))
+    c_lo = np.maximum(np.cos(np.radians(np.minimum(band_abs + step, 89.95))), 1e-9)
+    dl = step / c_hi
+    halfw = np.minimum(base_half_deg + arc_half / c_lo, 180.0)
+    counts = np.ceil(2.0 * halfw / dl).astype(np.int64) + 1
+    total = int(counts.sum())
+    if max_samples is not None and total > max_samples:
+        raise CoverBudgetExceeded(total)
+    ridx = np.repeat(np.arange(len(lat_rows)), counts)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    within = np.arange(total) - np.repeat(starts, counts)
+    return ridx, -halfw[ridx] + within * dl[ridx]
+
+
 def _h3_disc_cells_col(qlon, qlat, res: int, disc_deg: float):
     """array<long> of H3 cells guaranteed to cover the equirectangular disc
     of radius ``disc_deg`` around each query point.
@@ -277,25 +323,18 @@ def _h3_disc_cells_col(qlon, qlat, res: int, disc_deg: float):
         for i in range(len(lo)):
             rows = la[i] + offs
             half_arc = np.sqrt(np.maximum(R * R - offs * offs, 0.0))
-            band_abs = np.abs(rows)
-            c_hi = np.cos(np.radians(np.clip(band_abs - step, 0.0, 89.95)))
-            c_lo = np.maximum(
-                np.cos(np.radians(np.minimum(band_abs + step, 89.95))), 1e-9
-            )
-            dl = step / c_hi
-            halfw = np.minimum(half_arc / c_lo, 180.0)
-            counts = np.ceil(2.0 * halfw / dl).astype(np.int64) + 1
-            total = int(counts.sum())
-            if total > 65536:
+            try:
+                ridx, lon_off = banded_lon_offsets(
+                    rows, half_arc, step, max_samples=65536
+                )
+            except CoverBudgetExceeded as e:
                 raise ValueError(
-                    f"disc {disc_deg} deg at lat {la[i]:.2f} needs {total} "
+                    f"disc {disc_deg} deg at lat {la[i]:.2f} needs {e.total} "
                     f"samples per query at res {res}; use a coarser "
                     "resolution for discs this large"
-                )
-            ridx = np.repeat(np.arange(len(rows)), counts)
-            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
-            within = np.arange(total) - np.repeat(starts, counts)
-            sample_lon.append(lo[i] - halfw[ridx] + within * dl[ridx])
+                ) from None
+            total = len(ridx)
+            sample_lon.append(lo[i] + lon_off)
             sample_lat.append(np.clip(rows[ridx], -89.9, 89.9))
             totals.append(total)
         cells = E.lnglat_to_cell(
@@ -362,8 +401,13 @@ def knn_h3(
     if disc_deg is None:
         disc_deg = 2.0 * h3_max_circumradius_deg(res)
     polar_cut = 89.5 - (1.05 * disc_deg + h3_max_circumradius_deg(res))
-    polar = queries.filter(F.abs(F.col("lat")) >= F.lit(polar_cut))
-    if not polar.isEmpty():  # query side is small by contract
+    # one tiny agg (query side is small by contract) instead of an
+    # isEmpty + two filters: the common no-polar case pays a single job and
+    # reuses `queries` untouched, and knn_h3_exact's per-round calls don't
+    # recompute the query plan three times
+    max_abs_lat = queries.agg(F.max(F.abs(F.col("lat")))).first()[0]
+    if max_abs_lat is not None and float(max_abs_lat) >= polar_cut:
+        polar = queries.filter(F.abs(F.col("lat")) >= F.lit(polar_cut))
         rest = queries.filter(F.abs(F.col("lat")) < F.lit(polar_cut))
         return knn_h3(points, rest, k, res, disc_deg, salt, cell_col).unionByName(
             _knn_brute_equirect(points, polar, k)

@@ -269,31 +269,30 @@ def h3_polyfill(ring: list[tuple[float, float]], res: int = 8):
     step = h3_min_inradius_deg(res) / _m.sqrt(2.0) * 0.99
     lat0, lat1 = min(lats) - pad, max(lats) + pad
     gy = np.arange(lat0, lat1 + step, step)
-    # Per-latitude-ROW lon sampling. A lon delta dl at latitude phi spans
-    # dl*cos(phi) of arc, so one worst-case cos for the whole grid (the r3
-    # bug, ADVICE r3 #1) under-samples every row nearer the equator than the
-    # extreme latitude — a 0-85N ring got ~11x-too-wide spacing at 0N and
-    # silently dropped cells. Each row serves disk centers within +-step of
-    # it, so spacing uses the band's LARGEST cos (tightest constraint) and
-    # the padding extent its SMALLEST cos (widest reach).
-    band_abs = np.abs(gy)
-    c_hi = np.cos(np.radians(np.clip(band_abs - step, 0.0, 89.95)))
-    c_lo = np.maximum(np.cos(np.radians(np.minimum(band_abs + step, 89.95))), 1e-9)
-    lon_step_r = step / c_hi
-    half_w = (max(lons) - min(lons)) / 2.0 + pad / c_lo
-    half_w = np.minimum(half_w, 180.0)  # full circle at most
-    counts = (np.ceil(2.0 * half_w / lon_step_r).astype(np.int64) + 1)
-    total = int(counts.sum())
-    if total > 4_000_000:
-        raise ValueError(
-            f"polyfill at res {res} needs {total} samples; use a "
-            "coarser resolution for polygons this large"
+    # Per-latitude-ROW lon sampling — the shared r4 fix for the r3 bug
+    # (ADVICE r3 #1: one worst-case cos for the whole grid under-sampled
+    # every row nearer the equator; a 0-85N ring silently dropped 75% of
+    # its cells). See knn.banded_lon_offsets for the band-cos construction;
+    # the ring's own lon span is the latitude-independent base extent, the
+    # pad is the arc extent scaled per row.
+    from simple_osm_queries_spark.operators.knn import (
+        CoverBudgetExceeded,
+        banded_lon_offsets,
+    )
+
+    try:
+        row, lon_off = banded_lon_offsets(
+            gy, pad, step,
+            base_half_deg=(max(lons) - min(lons)) / 2.0,
+            max_samples=4_000_000,
         )
+    except CoverBudgetExceeded as e:
+        raise ValueError(
+            f"polyfill at res {res} needs {e.total} samples; use a "
+            "coarser resolution for polygons this large"
+        ) from None
     mid = (min(lons) + max(lons)) / 2.0
-    row = np.repeat(np.arange(len(gy)), counts)
-    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
-    within = np.arange(total) - np.repeat(starts, counts)
-    sample_lon = (mid - half_w)[row] + within * lon_step_r[row]
+    sample_lon = mid + lon_off
     sample_lat = np.clip(gy[row], -89.9, 89.9)
     cells = E.lnglat_to_cell(sample_lon, sample_lat, res)
     return np.unique(cells)

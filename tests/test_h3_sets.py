@@ -112,6 +112,8 @@ def test_h3_pyramid_matches_per_level_recompute(spark, dataset):
     from simple_osm_queries_spark.functions import h3_encode as E
     from simple_osm_queries_spark.operators.h3_sets import h3_pyramid
 
+    from pyspark.sql import functions as F
+
     pts = dataset.nodes.select("lon", "lat")
     res = h3_pyramid(pts, res=8, min_res=5).collect()
     got = {(r.res, r.cell): r.n for r in res}
@@ -130,6 +132,20 @@ def test_h3_pyramid_matches_per_level_recompute(spark, dataset):
         level = {c: n for (rr, c), n in got.items() if rr == r_}
         assert level == expect, f"res {r_}"
         assert sum(level.values()) == len(pdf)  # every row exactly once
+
+    # custom aggs referencing input columns (regression: the base projection
+    # must keep df columns visible to the aggregate expressions)
+    pts2 = dataset.nodes.select("lon", "lat", (F.col("id") % 7).alias("w"))
+    res2 = h3_pyramid(
+        pts2, res=7, min_res=6,
+        aggs={"n": (F.count("*"), "sum"), "wmax": (F.max("w"), "max")},
+    ).collect()
+    assert {r.res for r in res2} == {6, 7}
+    assert all(r.wmax is not None for r in res2)
+    total_by_res = {}
+    for r in res2:
+        total_by_res[r.res] = total_by_res.get(r.res, 0) + r.n
+    assert total_by_res[6] == total_by_res[7] == pts2.count()
 
 
 def test_merged_ranges_superset_and_capped():

@@ -115,6 +115,11 @@ def main() -> int:
         sdf = fn(spark, sf_dir)
         srows = sdf.collect()
         spark_sec = time.time() - t0
+        # release operator-tracked persisted intermediates (dedup family):
+        # 50 entries in one session would otherwise stack cached plans
+        from simple_osm_queries_spark.caching import unpersist_intermediates
+
+        unpersist_intermediates(sdf)
         scols = sdf.columns
         if name not in os_:
             print(f"  {name:28s} rows-only: {len(srows)} rows [{spark_sec:.1f}s]")
