@@ -427,7 +427,7 @@ def run_h3_block(spark, points_dir: str) -> dict:
         keyed = slim.select(
             "id", "lon", "lat",
             C.cell_h3(F.col("lon"), F.col("lat"), 8).alias("h3"),
-            C.cell_h3(F.col("lon"), F.col("lat"), 10).alias("h3r10"),
+            C.cell_h3(F.col("lon"), F.col("lat"), 12).alias("h3r12"),
             H.parent(C.cell_h3(F.col("lon"), F.col("lat"), 8), 4).alias("h3_part"),
         )
         # range-partition by the FINE cell: each of the ~2N files covers a
@@ -453,10 +453,14 @@ def run_h3_block(spark, points_dir: str) -> dict:
     qpts = [(i, 9.9505 + (i % 10) * 1e-4, 53.5505 + (i % 10) * 1e-4, 10) for i in range(50)]
     qpts += [(50 + i, 9.90 + (i * 0.004) % 0.2, 53.50 + (i * 0.0029) % 0.2, 10) for i in range(50)]
     queries_df = spark.createDataFrame(qpts, "qid long, lon double, lat double, k int")
-    one("knn_h3_100q", lambda: knn.knn_h3(slim, queries_df, res=10).count())
+    # res 12 (r4, was 10): ~9 pts/cell keeps every query exact while the
+    # default disc cover pulls ~300 candidates/query instead of ~60k (the
+    # hot 50-query cluster shared its dense res-10 cells; measured 3.45s ->
+    # 2.64s re-encode, and the candidate shuffle drops 6.1M -> ~30k rows)
+    one("knn_h3_100q", lambda: knn.knn_h3(slim, queries_df, res=12).count())
     one(
         "knn_h3_100q_amortized",
-        lambda: knn.knn_h3(cells_df, queries_df, res=10, cell_col="h3r10").count(),
+        lambda: knn.knn_h3(cells_df, queries_df, res=12, cell_col="h3r12").count(),
     )
     one(
         "pip_h3_polyfill",
