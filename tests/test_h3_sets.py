@@ -171,3 +171,16 @@ def test_merged_ranges_superset_and_capped():
         # every input id stays covered
         for lo, hi in ranges:
             assert any(m0 <= lo and hi <= m1 for m0, m1 in merged), (lo, hi)
+
+
+def test_compact_cells_py_matches_distributed(spark):
+    """The plan-time numpy compaction and the distributed DataFrame
+    operator implement the same spec — cross-validate them on mixed,
+    partially-complete family sets (incl. pentagon-region cells)."""
+    cells = _cells_fixture(5)
+    u = sorted({r.cell for r in S.uncompact_cells(_df(spark, cells), 6).collect()})
+    for drop in (0, 1, 7):  # complete, one-missing, several-missing
+        subset = u[drop:]
+        dist = {r.cell for r in S.compact_cells(_df(spark, subset)).collect()}
+        local = set(H.compact_cells_py(subset))
+        assert dist == local, f"drop={drop}"
