@@ -184,3 +184,30 @@ def test_compact_cells_py_matches_distributed(spark):
         dist = {r.cell for r in S.compact_cells(_df(spark, subset)).collect()}
         local = set(H.compact_cells_py(subset))
         assert dist == local, f"drop={drop}"
+
+
+def test_child_range_py_property():
+    """Range containment == descendant-ship, for random real cells: every
+    digit-constructed descendant falls in [lo, hi]; every same-res
+    NON-descendant valid cell falls outside."""
+    import random
+
+    rng = random.Random(23)
+    base_cells = _cells_fixture(3)
+    for _ in range(200):
+        c = rng.choice(base_cells)
+        rc = H.resolution_py(c)
+        child_res = rng.randint(rc, min(rc + 4, 15))
+        lo, hi = H.child_range_py(c, child_res)
+        # construct a random descendant by appending random digits
+        d = (c & ~(0xF << 52)) | (child_res << 52)
+        d &= ~H._digits_mask(rc + 1, child_res)
+        for i in range(rc + 1, child_res + 1):
+            d |= rng.randint(0, 6) << H._digit_shift(i)
+        assert lo <= d <= hi
+        assert H.parent_py(d, rc) == c
+        # a same-res cell under a DIFFERENT parent is outside the range
+        other = rng.choice([x for x in base_cells if x != c])
+        o = (other & ~(0xF << 52)) | (child_res << 52)
+        o &= ~H._digits_mask(H.resolution_py(other) + 1, child_res)
+        assert not (lo <= o <= hi)

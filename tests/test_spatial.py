@@ -402,3 +402,37 @@ def test_tile_pyramid_matches_per_level_recompute(points, points_pd):
         for tid, (n, mnl, mxa) in expect.items():
             gn, gmnl, gmxa = level[tid]
             assert gn == n and gmnl == pytest.approx(mnl) and gmxa == pytest.approx(mxa)
+
+
+def test_precomputed_cell_col_parity(spark, points):
+    """The cell_col fast path (cells-CLI layout: precomputed H3 columns)
+    must return exactly what the re-encode path returns, for both knn_h3
+    and point_in_polygon_h3_join."""
+    from simple_osm_queries_spark.operators.spatial_join import (
+        point_in_polygon_h3_join,
+    )
+
+    keyed = points.withColumn("h3a", C.cell_h3(F.col("lon"), F.col("lat"), 8))
+    q = _queries_df(spark)
+    plain = sorted(
+        (r.qid, r.rank, r.id) for r in knn.knn_h3(points, q, res=8).collect()
+    )
+    fast = sorted(
+        (r.qid, r.rank, r.id)
+        for r in knn.knn_h3(keyed, q, res=8, cell_col="h3a").collect()
+    )
+    assert plain == fast
+
+    pplain = {
+        (r.id, r.qid)
+        for r in point_in_polygon_h3_join(points, [(0, PENTAGON)], res=8)
+        .select("id", "qid")
+        .collect()
+    }
+    pfast = {
+        (r.id, r.qid)
+        for r in point_in_polygon_h3_join(keyed, [(0, PENTAGON)], res=8, cell_col="h3a")
+        .select("id", "qid")
+        .collect()
+    }
+    assert pplain == pfast and pplain
