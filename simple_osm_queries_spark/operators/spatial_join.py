@@ -323,12 +323,9 @@ def point_in_polygon_h3_join(
     rows = []
     for qid, ring in polygons:
         for cell in h3_polyfill(ring, res).view("int64").tolist():
-            rows.append(
-                (int(qid), int(cell), [{"lon": float(x), "lat": float(y)} for x, y in ring])
-            )
+            rows.append((int(qid), int(cell)))
     cover = spark.createDataFrame(
-        pd.DataFrame(rows, columns=["qid", "__cell", "__ring"]),
-        "qid long, __cell long, __ring array<struct<lon: double, lat: double>>",
+        pd.DataFrame(rows, columns=["qid", "__cell"]), "qid long, __cell long"
     )
     keyed = points.withColumn(
         "__cell",
@@ -336,6 +333,36 @@ def point_in_polygon_h3_join(
         else C.cell_h3(F.col(lon), F.col(lat), res),
     )
     cand = keyed.join(F.broadcast(cover), "__cell")
+    # refine: the polygons are plan-time LITERALS, so small catalogs use the
+    # unrolled whole-stage-codegen ray cast selected by qid — the array
+    # lambda form is interpreted and was ~40% of the boundary-candidate cost
+    # (millions of rows survive the cover join for city-sized polygons).
+    # Larger catalogs keep the per-row ring array to stay within codegen
+    # method limits (same size split as point_in_polygon_literal_join).
+    if len(polygons) <= 4:
+        refine = None
+        for qid, ring in polygons:
+            cond = (F.col("qid") == F.lit(int(qid))) & point_in_polygon_literal(
+                F.col(lon), F.col(lat), ring
+            )
+            refine = cond if refine is None else refine | cond
+        return cand.filter(refine).drop("__cell")
+    ring_lit = F.create_map(
+        *[
+            x
+            for qid, ring in polygons
+            for x in (
+                F.lit(int(qid)),
+                F.array(
+                    *[
+                        F.struct(F.lit(float(px)).alias("lon"), F.lit(float(py)).alias("lat"))
+                        for px, py in ring
+                    ]
+                ),
+            )
+        ]
+    )
+    cand = cand.withColumn("__ring", F.element_at(ring_lit, F.col("qid")))
     return (
         cand.filter(point_in_polygon_col(F.col(lon), F.col(lat), F.col("__ring")))
         .drop("__cell", "__ring")

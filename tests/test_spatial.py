@@ -436,3 +436,26 @@ def test_precomputed_cell_col_parity(spark, points):
         .collect()
     }
     assert pplain == pfast and pplain
+
+
+def test_point_in_polygon_h3_large_catalog(spark, points, points_pd):
+    """>4 polygons takes the ring-map refine path (codegen limit guard);
+    must still match the plain literal join."""
+    from simple_osm_queries_spark.operators.spatial_join import (
+        point_in_polygon_h3_join,
+        point_in_polygon_literal_join,
+    )
+
+    catalog = [(0, PENTAGON), (1, STAR), (2, CROSSING)]
+    for j in range(3, 6):
+        dx = 0.01 * (j - 2)
+        catalog.append((j, [(x + dx, y) for x, y in PENTAGON]))
+    plain = {
+        (r.id, r.qid)
+        for r in point_in_polygon_literal_join(points, catalog).select("id", "qid").collect()
+    }
+    h3ed = {
+        (r.id, r.qid)
+        for r in point_in_polygon_h3_join(points, catalog, res=8).select("id", "qid").collect()
+    }
+    assert h3ed == plain and plain
