@@ -108,6 +108,32 @@ def cmd_cells(spark, args) -> None:
     )
 
 
+def cmd_upsert(spark, args) -> None:
+    """Apply a delta parquet (index schema) to a grid index incrementally —
+    rewrites only the affected partition directories (index/upsert.py)."""
+    from simple_osm_queries_spark.index.upsert import upsert_index
+
+    delta = spark.read.parquet(args.delta)
+    deletes = spark.read.parquet(args.deletes) if args.deletes else None
+    st = os.stat(args.delta)
+    fp = args.fingerprint or f"{args.delta}:{st.st_mtime_ns}:{st.st_size}"
+    report = upsert_index(
+        spark,
+        args.index,
+        delta,
+        delta_fingerprint=fp,
+        deletes=deletes,
+        partition_col=args.partition_col,
+    )
+    if report["skipped"]:
+        print(f"upsert {fp} already applied — skipped")
+    else:
+        print(
+            f"upserted {report['rows_written']} rows across "
+            f"{report['affected_partitions']} partitions in {report['t_sec']:.1f}s"
+        )
+
+
 def cmd_query(spark, args) -> None:
     from simple_osm_queries_spark.query.planner import run_query
     from simple_osm_queries_spark.sources.geojson import write_geojson_file
@@ -152,6 +178,15 @@ def main(argv: list[str] | None = None) -> None:
     pc.add_argument("--zoom", type=int, default=13)
     pc.add_argument("--partition-res", type=int, default=4, dest="partition_res")
 
+    pu = sub.add_parser(
+        "upsert", help="apply a delta parquet to a grid index (partition-scoped rewrite)"
+    )
+    pu.add_argument("delta", help="parquet with the index schema")
+    pu.add_argument("--index", default="soq-index/grid-index")
+    pu.add_argument("--deletes", default=None, help="parquet of (id) rows to remove")
+    pu.add_argument("--partition-col", default="cell_x", dest="partition_col")
+    pu.add_argument("--fingerprint", default=None, help="delta identity (default: path+mtime+size)")
+
     ps = sub.add_parser("server", help="HTTP server with POST /query")
     ps.add_argument("--port", type=int, default=8080)
     ps.add_argument("--data", default="generate")
@@ -163,7 +198,13 @@ def main(argv: list[str] | None = None) -> None:
 
     spark = get_spark("soq-cli")
     try:
-        {"import": cmd_import, "query": cmd_query, "server": cmd_server, "cells": cmd_cells}[args.cmd](spark, args)
+        {
+            "import": cmd_import,
+            "query": cmd_query,
+            "server": cmd_server,
+            "cells": cmd_cells,
+            "upsert": cmd_upsert,
+        }[args.cmd](spark, args)
     finally:
         if args.cmd != "server":
             spark.stop()

@@ -1,0 +1,151 @@
+"""Partition-scoped incremental upsert into the cell-partitioned index.
+
+The reference can only re-import from scratch (/root/reference/src/
+importing/import.go:17-163 — the grid is write-once); at 100 TB a full
+rebuild for a daily OSM diff is absurd. This module maintains the layout
+``index/build.py`` writes WITHOUT an external table format: an upsert
+rewrites exactly the partition directories its delta touches (Spark's
+dynamic partition overwrite — the same mechanism the band builder uses for
+idempotent restarts) and records an atomic manifest for lineage, so the
+incremental path keeps the north rule's per-partition lineage + resume
+story.
+
+Semantics (OSM-diff shaped):
+* a delta row REPLACES the stored row with the same id (tags changed,
+  position changed — including across partitions);
+* unseen ids are inserts;
+* ``deletes`` removes ids entirely.
+
+Moved/deleted rows live in partitions the delta's own partition values do
+not name, so affected partitions are found by an id lookup against the
+stored index — a TWO-COLUMN (id, partition) scan, column-pruned at the
+parquet reader. That scan is the honest cost of upsert without a secondary
+index; pipelines running frequent small diffs should maintain the
+(id, partition) projection as its own compact table and pass it via
+``id_lookup``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _affected_partitions(
+    index_df: DataFrame,
+    delta: DataFrame,
+    deletes: DataFrame | None,
+    id_col: str,
+    partition_col: str,
+    id_lookup: DataFrame | None,
+) -> list:
+    """Distinct partition values touched by the upsert: every partition a
+    delta row lands in, plus every partition currently holding a delta or
+    deleted id (covers moves and deletes)."""
+    touched_ids = delta.select(id_col)
+    if deletes is not None:
+        touched_ids = touched_ids.unionByName(deletes.select(id_col))
+    lookup = (
+        id_lookup.select(id_col, partition_col)
+        if id_lookup is not None
+        else index_df.select(id_col, partition_col)
+    )
+    old_parts = lookup.join(touched_ids, id_col, "left_semi").select(partition_col)
+    parts = (
+        delta.select(partition_col).unionByName(old_parts).distinct().collect()
+    )
+    return sorted(r[0] for r in parts)
+
+
+def upsert_index(
+    spark: SparkSession,
+    out_path: str,
+    delta: DataFrame,
+    delta_fingerprint: str,
+    deletes: DataFrame | None = None,
+    id_col: str = "id",
+    partition_col: str = "cell_x",
+    files_per_cell: int = 16,
+    id_lookup: DataFrame | None = None,
+) -> dict:
+    """Apply ``delta`` (and optional ``deletes`` of (id) rows) to the index
+    at ``out_path``, rewriting ONLY the affected partition directories.
+
+    Returns a report dict; also written as an atomic manifest under
+    ``_upserts/`` (idempotence: a manifest whose fingerprint matches
+    short-circuits the whole upsert — same protocol as the band builder).
+    """
+    report = {"affected_partitions": 0, "rows_written": 0, "skipped": False, "t_sec": 0.0}
+    t0 = time.time()
+    mdir = os.path.join(out_path, "_upserts")
+    os.makedirs(mdir, exist_ok=True)
+    mpath = os.path.join(mdir, f"{delta_fingerprint}.json")
+    if os.path.exists(mpath):
+        report["skipped"] = True
+        report["t_sec"] = time.time() - t0
+        return report
+
+    data_path = os.path.join(out_path, "data")
+    index_df = spark.read.parquet(data_path)
+    if set(delta.columns) != set(index_df.columns):
+        raise ValueError(
+            f"delta schema {sorted(delta.columns)} != index schema "
+            f"{sorted(index_df.columns)}"
+        )
+
+    parts = _affected_partitions(
+        index_df, delta, deletes, id_col, partition_col, id_lookup
+    )
+    if not parts:
+        report["t_sec"] = time.time() - t0
+        return report
+
+    # survivors in the affected partitions: partition-pruned read, minus
+    # every touched id (replaced rows and deletes alike), plus the delta
+    touched_ids = delta.select(id_col)
+    if deletes is not None:
+        touched_ids = touched_ids.unionByName(deletes.select(id_col))
+    old_kept = index_df.filter(F.col(partition_col).isin(parts)).join(
+        touched_ids, id_col, "left_anti"
+    )
+    new_rows = old_kept.unionByName(delta.select(*old_kept.columns))
+
+    # same clustering discipline as the band builder: salted repartition on
+    # the partition value (bounded files per directory, writer parallelism
+    # on hot cells), rows sorted within files for row-group pruning
+    sort_cols = [partition_col] + [
+        c for c in ("cell_y", "lat", "h3", "s2") if c in new_rows.columns and c != partition_col
+    ]
+    salt = F.pmod(F.spark_partition_id(), F.lit(files_per_cell))
+    clustered = new_rows.repartition(
+        F.col(partition_col), salt.alias("__salt")
+    ).sortWithinPartitions(*sort_cols)
+    n = clustered.count()  # materialized pre-write for the manifest row count
+    (
+        clustered.write.mode("overwrite")
+        # dynamic overwrite replaces exactly the affected partition
+        # directories; every other directory's files are untouched
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(data_path)
+    )
+    report["affected_partitions"] = len(parts)
+    report["rows_written"] = n
+    report["t_sec"] = time.time() - t0
+    tmp = mpath + f".{os.getpid()}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "delta_fingerprint": delta_fingerprint,
+                "partitions": [int(p) for p in parts],
+                "rows_written": n,
+                "duration_sec": report["t_sec"],
+            },
+            f,
+        )
+    os.replace(tmp, mpath)
+    return report

@@ -215,3 +215,117 @@ def test_iceberg_changed_input_drops_table(spark, tmp_path, monkeypatch):
         assert [s for s in sqls if "DROP TABLE IF EXISTS soq_iceberg.db.t" in s]
     finally:
         monkeypatch.setattr(type(spark), "sql", orig_sql)
+
+
+def test_upsert_partition_scoped(dataset, tmp_path, spark):
+    """Incremental upsert rewrites ONLY the affected partition directories:
+    in-place update, cross-partition move, insert, and delete all land;
+    untouched directories keep their exact files; a replayed delta
+    fingerprint is a no-op."""
+    from simple_osm_queries_spark.functions import cells as C
+    from simple_osm_queries_spark.index import upsert
+
+    out = str(tmp_path / "idx_up")
+    build.build_index(dataset.nodes, out, input_fingerprint="fp1", max_rows_per_band=10**6)
+    idx = build.read_index(spark, out)
+    before = {r.id: r.asDict() for r in idx.collect()}
+    ids = sorted(before)
+    # pick the three touched ids from ONE partition so at least one other
+    # partition stays untouched (the tiny fixture has only a few cell_x)
+    by_part: dict[int, list[int]] = {}
+    for i in ids:
+        by_part.setdefault(before[i]["cell_x"], []).append(i)
+    donor = max(by_part, key=lambda p: len(by_part[p]))
+    assert len(by_part) >= 2, "fixture needs >=2 partitions"
+    a_id, b_id, del_id = sorted(by_part[donor])[:3]
+    new_id = max(ids) + 1
+
+    # delta: A keeps its cell but gets new tags; B moves ~5 deg east (new
+    # cell_x); NEW is an insert at A's location
+    src = dataset.nodes
+    base = src.filter(F.col("id").isin([a_id, b_id]))
+    moved_lon = F.col("lon") + F.lit(5.0)
+    delta = (
+        base.withColumn(
+            "tags",
+            F.when(F.col("id") == a_id, F.create_map(F.lit("upserted"), F.lit("yes")))
+            .otherwise(F.col("tags")),
+        )
+        .withColumn("lon", F.when(F.col("id") == b_id, moved_lon).otherwise(F.col("lon")))
+        .withColumn("cell_x", C.cell_x(F.col("lon")))
+        .withColumn("cell_y", C.cell_y(F.col("lat")))
+        .withColumn("cell", C.pack_cell(F.col("cell_x"), F.col("cell_y")))
+    )
+    insert = src.filter(F.col("id") == a_id).withColumn("id", F.lit(new_id))
+    delta = delta.unionByName(insert.select(*delta.columns))
+    deletes = spark.createDataFrame([(del_id,)], "id long")
+
+    # an untouched partition's files must not change
+    data = os.path.join(out, "data")
+    affected_vals = {r.cell_x for r in delta.select("cell_x").collect()}
+    affected_vals |= {before[i]["cell_x"] for i in (a_id, b_id, del_id)}
+    untouched = next(
+        d for d in sorted(os.listdir(data))
+        if d.startswith("cell_x=") and int(d.split("=")[1]) not in affected_vals
+    )
+    def snap(d):
+        p = os.path.join(data, d)
+        return {f: (os.path.getsize(os.path.join(p, f)), os.path.getmtime(os.path.join(p, f)))
+                for f in os.listdir(p)}
+    pre = snap(untouched)
+
+    r = upsert.upsert_index(spark, out, delta, "delta-1", deletes=deletes)
+    assert r["affected_partitions"] >= 2 and not r["skipped"]
+    assert snap(untouched) == pre, "untouched partition dir was rewritten"
+
+    after = {x.id: x.asDict() for x in build.read_index(spark, out).collect()}
+    assert del_id not in after
+    assert after[a_id]["tags"] == {"upserted": "yes"}
+    assert after[a_id]["cell_x"] == before[a_id]["cell_x"]
+    assert after[b_id]["lon"] == pytest.approx(before[b_id]["lon"] + 5.0)
+    assert after[b_id]["cell_x"] != before[b_id]["cell_x"]
+    assert new_id in after
+    # every other row byte-identical
+    for i in ids:
+        if i in (a_id, b_id, del_id):
+            continue
+        assert after[i] == before[i]
+    assert len(after) == len(before)  # -1 delete +1 insert
+
+    # replay: manifest short-circuits, content unchanged
+    r2 = upsert.upsert_index(spark, out, delta, "delta-1", deletes=deletes)
+    assert r2["skipped"]
+    assert {x.id for x in build.read_index(spark, out).collect()} == set(after)
+
+
+def test_upsert_rejects_schema_drift(dataset, tmp_path, spark):
+    from simple_osm_queries_spark.index import upsert
+
+    out = str(tmp_path / "idx_up2")
+    build.build_index(dataset.nodes, out, input_fingerprint="fp1", max_rows_per_band=10**6)
+    bad = dataset.nodes.drop("tags")
+    with pytest.raises(ValueError, match="delta schema"):
+        upsert.upsert_index(spark, out, bad, "delta-x")
+
+
+def test_cli_upsert_command(dataset, tmp_path, spark, capsys):
+    from simple_osm_queries_spark import cli
+
+    out = str(tmp_path / "idx_cli")
+    build.build_index(dataset.nodes, out, input_fingerprint="fp1", max_rows_per_band=10**6)
+    delta_dir = str(tmp_path / "delta.parquet")
+    dataset.nodes.limit(3).withColumn(
+        "tags", F.create_map(F.lit("via"), F.lit("cli"))
+    ).write.parquet(delta_dir)
+    args = type("A", (), {
+        "delta": delta_dir, "index": out, "deletes": None,
+        "partition_col": "cell_x", "fingerprint": "cli-delta-1",
+    })()
+    cli.cmd_upsert(spark, args)
+    assert "upserted" in capsys.readouterr().out
+    got = {r.id: r.tags for r in build.read_index(spark, out).collect()}
+    changed = [t for t in got.values() if t == {"via": "cli"}]
+    assert len(changed) == 3
+    # replay is a no-op
+    cli.cmd_upsert(spark, args)
+    assert "skipped" in capsys.readouterr().out
