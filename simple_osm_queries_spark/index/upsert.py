@@ -16,6 +16,11 @@ Semantics (OSM-diff shaped):
 * unseen ids are inserts;
 * ``deletes`` removes ids entirely.
 
+The tag dictionary (sources/tag_index.py) is additive-only metadata — run
+``build_tag_index`` over just the delta and fold it in with
+``tag_index.merge_tag_index``; entries for deleted rows are harmless
+vocabulary (the reference never removes dictionary entries either).
+
 Moved/deleted rows live in partitions the delta's own partition values do
 not name, so affected partitions are found by an id lookup against the
 stored index — a TWO-COLUMN (id, partition) scan, column-pruned at the

@@ -59,6 +59,21 @@ def build_tag_index(*tag_dfs: DataFrame) -> dict[str, list[str]]:
     return {r.k: _natural_sorted(list(r.vs)) for r in rows}
 
 
+def merge_tag_index(
+    a: dict[str, list[str]], b: dict[str, list[str]]
+) -> dict[str, list[str]]:
+    """Union of two dictionaries, values re-natural-sorted per key — the
+    incremental-upsert companion (index/upsert.py): re-run build_tag_index
+    over just the delta tables and merge, instead of rescanning the world.
+    Additive-only by design: entries for deleted rows are vocabulary, not
+    row data, and keeping them is reference behavior (the reference never
+    removes dictionary entries either, tag.go:43-98)."""
+    out: dict[str, list[str]] = {}
+    for key in set(a) | set(b):
+        out[key] = _natural_sorted(list({*a.get(key, []), *b.get(key, [])}))
+    return out
+
+
 def save_tag_index(index: dict[str, list[str]], path: str) -> None:
     with open(path, "w") as f:
         for key in sorted(index):

@@ -402,3 +402,21 @@ def test_http_server_caps(ref_dataset):
         assert json.loads(e.value.read())["error"] == "too many cells"
     finally:
         httpd.shutdown()
+
+
+def test_merge_tag_index(spark):
+    from simple_osm_queries_spark.sources import tag_index
+
+    a_df = spark.createDataFrame(
+        [({"amenity": "cafe", "seats": "10"},), ({"amenity": "bench"},)], "tags map<string,string>"
+    )
+    b_df = spark.createDataFrame(
+        [({"amenity": "cafe"},), ({"amenity": "a2"},), ({"height": "3"},)], "tags map<string,string>"
+    )
+    a = tag_index.build_tag_index(a_df)
+    b = tag_index.build_tag_index(b_df)
+    merged = tag_index.merge_tag_index(a, b)
+    # equals building over the union of the tables (natural order incl.)
+    full = tag_index.build_tag_index(a_df, b_df)
+    assert merged == full
+    assert merged["amenity"] == ["a2", "bench", "cafe"]  # natural order
