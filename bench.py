@@ -336,6 +336,61 @@ def run_image_block(spark) -> dict:
     return out
 
 
+def run_upsert_block(spark, points_dir: str) -> dict:
+    """Incremental maintenance at headline scale: full index build vs a
+    10k-row delta upsert (modify + move + delete) that rewrites only its
+    affected partition directories. The ratio is the whole point of
+    index/upsert.py — a daily diff must not cost a planet rebuild."""
+    import uuid
+
+    from simple_osm_queries_spark.index import build as IB
+    from simple_osm_queries_spark.index import upsert as IU
+
+    out: dict[str, float] = {}
+    # fine 0.005-deg partition key: the bench window spans ~40 columns, so
+    # a SPATIALLY LOCAL delta (a "city diff") touches a handful of
+    # directories — the locality a real OSM diff has on a planet index
+    full = spark.read.parquet(os.path.join(points_dir, "full")).withColumn(
+        "cx5", C.cell_x(F.col("lon"), 0.005)
+    )
+    idx_dir = f"{points_dir}/grid_index_cx5"
+    t0 = time.time()
+    report = IB.build_index(
+        full, idx_dir, input_fingerprint=points_dir,
+        max_rows_per_band=10**9, partition_col="cx5",
+    )
+    out["full_build_or_resume"] = round(time.time() - t0, 3)
+    out["build_skipped_bands"] = report["skipped"]
+
+    idx = IB.read_index(spark, idx_dir)
+    out["total_partitions"] = idx.select("cx5").distinct().count()
+    strip = idx.filter((F.col("lon") >= 9.95) & (F.col("lon") < 9.955))
+    # localCheckpoint: the delta must be MATERIALIZED before the upsert —
+    # its lineage reads the same files the partition overwrite replaces
+    delta = (
+        strip.limit(10_000)
+        .withColumn("tags", F.create_map(F.lit("upserted"), F.lit("bench")))
+    ).localCheckpoint()
+    deletes = (
+        strip.limit(11_000).select("id").subtract(delta.select("id"))
+    ).localCheckpoint()
+    t0 = time.time()
+    rep = IU.upsert_index(
+        spark, idx_dir, delta, f"bench-{uuid.uuid4().hex[:8]}",
+        deletes=deletes, partition_col="cx5",
+    )
+    out["upsert_10k_sec"] = round(time.time() - t0, 3)
+    out["upsert_affected_partitions"] = rep["affected_partitions"]
+    out["upsert_rows_written"] = rep["rows_written"]
+    print(
+        f"[upsert_block] build/resume {out['full_build_or_resume']}s, "
+        f"10k-delta upsert {out['upsert_10k_sec']}s over "
+        f"{rep['affected_partitions']}/{out['total_partitions']} partitions",
+        file=sys.stderr, flush=True,
+    )
+    return out
+
+
 def _ensure_osm_tables(spark, n_nodes: int, n_ways: int) -> str:
     """Materialize a PREPARED nodes+ways dataset once per size (adjacency +
     way geometry + cells baked in) so the sub-statement block times query
@@ -552,6 +607,10 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SUB_BLOCK", "1") != "0":
         osm_substatement = run_substatement_block(spark)
 
+    upsert_block = None
+    if os.environ.get("SPARK_GRAFT_UPSERT_BLOCK", "1") != "0":
+        upsert_block = run_upsert_block(spark, POINTS_DIR)
+
     print(
         json.dumps(
             {
@@ -570,6 +629,7 @@ def main() -> None:
                 "image_block": image_block,
                 "h3_ops": h3_ops,
                 "osm_substatement": osm_substatement,
+                "upsert_block": upsert_block,
             }
         )
     )
@@ -592,6 +652,7 @@ def scaling_main() -> None:
             SPARK_GRAFT_IMAGE_BLOCK="0",  # ...and the image block
             SPARK_GRAFT_H3_BLOCK="0",
             SPARK_GRAFT_SUB_BLOCK="0",
+            SPARK_GRAFT_UPSERT_BLOCK="0",
         )
         out = subprocess.run(
             [sys.executable, __file__], env=env, capture_output=True, text=True, check=True

@@ -110,7 +110,11 @@ def upsert_index(
         return report
 
     # survivors in the affected partitions: partition-pruned read, minus
-    # every touched id (replaced rows and deletes alike), plus the delta
+    # every touched id (replaced rows and deletes alike), plus the delta.
+    # Reading the same path the dynamic overwrite replaces is safe WITHIN
+    # the write job (task reads happen before the commit swaps partition
+    # directories) — but any OTHER DataFrame created over the index before
+    # the upsert holds a stale file listing afterwards; re-read after.
     touched_ids = delta.select(id_col)
     if deletes is not None:
         touched_ids = touched_ids.unionByName(deletes.select(id_col))
