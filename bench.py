@@ -354,6 +354,13 @@ def run_upsert_block(spark, points_dir: str) -> dict:
         "cx5", C.cell_x(F.col("lon"), 0.005)
     )
     idx_dir = f"{points_dir}/grid_index_cx5"
+    # a previous bench run MUTATED this index (the uuid-fingerprinted
+    # upsert always applies) — rebuild from scratch so every run measures
+    # the same pristine baseline instead of a progressively drifted one
+    if os.path.exists(os.path.join(idx_dir, "_upserts")):
+        import shutil
+
+        shutil.rmtree(idx_dir, ignore_errors=True)
     t0 = time.time()
     report = IB.build_index(
         full, idx_dir, input_fingerprint=points_dir,
@@ -368,12 +375,12 @@ def run_upsert_block(spark, points_dir: str) -> dict:
     # localCheckpoint: the delta must be MATERIALIZED before the upsert —
     # its lineage reads the same files the partition overwrite replaces
     delta = (
-        strip.limit(10_000)
+        strip.orderBy("id").limit(10_000)
         .withColumn("tags", F.create_map(F.lit("upserted"), F.lit("bench")))
     ).localCheckpoint()
     deletes = (
-        strip.limit(11_000).select("id").subtract(delta.select("id"))
-    ).localCheckpoint()
+        strip.orderBy(F.col("id").desc()).limit(1_000).select("id")
+    ).localCheckpoint()  # id-disjoint from the delta (strip >> 11k rows)
     t0 = time.time()
     rep = IU.upsert_index(
         spark, idx_dir, delta, f"bench-{uuid.uuid4().hex[:8]}",
@@ -475,9 +482,9 @@ def run_h3_block(spark, points_dir: str) -> dict:
         out[name] = round(time.time() - t0, 3)
         print(f"[h3_ops] {name}: {out[name]}s", file=sys.stderr, flush=True)
 
-    # cell-keyed partitioned layout (built once per N): h3 res 8 + res 10,
+    # cell-keyed partitioned layout (built once per N): h3 res 8 + res 12,
     # partition dirs on the res-4 parent, sorted by fine cell within files
-    cdir = os.path.join(points_dir, "cells_keyed")
+    cdir = os.path.join(points_dir, "cells_keyed_v2")  # v2: h3r12 column
     if not os.path.exists(os.path.join(cdir, "_SUCCESS")):
         keyed = slim.select(
             "id", "lon", "lat",

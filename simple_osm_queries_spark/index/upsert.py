@@ -32,8 +32,10 @@ index; pipelines running frequent small diffs should maintain the
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -59,7 +61,12 @@ def _affected_partitions(
         if id_lookup is not None
         else index_df.select(id_col, partition_col)
     )
-    old_parts = lookup.join(touched_ids, id_col, "left_semi").select(partition_col)
+    # touched ids are diff-sized by the operator's nature — broadcast
+    # explicitly (createDataFrame/localCheckpoint sides carry no size
+    # stats, and an unbidden SMJ here shuffles the whole projection)
+    old_parts = lookup.join(
+        F.broadcast(touched_ids), id_col, "left_semi"
+    ).select(partition_col)
     parts = (
         delta.select(partition_col).unionByName(old_parts).distinct().collect()
     )
@@ -88,7 +95,10 @@ def upsert_index(
     t0 = time.time()
     mdir = os.path.join(out_path, "_upserts")
     os.makedirs(mdir, exist_ok=True)
-    mpath = os.path.join(mdir, f"{delta_fingerprint}.json")
+    # fingerprints are caller strings (the CLI default embeds a PATH) — the
+    # manifest filename is a digest; the raw fingerprint lives in the json
+    fp_digest = hashlib.sha256(delta_fingerprint.encode()).hexdigest()[:24]
+    mpath = os.path.join(mdir, f"{fp_digest}.json")
     if os.path.exists(mpath):
         report["skipped"] = True
         report["t_sec"] = time.time() - t0
@@ -96,10 +106,13 @@ def upsert_index(
 
     data_path = os.path.join(out_path, "data")
     index_df = spark.read.parquet(data_path)
-    if set(delta.columns) != set(index_df.columns):
+    idx_types = {f.name: f.dataType.simpleString() for f in index_df.schema.fields}
+    delta_types = {f.name: f.dataType.simpleString() for f in delta.schema.fields}
+    if delta_types != idx_types:
         raise ValueError(
-            f"delta schema {sorted(delta.columns)} != index schema "
-            f"{sorted(index_df.columns)}"
+            f"delta schema {sorted(delta_types.items())} != index schema "
+            f"{sorted(idx_types.items())} (names AND types must match — a "
+            "coerced union would write mixed parquet schemas across partitions)"
         )
 
     parts = _affected_partitions(
@@ -119,7 +132,7 @@ def upsert_index(
     if deletes is not None:
         touched_ids = touched_ids.unionByName(deletes.select(id_col))
     old_kept = index_df.filter(F.col(partition_col).isin(parts)).join(
-        touched_ids, id_col, "left_anti"
+        F.broadcast(touched_ids), id_col, "left_anti"
     )
     new_rows = old_kept.unionByName(delta.select(*old_kept.columns))
 
@@ -133,7 +146,13 @@ def upsert_index(
     clustered = new_rows.repartition(
         F.col(partition_col), salt.alias("__salt")
     ).sortWithinPartitions(*sort_cols)
-    n = clustered.count()  # materialized pre-write for the manifest row count
+    # persist: consumed by the count, the surviving-partition list, AND the
+    # write — without it the whole rewrite pipeline computes three times
+    clustered = clustered.persist()
+    n = clustered.count()
+    surviving = {
+        r[0] for r in clustered.select(partition_col).distinct().collect()
+    }
     (
         clustered.write.mode("overwrite")
         # dynamic overwrite replaces exactly the affected partition
@@ -142,6 +161,16 @@ def upsert_index(
         .partitionBy(partition_col)
         .parquet(data_path)
     )
+    clustered.unpersist()
+    # dynamic overwrite only rewrites partitions PRESENT in the output — an
+    # affected partition whose survivor set is EMPTY (all rows deleted or
+    # moved away) must be dropped explicitly, or its stale directory keeps
+    # serving the old rows (and a moved row would exist twice)
+    for p in parts:
+        if p not in surviving:
+            shutil.rmtree(
+                os.path.join(data_path, f"{partition_col}={p}"), ignore_errors=True
+            )
     report["affected_partitions"] = len(parts)
     report["rows_written"] = n
     report["t_sec"] = time.time() - t0

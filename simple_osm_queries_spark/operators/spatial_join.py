@@ -319,6 +319,7 @@ def point_in_polygon_h3_join(
 
     from simple_osm_queries_spark.functions import cells as C
 
+    assert polygons, "empty polygon list"
     spark = points.sparkSession
     rows = []
     for qid, ring in polygons:
@@ -337,9 +338,10 @@ def point_in_polygon_h3_join(
     # unrolled whole-stage-codegen ray cast selected by qid — the array
     # lambda form is interpreted and was ~40% of the boundary-candidate cost
     # (millions of rows survive the cover join for city-sized polygons).
-    # Larger catalogs keep the per-row ring array to stay within codegen
-    # method limits (same size split as point_in_polygon_literal_join).
-    if len(polygons) <= 4:
+    # The split is by TOTAL VERTEX budget, not polygon count: one >64KB
+    # codegen method silently falls back to interpreted eval (the pitfall
+    # PLANS.md §6 catalogs), so four big rings must take the map path too.
+    if len(polygons) <= 4 and sum(len(r) for _, r in polygons) <= 160:
         refine = None
         for qid, ring in polygons:
             cond = (F.col("qid") == F.lit(int(qid))) & point_in_polygon_literal(

@@ -329,3 +329,69 @@ def test_cli_upsert_command(dataset, tmp_path, spark, capsys):
     # replay is a no-op
     cli.cmd_upsert(spark, args)
     assert "skipped" in capsys.readouterr().out
+
+
+def test_upsert_emptied_partition_is_dropped(spark, tmp_path):
+    """Code-review r4 regression (CONFIRMED repro): dynamic overwrite never
+    rewrites a partition absent from the output, so deleting/moving every
+    row out of a partition must drop its directory explicitly — stale rows
+    must not survive, and a moved row must not exist twice."""
+    from simple_osm_queries_spark.index import upsert
+
+    out = str(tmp_path / "idx_empty")
+    df = spark.createDataFrame(
+        [(i, i % 3, 0, 53.5) for i in range(6)],
+        "id long, cell_x int, cell_y int, lat double",
+    )
+    build.build_index(df, out, input_fingerprint="fp", max_rows_per_band=1000)
+    # delete BOTH rows of cell_x=1 (ids 1 and 4); move id 2 from cell_x=2
+    # to cell_x=0 — leaving cell_x=2 populated only by id 5
+    delta = spark.createDataFrame(
+        [(2, 0, 0, 53.5)], "id long, cell_x int, cell_y int, lat double"
+    )
+    deletes = spark.createDataFrame([(1,), (4,)], "id long")
+    r = upsert.upsert_index(spark, out, delta, "empty-1", deletes=deletes)
+    assert r["affected_partitions"] == 3  # 0 (target), 1 (emptied), 2 (source)
+    got = sorted((x.id, x.cell_x) for x in build.read_index(spark, out).collect())
+    assert got == [(0, 0), (2, 0), (3, 0), (5, 2)]
+    assert not os.path.exists(os.path.join(out, "data", "cell_x=1"))
+
+    # now empty cell_x=2 entirely via delete: its directory must vanish too
+    r2 = upsert.upsert_index(
+        spark, out, delta.limit(0), "empty-2",
+        deletes=spark.createDataFrame([(5,)], "id long"),
+    )
+    assert r2["affected_partitions"] == 1
+    assert not os.path.exists(os.path.join(out, "data", "cell_x=2"))
+    got2 = sorted(x.id for x in build.read_index(spark, out).collect())
+    assert got2 == [0, 2, 3]
+
+
+def test_upsert_manifests_wiped_on_rebuild(spark, tmp_path):
+    """Code-review r4: a changed-input rebuild must invalidate upsert
+    manifests, or replayed deltas silently no-op against the new build."""
+    from simple_osm_queries_spark.index import upsert
+
+    out = str(tmp_path / "idx_wipe")
+    df = spark.createDataFrame(
+        [(i, i % 2, 0, 53.5) for i in range(4)],
+        "id long, cell_x int, cell_y int, lat double",
+    )
+    build.build_index(df, out, input_fingerprint="fpA", max_rows_per_band=1000)
+    delta = spark.createDataFrame([(0, 0, 9, 53.5)], "id long, cell_x int, cell_y int, lat double")
+    assert not upsert.upsert_index(spark, out, delta, "d1")["skipped"]
+    # rebuild with different input: the delta must apply AGAIN
+    build.build_index(df, out, input_fingerprint="fpB", max_rows_per_band=1000)
+    assert not upsert.upsert_index(spark, out, delta, "d1")["skipped"]
+    got = {x.id: x.cell_y for x in build.read_index(spark, out).collect()}
+    assert got[0] == 9
+
+
+def test_upsert_rejects_type_drift(dataset, tmp_path, spark):
+    from simple_osm_queries_spark.index import upsert
+
+    out = str(tmp_path / "idx_ty")
+    build.build_index(dataset.nodes, out, input_fingerprint="fp1", max_rows_per_band=10**6)
+    bad = dataset.nodes.withColumn("lat", F.col("lat").cast("float"))
+    with pytest.raises(ValueError, match="types must match"):
+        upsert.upsert_index(spark, out, bad, "delta-ty")
