@@ -395,3 +395,25 @@ def test_upsert_rejects_type_drift(dataset, tmp_path, spark):
     bad = dataset.nodes.withColumn("lat", F.col("lat").cast("float"))
     with pytest.raises(ValueError, match="types must match"):
         upsert.upsert_index(spark, out, bad, "delta-ty")
+
+
+def test_upsert_with_id_lookup_projection(spark, tmp_path):
+    """The maintained (id, partition) projection path must find moved ids'
+    old partitions exactly like the full-index lookup."""
+    from simple_osm_queries_spark.index import upsert
+
+    out = str(tmp_path / "idx_lkp")
+    df = spark.createDataFrame(
+        [(i, i % 3, 0, 53.5) for i in range(9)],
+        "id long, cell_x int, cell_y int, lat double",
+    )
+    build.build_index(df, out, input_fingerprint="fp", max_rows_per_band=1000)
+    lookup = df.select("id", "cell_x")
+    delta = spark.createDataFrame(
+        [(1, 0, 0, 53.5)], "id long, cell_x int, cell_y int, lat double"
+    )  # id 1 moves cell_x 1 -> 0
+    r = upsert.upsert_index(spark, out, delta, "lkp-1", id_lookup=lookup)
+    assert r["affected_partitions"] == 2
+    got = sorted((x.id, x.cell_x) for x in build.read_index(spark, out).collect())
+    assert (1, 0) in got and (1, 1) not in got
+    assert len(got) == 9
