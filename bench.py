@@ -338,7 +338,7 @@ def run_image_block(spark) -> dict:
 
 def run_upsert_block(spark, points_dir: str) -> dict:
     """Incremental maintenance at headline scale: full index build vs a
-    10k-row delta upsert (modify + move + delete) that rewrites only its
+    10k-row delta upsert (modify + delete) that rewrites only its
     affected partition directories. The ratio is the whole point of
     index/upsert.py — a daily diff must not cost a planet rebuild."""
     import uuid
@@ -372,6 +372,11 @@ def run_upsert_block(spark, points_dir: str) -> dict:
     idx = IB.read_index(spark, idx_dir)
     out["total_partitions"] = idx.select("cx5").distinct().count()
     strip = idx.filter((F.col("lon") >= 9.95) & (F.col("lon") < 9.955))
+    n_strip = strip.count()
+    assert n_strip > 20_000, (
+        f"strip holds {n_strip} rows — delta/delete id sets would overlap "
+        "(run this block with SPARK_GRAFT_BENCH_N >= 1M)"
+    )
     # localCheckpoint: the delta must be MATERIALIZED before the upsert —
     # its lineage reads the same files the partition overwrite replaces
     delta = (

@@ -115,8 +115,11 @@ def cmd_upsert(spark, args) -> None:
 
     delta = spark.read.parquet(args.delta)
     deletes = spark.read.parquet(args.deletes) if args.deletes else None
-    st = os.stat(args.delta)
-    fp = args.fingerprint or f"{args.delta}:{st.st_mtime_ns}:{st.st_size}"
+    if args.fingerprint:
+        fp = args.fingerprint
+    else:  # local-path default; remote deltas must pass --fingerprint
+        st = os.stat(args.delta)
+        fp = f"{args.delta}:{st.st_mtime_ns}:{st.st_size}"
     report = upsert_index(
         spark,
         args.index,

@@ -147,6 +147,29 @@ def _iceberg_write_band(
         writer.overwritePartitions()
 
 
+def cluster_for_write(df: DataFrame, partition_col: str, files_per_cell: int) -> DataFrame:
+    """The index layout's shared clustering discipline (band builds AND
+    incremental upserts write through this — index/upsert.py):
+
+    * rows cluster by cell_y/lat (and any h3/s2 column) inside each
+      partition directory so parquet row-group min/max stats prune the
+      second dimension too (z-order-lite for a 2D grid);
+    * WRITE PARALLELISM: repartition(partition_col) alone serializes a hot
+      column into ONE task (measured at 300M rows: a 151M-row column wrote
+      single-threaded for 560 s). Salting by source partition lets up to
+      ``files_per_cell`` tasks write one directory in parallel; rows stay
+      sorted within each file, so row-group pruning is unchanged (just
+      <= files_per_cell files per directory instead of 1)."""
+    sort_cols = [partition_col] + [
+        c for c in ("cell_y", "lat", "h3", "s2")
+        if c in df.columns and c != partition_col
+    ]
+    salt = F.pmod(F.spark_partition_id(), F.lit(files_per_cell))
+    return df.repartition(
+        F.col(partition_col), salt.alias("__salt")
+    ).sortWithinPartitions(*sort_cols)
+
+
 def build_index(
     nodes: DataFrame,
     out_path: str,
@@ -195,24 +218,7 @@ def build_index(
         band_df = nodes.filter(
             (F.col(partition_col) >= band.min_x) & (F.col(partition_col) <= band.max_x)
         )
-        # cluster rows by cell_y (and lat) inside each cell_x directory:
-        # parquet row-group min/max stats then prune bbox predicates on
-        # the second dimension too (the z-order-lite for a 2D grid)
-        sort_cols = [partition_col] + [
-            c for c in ("cell_y", "lat", "h3", "s2")
-            if c in band_df.columns and c != partition_col
-        ]
-        # WRITE PARALLELISM: repartition("cell_x") alone serializes a hot
-        # cell column into ONE task (measured at 300M rows: a 151M-row
-        # column wrote single-threaded for 560 s). Salt the repartition by
-        # source partition so each cell_x directory is written by up to
-        # ``files_per_cell`` tasks in parallel; rows remain sorted within
-        # each file, so cell_y/lat row-group min/max pruning is unchanged
-        # (just <= files_per_cell files per directory instead of 1).
-        salt = F.pmod(F.spark_partition_id(), F.lit(files_per_cell))
-        clustered = band_df.repartition(
-            F.col(partition_col), salt.alias("__salt")
-        ).sortWithinPartitions(*sort_cols)
+        clustered = cluster_for_write(band_df, partition_col, files_per_cell)
         if backend == "iceberg":
             if not iceberg_table:
                 raise ValueError("backend='iceberg' requires iceberg_table")

@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 def _affected_partitions(
     index_df: DataFrame,
     delta: DataFrame,
-    deletes: DataFrame | None,
+    touched_ids: DataFrame,
     id_col: str,
     partition_col: str,
     id_lookup: DataFrame | None,
@@ -53,9 +53,6 @@ def _affected_partitions(
     """Distinct partition values touched by the upsert: every partition a
     delta row lands in, plus every partition currently holding a delta or
     deleted id (covers moves and deletes)."""
-    touched_ids = delta.select(id_col)
-    if deletes is not None:
-        touched_ids = touched_ids.unionByName(deletes.select(id_col))
     lookup = (
         id_lookup.select(id_col, partition_col)
         if id_lookup is not None
@@ -90,6 +87,14 @@ def upsert_index(
     Returns a report dict; also written as an atomic manifest under
     ``_upserts/`` (idempotence: a manifest whose fingerprint matches
     short-circuits the whole upsert — same protocol as the band builder).
+
+    Durability: the dynamic-overwrite commit swaps each affected partition
+    directory (write staging files, delete old, move new). A hard crash
+    inside that window can lose an affected partition's SURVIVOR rows —
+    and unlike a band build, an upsert cannot recompute them from source.
+    Run upserts against storage with its own versioning/snapshots (or keep
+    the previous index snapshot until the manifest lands) when the index
+    is the only copy of the data.
     """
     report = {"affected_partitions": 0, "rows_written": 0, "skipped": False, "t_sec": 0.0}
     t0 = time.time()
@@ -115,8 +120,26 @@ def upsert_index(
             "coerced union would write mixed parquet schemas across partitions)"
         )
 
+    # contract enforcement (diff-sized jobs, both checks are cheap):
+    # deletes WIN over delta rows for the same id ("removes ids entirely"),
+    # and duplicate ids within one delta are rejected — silently writing
+    # both versions would break the index's id uniqueness
+    if deletes is not None:
+        delta = delta.join(F.broadcast(deletes.select(id_col)), id_col, "left_anti")
+    dup = (
+        delta.groupBy(id_col).count().filter(F.col("count") > 1).limit(1).count()
+    )
+    if dup:
+        raise ValueError(
+            "delta contains duplicate ids — resolve to one row per id "
+            "(e.g. keep the latest version) before upserting"
+        )
+    touched_ids = delta.select(id_col)
+    if deletes is not None:
+        touched_ids = touched_ids.unionByName(deletes.select(id_col))
+
     parts = _affected_partitions(
-        index_df, delta, deletes, id_col, partition_col, id_lookup
+        index_df, delta, touched_ids, id_col, partition_col, id_lookup
     )
     if not parts:
         report["t_sec"] = time.time() - t0
@@ -128,24 +151,14 @@ def upsert_index(
     # the write job (task reads happen before the commit swaps partition
     # directories) — but any OTHER DataFrame created over the index before
     # the upsert holds a stale file listing afterwards; re-read after.
-    touched_ids = delta.select(id_col)
-    if deletes is not None:
-        touched_ids = touched_ids.unionByName(deletes.select(id_col))
     old_kept = index_df.filter(F.col(partition_col).isin(parts)).join(
         F.broadcast(touched_ids), id_col, "left_anti"
     )
     new_rows = old_kept.unionByName(delta.select(*old_kept.columns))
 
-    # same clustering discipline as the band builder: salted repartition on
-    # the partition value (bounded files per directory, writer parallelism
-    # on hot cells), rows sorted within files for row-group pruning
-    sort_cols = [partition_col] + [
-        c for c in ("cell_y", "lat", "h3", "s2") if c in new_rows.columns and c != partition_col
-    ]
-    salt = F.pmod(F.spark_partition_id(), F.lit(files_per_cell))
-    clustered = new_rows.repartition(
-        F.col(partition_col), salt.alias("__salt")
-    ).sortWithinPartitions(*sort_cols)
+    from simple_osm_queries_spark.index.build import cluster_for_write
+
+    clustered = cluster_for_write(new_rows, partition_col, files_per_cell)
     # persist: consumed by the count, the surviving-partition list, AND the
     # write — without it the whole rewrite pipeline computes three times
     clustered = clustered.persist()
@@ -166,11 +179,18 @@ def upsert_index(
     # affected partition whose survivor set is EMPTY (all rows deleted or
     # moved away) must be dropped explicitly, or its stale directory keeps
     # serving the old rows (and a moved row would exist twice)
+    from urllib.parse import quote
+
     for p in parts:
         if p not in surviving:
-            shutil.rmtree(
-                os.path.join(data_path, f"{partition_col}={p}"), ignore_errors=True
-            )
+            # partition directory names escape special chars the way Spark
+            # does (URL-style); try the raw form first for the common
+            # integer columns, then the escaped form
+            for val in (str(p), quote(str(p), safe="")):
+                d = os.path.join(data_path, f"{partition_col}={val}")
+                if os.path.isdir(d):
+                    shutil.rmtree(d, ignore_errors=True)
+                    break
     report["affected_partitions"] = len(parts)
     report["rows_written"] = n
     report["t_sec"] = time.time() - t0
@@ -179,7 +199,7 @@ def upsert_index(
         json.dump(
             {
                 "delta_fingerprint": delta_fingerprint,
-                "partitions": [int(p) for p in parts],
+                "partitions": [str(p) for p in parts],
                 "rows_written": n,
                 "duration_sec": report["t_sec"],
             },

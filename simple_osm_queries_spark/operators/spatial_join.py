@@ -321,27 +321,34 @@ def point_in_polygon_h3_join(
 
     assert polygons, "empty polygon list"
     spark = points.sparkSession
-    rows = []
-    for qid, ring in polygons:
-        for cell in h3_polyfill(ring, res).view("int64").tolist():
-            rows.append((int(qid), int(cell)))
-    cover = spark.createDataFrame(
-        pd.DataFrame(rows, columns=["qid", "__cell"]), "qid long, __cell long"
-    )
     keyed = points.withColumn(
         "__cell",
         F.col(cell_col) if cell_col is not None
         else C.cell_h3(F.col(lon), F.col(lat), res),
     )
-    cand = keyed.join(F.broadcast(cover), "__cell")
-    # refine: the polygons are plan-time LITERALS, so small catalogs use the
-    # unrolled whole-stage-codegen ray cast selected by qid — the array
-    # lambda form is interpreted and was ~40% of the boundary-candidate cost
-    # (millions of rows survive the cover join for city-sized polygons).
-    # The split is by TOTAL VERTEX budget, not polygon count: one >64KB
-    # codegen method silently falls back to interpreted eval (the pitfall
-    # PLANS.md §6 catalogs), so four big rings must take the map path too.
-    if len(polygons) <= 4 and sum(len(r) for _, r in polygons) <= 160:
+    # refine strategy: the polygons are plan-time LITERALS, so small
+    # catalogs use the unrolled whole-stage-codegen ray cast selected by
+    # qid — the array-lambda form is interpreted and was ~40% of the
+    # boundary-candidate cost (millions of rows survive the cover join for
+    # city-sized polygons). The split is by TOTAL VERTEX budget, not
+    # polygon count: one >64KB codegen method silently falls back to
+    # interpreted eval (the pitfall PLANS.md §6 catalogs). Large catalogs
+    # carry each entry's ring on its own cover rows (the r3 shape) —
+    # duplicate qids (multi-ring regions) included.
+    unrolled = len(polygons) <= 4 and sum(len(r) for _, r in polygons) <= 160
+    rows = []
+    for qid, ring in polygons:
+        cells = h3_polyfill(ring, res).view("int64").tolist()
+        if unrolled:
+            rows.extend((int(qid), int(cell)) for cell in cells)
+        else:
+            arr = [{"lon": float(x), "lat": float(y)} for x, y in ring]
+            rows.extend((int(qid), int(cell), arr) for cell in cells)
+    if unrolled:
+        cover = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["qid", "__cell"]), "qid long, __cell long"
+        )
+        cand = keyed.join(F.broadcast(cover), "__cell")
         refine = None
         for qid, ring in polygons:
             cond = (F.col("qid") == F.lit(int(qid))) & point_in_polygon_literal(
@@ -349,22 +356,11 @@ def point_in_polygon_h3_join(
             )
             refine = cond if refine is None else refine | cond
         return cand.filter(refine).drop("__cell")
-    ring_lit = F.create_map(
-        *[
-            x
-            for qid, ring in polygons
-            for x in (
-                F.lit(int(qid)),
-                F.array(
-                    *[
-                        F.struct(F.lit(float(px)).alias("lon"), F.lit(float(py)).alias("lat"))
-                        for px, py in ring
-                    ]
-                ),
-            )
-        ]
+    rcover = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["qid", "__cell", "__ring"]),
+        "qid long, __cell long, __ring array<struct<lon: double, lat: double>>",
     )
-    cand = cand.withColumn("__ring", F.element_at(ring_lit, F.col("qid")))
+    cand = keyed.join(F.broadcast(rcover), "__cell")
     return (
         cand.filter(point_in_polygon_col(F.col(lon), F.col(lat), F.col("__ring")))
         .drop("__cell", "__ring")

@@ -417,3 +417,30 @@ def test_upsert_with_id_lookup_projection(spark, tmp_path):
     got = sorted((x.id, x.cell_x) for x in build.read_index(spark, out).collect())
     assert (1, 0) in got and (1, 1) not in got
     assert len(got) == 9
+
+
+def test_upsert_deletes_win_and_dup_ids_rejected(spark, tmp_path):
+    """Review-r4 contract fixes: an id in both delta and deletes is removed
+    (deletes win — 'removes ids entirely'); duplicate ids within one delta
+    raise instead of silently breaking id uniqueness."""
+    from simple_osm_queries_spark.index import upsert
+
+    out = str(tmp_path / "idx_sem")
+    df = spark.createDataFrame(
+        [(i, i % 2, 0, 53.5) for i in range(4)],
+        "id long, cell_x int, cell_y int, lat double",
+    )
+    build.build_index(df, out, input_fingerprint="fp", max_rows_per_band=1000)
+    delta = spark.createDataFrame(
+        [(0, 0, 7, 53.5)], "id long, cell_x int, cell_y int, lat double"
+    )
+    deletes = spark.createDataFrame([(0,)], "id long")
+    upsert.upsert_index(spark, out, delta, "sem-1", deletes=deletes)
+    got = sorted(x.id for x in build.read_index(spark, out).collect())
+    assert got == [1, 2, 3]  # id 0 deleted despite being in the delta
+
+    dup = spark.createDataFrame(
+        [(1, 1, 0, 53.5), (1, 1, 1, 53.5)], "id long, cell_x int, cell_y int, lat double"
+    )
+    with pytest.raises(ValueError, match="duplicate ids"):
+        upsert.upsert_index(spark, out, dup, "sem-2")
