@@ -126,6 +126,23 @@ def upsert_index(
     # both versions would break the index's id uniqueness
     if deletes is not None:
         delta = delta.join(F.broadcast(deletes.select(id_col)), id_col, "left_anti")
+    # the delta lineage feeds the dup check, both touched-id broadcasts, and
+    # the rewrite union — persist once (diff-sized) instead of 4 evaluations;
+    # try/finally so the raise/early-return paths release the cache too
+    delta = delta.persist()
+    try:
+        return _apply(
+            spark, report, t0, data_path, mpath, delta, deletes, delta_fingerprint,
+            id_col, partition_col, files_per_cell, id_lookup, index_df,
+        )
+    finally:
+        delta.unpersist()
+
+
+def _apply(
+    spark, report, t0, data_path, mpath, delta, deletes, delta_fingerprint,
+    id_col, partition_col, files_per_cell, id_lookup, index_df,
+) -> dict:
     dup = (
         delta.groupBy(id_col).count().filter(F.col("count") > 1).limit(1).count()
     )
