@@ -108,6 +108,33 @@ def cmd_cells(spark, args) -> None:
     )
 
 
+def default_delta_fingerprint(path: str) -> str:
+    """Content-shaped identity for a local delta path. For a parquet
+    DIRECTORY, st_size is just the dirent size, so path+mtime+size of the
+    directory itself rests on mtime alone — an in-place rewrite on a
+    coarse-mtime filesystem could collide and silently skip a new delta
+    (ADVICE r4). Hash the recursive file listing (relative name, size,
+    mtime_ns of every data file) instead; single files keep the cheap
+    stat triple."""
+    import hashlib
+
+    st = os.stat(path)
+    if not os.path.isdir(path):
+        return f"{path}:{st.st_mtime_ns}:{st.st_size}"
+    entries = []
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            if fn.startswith((".", "_")):
+                continue  # _SUCCESS / .crc markers churn independently of data
+            full = os.path.join(root, fn)
+            fst = os.stat(full)
+            entries.append(
+                f"{os.path.relpath(full, path)}:{fst.st_size}:{fst.st_mtime_ns}"
+            )
+    h = hashlib.sha256("\n".join(sorted(entries)).encode())
+    return f"{path}:dir:{h.hexdigest()[:32]}"
+
+
 def cmd_upsert(spark, args) -> None:
     """Apply a delta parquet (index schema) to a grid index incrementally —
     rewrites only the affected partition directories (index/upsert.py)."""
@@ -118,8 +145,7 @@ def cmd_upsert(spark, args) -> None:
     if args.fingerprint:
         fp = args.fingerprint
     else:  # local-path default; remote deltas must pass --fingerprint
-        st = os.stat(args.delta)
-        fp = f"{args.delta}:{st.st_mtime_ns}:{st.st_size}"
+        fp = default_delta_fingerprint(args.delta)
     report = upsert_index(
         spark,
         args.index,
@@ -188,7 +214,11 @@ def main(argv: list[str] | None = None) -> None:
     pu.add_argument("--index", default="soq-index/grid-index")
     pu.add_argument("--deletes", default=None, help="parquet of (id) rows to remove")
     pu.add_argument("--partition-col", default="cell_x", dest="partition_col")
-    pu.add_argument("--fingerprint", default=None, help="delta identity (default: path+mtime+size)")
+    pu.add_argument(
+        "--fingerprint", default=None,
+        help="delta identity (default: file stat triple, or a hash of the "
+        "recursive file listing for a parquet directory)",
+    )
 
     ps = sub.add_parser("server", help="HTTP server with POST /query")
     ps.add_argument("--port", type=int, default=8080)

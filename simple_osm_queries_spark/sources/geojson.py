@@ -62,11 +62,23 @@ def to_geojson_capped(result: DataFrame, max_rows: int) -> dict:
     feats = []
     truncated = False
     it = result.toLocalIterator()
-    for row in it:
-        if len(feats) >= max_rows:
-            truncated = True
-            break
-        feats.append(_feature_dict(row))
+    try:
+        for row in it:
+            if len(feats) >= max_rows:
+                truncated = True
+                break
+            feats.append(_feature_dict(row))
+    finally:
+        if truncated:
+            # breaking out of toLocalIterator leaves the serving socket and
+            # the remaining partition jobs alive until GC; repeated truncated
+            # queries under the threaded HTTP server would accumulate
+            # abandoned collect jobs (ADVICE r4). The iterator is a plain
+            # generator — close() tears the connection down eagerly.
+            try:
+                it.close()
+            except Exception:
+                pass  # older PySpark iterators may not support close()
     fc: dict = {"type": "FeatureCollection", "features": feats}
     if truncated:
         fc["truncated"] = True

@@ -185,3 +185,63 @@ def test_substatement_inner_scan_is_cell_scoped(spark, dataset):
     a = sorted(r.id for r in df.collect())
     b = sorted(r.id for r in df2.collect())
     assert a == b
+
+
+def test_relation_substatement_inner_scan_is_rect_scoped(dataset):
+    """VERDICT r4 watch item: relation-involved sub-statements must not scan
+    the inner table unscoped. The planner scopes them by the outer
+    candidates' aggregate bounding rectangle (a lazy one-row broadcast —
+    _scope_inner_by_outer_rect), the distributed twin of the reference's
+    relation bbox-extent fetch (filter.go:212-222)."""
+    # relation outer, node inner
+    q1 = f"bbox({WINDOW}).relations{{ route=bus AND this.nodes{{ seats=* }} }}"
+    plan1 = plan_query(parse_query(q1), dataset)._jdf.queryExecution().toString()
+    assert "__omin_lon" in plan1, "relation-outer inner node scan lost the rect scope"
+
+    # node outer, relation inner
+    q2 = f"bbox({WINDOW}).nodes{{ this.relations{{ route=bus }} }}"
+    plan2 = plan_query(parse_query(q2), dataset)._jdf.queryExecution().toString()
+    assert "__omin_lon" in plan2, "node-outer inner relation scan lost the rect scope"
+
+    # the rectangle must be CONSERVATIVE: a relation whose members sit far
+    # outside every other candidate's bounds still matches its sub-statement
+    # (its own bounds extend the rectangle).
+    import pandas as pd
+
+    spark = dataset.nodes.sparkSession
+    far_node = pd.DataFrame(
+        [{"id": 90001, "lon": 9.95, "lat": 53.55, "tags": {"seats": "4"}},
+         {"id": 90002, "lon": 120.0, "lat": -45.0, "tags": {"seats": "9"}}]
+    )
+    rels = pd.DataFrame(
+        [
+            {"id": 95001, "node_member_ids": [90001], "way_member_ids": [],
+             "child_relation_ids": [], "tags": {"route": "bus"}},
+            # members far outside the statement bbox — but the relation's own
+            # folded bounds intersect it via node 90001? No: give it BOTH a
+            # local and a far member so it passes the top-level bbox filter
+            # while its sub-statement member lives outside other candidates'
+            # extent.
+            {"id": 95002, "node_member_ids": [90001, 90002], "way_member_ids": [],
+             "child_relation_ids": [], "tags": {"route": "bus"}},
+        ]
+    )
+    ways = pd.DataFrame([{"id": 1, "node_ids": [90001], "tags": {}}]).iloc[0:0]
+    ds = prepare(
+        spark.createDataFrame(far_node, "id long, lon double, lat double, tags map<string,string>"),
+        spark.createDataFrame(
+            ways, "id long, node_ids array<long>, tags map<string,string>"
+        ),
+        spark.createDataFrame(
+            rels,
+            "id long, node_member_ids array<long>, way_member_ids array<long>, "
+            "child_relation_ids array<long>, tags map<string,string>",
+        ),
+    )
+    got = sorted(
+        r.id
+        for r in plan_query(
+            parse_query(f"bbox({WINDOW}).relations{{ this.nodes{{ seats>=9 }} }}"), ds
+        ).collect()
+    )
+    assert got == [95002], got
