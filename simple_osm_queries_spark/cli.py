@@ -159,7 +159,9 @@ def cmd_upsert(spark, args) -> None:
     else:
         print(
             f"upserted {report['rows_written']} rows across "
-            f"{report['affected_partitions']} partitions in {report['t_sec']:.1f}s"
+            f"{report['affected_partitions']} partitions in {report['t_sec']:.1f}s "
+            f"-> version {report['version']}"
+            + (" [lookup]" if report.get("used_lookup") else "")
         )
 
 

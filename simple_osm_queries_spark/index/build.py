@@ -112,8 +112,10 @@ def _wipe_if_input_changed(out_path: str, input_fingerprint: str) -> bool:
         shutil.rmtree(mdir, ignore_errors=True)
         # upsert manifests describe deltas applied to the OLD build; keeping
         # them would make a replayed delta a silent no-op against the NEW
-        # build (upsert.py's idempotence check is fingerprint-by-filename)
+        # build (upsert.py's idempotence check is fingerprint-by-filename).
+        # The (id, partition) lookup projection is likewise old-build state.
         shutil.rmtree(os.path.join(out_path, "_upserts"), ignore_errors=True)
+        shutil.rmtree(os.path.join(out_path, "_lookup"), ignore_errors=True)
     return stale
 
 

@@ -444,3 +444,157 @@ def test_upsert_deletes_win_and_dup_ids_rejected(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="duplicate ids"):
         upsert.upsert_index(spark, out, dup, "sem-2")
+
+
+def _mini_index(spark, tmp_path, name):
+    from simple_osm_queries_spark.index import build as B
+
+    out = str(tmp_path / name)
+    df = spark.createDataFrame(
+        [(i, i % 3, 0, 53.5) for i in range(6)],
+        "id long, cell_x int, cell_y int, lat double",
+    )
+    B.build_index(df, out, input_fingerprint="fp", max_rows_per_band=1000)
+    return out
+
+
+def test_upsert_crash_mid_commit_recovers_forward(spark, tmp_path, monkeypatch):
+    """VERDICT r4 #2: a hard crash inside the partition swap must not lose
+    survivor rows. The snapshot protocol keeps every partition's bytes in
+    exactly one of data/backup/stage; recover_pending_upserts (run
+    automatically by the next upsert) rolls the commit forward."""
+    from simple_osm_queries_spark.index import build as B
+    from simple_osm_queries_spark.index import fsio, upsert
+
+    out = _mini_index(spark, tmp_path, "idx_crash")
+    delta = spark.createDataFrame(
+        [(2, 0, 0, 53.5)], "id long, cell_x int, cell_y int, lat double"
+    )  # id 2 moves cell_x 2 -> 0
+    deletes = spark.createDataFrame([(1,), (4,)], "id long")  # empties cell_x=1
+
+    real_commit = upsert._commit_partitions
+
+    def crashing(spark_, out_path_, m):
+        # move ONE partition's data dir to backup, then die mid-swap
+        p = m["partitions"][0]
+        data = upsert._data_path(out_path_)
+        d = upsert._part_dir(data, spark_, m["partition_col"], p)
+        b = os.path.join(
+            upsert._updir(out_path_), f"backup-{m['digest']}", os.path.basename(d)
+        )
+        if fsio.fs_exists(spark_, d):
+            fsio.fs_rename(spark_, d, b)
+        raise RuntimeError("simulated crash mid-commit")
+
+    monkeypatch.setattr(upsert, "_commit_partitions", crashing)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        upsert.upsert_index(spark, out, delta, "crash-1", deletes=deletes)
+    monkeypatch.setattr(upsert, "_commit_partitions", real_commit)
+
+    # the replayed fingerprint recovers the pending commit, then skips
+    r = upsert.upsert_index(spark, out, delta, "crash-1", deletes=deletes)
+    assert r["skipped"]
+    got = sorted((x.id, x.cell_x) for x in B.read_index(spark, out).collect())
+    assert got == [(0, 0), (2, 0), (3, 0), (5, 2)]
+    assert not os.path.exists(os.path.join(out, "data", "cell_x=1"))
+    # the finalized manifest exists and the pending marker is gone
+    ups = os.listdir(os.path.join(out, "_upserts"))
+    assert any(u.endswith(".json") for u in ups)
+    assert not any(u.endswith(".pending") for u in ups)
+
+
+def test_read_index_version_time_travel_and_gc(spark, tmp_path):
+    """VERDICT r4 #8: versioned reads over the retained snapshots, plus the
+    documented GC retention policy."""
+    from simple_osm_queries_spark.index import build as B
+    from simple_osm_queries_spark.index import upsert
+
+    out = _mini_index(spark, tmp_path, "idx_tt")
+    v0 = sorted((x.id, x.cell_x, x.cell_y) for x in B.read_index(spark, out).collect())
+
+    delta1 = spark.createDataFrame(
+        [(2, 0, 0, 53.5)], "id long, cell_x int, cell_y int, lat double"
+    )
+    deletes1 = spark.createDataFrame([(1,), (4,)], "id long")
+    r1 = upsert.upsert_index(spark, out, delta1, "tt-1", deletes=deletes1)
+    assert r1["version"] == 1
+    v1 = sorted((x.id, x.cell_x, x.cell_y) for x in B.read_index(spark, out).collect())
+
+    delta2 = spark.createDataFrame(
+        [(0, 0, 9, 53.5)], "id long, cell_x int, cell_y int, lat double"
+    )
+    r2 = upsert.upsert_index(spark, out, delta2, "tt-2")
+    assert r2["version"] == 2
+    v2 = sorted((x.id, x.cell_x, x.cell_y) for x in B.read_index(spark, out).collect())
+
+    def snap(version):
+        return sorted(
+            (x.id, x.cell_x, x.cell_y)
+            for x in upsert.read_index_version(spark, out, version).collect()
+        )
+
+    assert snap(2) == v2
+    assert snap(1) == v1
+    assert snap(0) == v0
+    assert v0 != v1 != v2
+    with pytest.raises(ValueError, match="not in"):
+        upsert.read_index_version(spark, out, 3)
+
+    # GC all but the newest snapshot: version 1 stays readable (it needs
+    # only upsert 2's backup), version 0 raises with a clear message
+    assert upsert.gc_snapshots(spark, out, retain=1) == 1
+    assert snap(1) == v1
+    with pytest.raises(ValueError, match="garbage-collected"):
+        upsert.read_index_version(spark, out, 0)
+
+
+def test_upsert_maintained_lookup_used_and_repaired(spark, tmp_path):
+    """The auto-maintained (id, partition) projection: bootstrapped by the
+    first upsert, USED by the second (no full two-column index scan), kept
+    partition-scoped in sync (emptied dirs dropped), and repaired by
+    fallback when its version stamp goes stale."""
+    import json as _json
+
+    from simple_osm_queries_spark.index import build as B
+    from simple_osm_queries_spark.index import upsert
+
+    out = _mini_index(spark, tmp_path, "idx_lkauto")
+    delta1 = spark.createDataFrame(
+        [(2, 0, 0, 53.5)], "id long, cell_x int, cell_y int, lat double"
+    )
+    r1 = upsert.upsert_index(spark, out, delta1, "lk-1")
+    assert not r1["used_lookup"]  # nothing to trust yet: bootstrap run
+    state_path = os.path.join(out, "_lookup", "_state.json")
+    assert _json.load(open(state_path))["version"] == 1
+
+    # second upsert trusts the projection and still finds the moved id's
+    # OLD partition through it (id 5 moves cell_x 2 -> 1)
+    delta2 = spark.createDataFrame(
+        [(5, 1, 0, 53.5)], "id long, cell_x int, cell_y int, lat double"
+    )
+    r2 = upsert.upsert_index(spark, out, delta2, "lk-2")
+    assert r2["used_lookup"]
+    assert r2["affected_partitions"] == 2  # source 2 (now emptied) + target 1
+    got = sorted((x.id, x.cell_x) for x in B.read_index(spark, out).collect())
+    assert (5, 1) in got and (5, 2) not in got
+    # cell_x=2 is now empty: both the data dir AND its lookup dir are gone
+    assert not os.path.exists(os.path.join(out, "data", "cell_x=2"))
+    assert not os.path.exists(os.path.join(out, "_lookup", "data", "cell_x=2"))
+    # the lookup matches the index exactly
+    lk = sorted(
+        (x.id, x.cell_x)
+        for x in spark.read.parquet(os.path.join(out, "_lookup", "data")).collect()
+    )
+    assert lk == got
+
+    # stale stamp -> fallback scan + repair (tamper through the same FS API
+    # the engine writes with, or the local-FS checksum sidecar goes stale)
+    from simple_osm_queries_spark.index import fsio
+
+    fsio.fs_write_text_atomic(spark, state_path, _json.dumps({"version": 99}))
+    delta3 = spark.createDataFrame(
+        [(0, 0, 5, 53.5)], "id long, cell_x int, cell_y int, lat double"
+    )
+    r3 = upsert.upsert_index(spark, out, delta3, "lk-3")
+    assert not r3["used_lookup"]
+    assert _json.load(open(state_path))["version"] == 3
