@@ -66,6 +66,48 @@ def test_doc_anchored_ids():
         E.latlng_to_cell_py(37.775938728915946, -122.41795063018799, 9)
         == 0x8928308280FFFFF
     )
+    # h3 cellToParent docs example: cellToParent('8928308280fffff', 8) ->
+    # '8828308281fffff' — anchored here through the ENCODER (res-8 encode of
+    # the cell's documented coordinates), a class-II anchor one level up
+    assert (
+        E.latlng_to_cell_py(37.77670234943567, -122.41845932318311, 8)
+        == 0x8828308281FFFFF
+    )
+    # ...and the parent bit-math must agree with the same published pair
+    assert H.parent_py(0x8928308280FFFFF, 8) == 0x8828308281FFFFF
+
+
+def test_doc_anchored_decode_center():
+    """h3 cellToLatLng docs example: cellToLatLng('85283473fffffff') ->
+    (37.34579337536848, -121.97637597255124). Anchors the DECODER (and
+    therefore the reverse table path) against a published tuple,
+    unconditionally — no h3 wheel needed."""
+    lng, lat = E.cell_to_lnglat(np.array([0x85283473FFFFFFF], dtype=np.uint64))
+    assert abs(lat[0] - 37.34579337536848) < 1e-9
+    assert abs(lng[0] - (-121.97637597255124)) < 1e-9
+
+
+def test_pentagon_base_cells_match_published_list():
+    """The 12 published res-0 pentagon ids (80{0x09,1d,31,4d,63,75,7f,91,
+    a7,c3,d3,eb}fffffffffff in every H3 release's test fixtures) decode to
+    base cells 4,14,24,38,49,58,63,72,83,97,107,117 — our DERIVED pentagon
+    set must equal that list exactly, or externally-keyed pentagon data
+    would mis-join (ADVICE r3 #2 / VERDICT r4 #3)."""
+    published_res0 = [
+        0x8009FFFFFFFFFFF, 0x801DFFFFFFFFFFF, 0x8031FFFFFFFFFFF,
+        0x804DFFFFFFFFFFF, 0x8063FFFFFFFFFFF, 0x8075FFFFFFFFFFF,
+        0x807FFFFFFFFFFFF, 0x8091FFFFFFFFFFF, 0x80A7FFFFFFFFFFF,
+        0x80C3FFFFFFFFFFF, 0x80D7FFFFFFFFFFF, 0x80EBFFFFFFFFFFF,
+    ]
+    published_bases = [(h >> 45) & 0x7F for h in published_res0]
+    assert published_bases == [4, 14, 24, 38, 49, 58, 63, 72, 83, 97, 107, 117]
+    assert sorted(H.PENTAGON_BASE_CELLS) == published_bases
+    # every published pentagon id is structurally valid under our bit model
+    # and its center decodes and re-encodes to itself
+    for h in published_res0:
+        assert H.is_valid_py(h) and H.is_pentagon_py(h)
+        lng, lat = E.cell_to_lnglat(np.array([h], dtype=np.uint64))
+        assert E.latlng_to_cell_py(lat[0], lng[0], 0) == h
 
 
 def test_distinct_cell_counts():
@@ -317,3 +359,47 @@ def test_cells_geojson_sink():
     geom = fc["features"][0]["geometry"]
     assert geom["type"] == "Polygon" and len(geom["coordinates"][0]) == 7
     assert fc["features"][0]["properties"]["layer"] == "cover"
+
+
+def test_round_trip_adversarial_near_every_icosa_edge():
+    """VERDICT r4 #3(b): decode->encode round-trips on ADVERSARIALLY sampled
+    cells hugging every icosahedron face boundary, at odd (class III) and
+    even (class II) resolutions 7-12. A self-consistent-but-non-canonical
+    rotation table entry would place a boundary cell's center on the wrong
+    side of the face seam and the re-encode would land in a different cell;
+    exact equality across every one of the 30 edges (and the 12 pentagon
+    vertices, where 5 faces meet) rules that failure mode out."""
+    lng, lat = _sphere_sample(2_000_000, seed=101)
+    latr, lngr = np.radians(lat), np.radians(lng)
+    xyz = E._geo_to_vec3d(latr, lngr)
+    dots = xyz @ E._FACE_CENTER_XYZ.T
+    o = np.argsort(-dots, axis=1)
+    f1, f2 = o[:, 0], o[:, 1]
+    gap12 = dots[np.arange(len(f1)), f1] - dots[np.arange(len(f1)), f2]
+    edge_m = gap12 < 2e-4  # hugging a face seam
+    pairs = {tuple(sorted(p)) for p in zip(f1[edge_m].tolist(), f2[edge_m].tolist())}
+    assert len(pairs) == 30, f"only {len(pairs)} of 30 icosa edges sampled"
+    # vertex-adjacent points: tight rings around the 12 pentagon centers
+    # (which sit exactly on the icosahedron vertices, validate_geometry)
+    tab = E._tables()
+    pent = sorted(H.PENTAGON_BASE_CELLS)
+    vlat = np.degrees(tab["bc_lat"][pent])
+    vlng = np.degrees(tab["bc_lng"][pent])
+    ang = np.linspace(0.0, 2 * np.pi, 40, endpoint=False)
+    vr_lng, vr_lat = [], []
+    for r in (0.02, 0.1, 0.5, 2.0):
+        for i in range(len(pent)):
+            c = max(np.cos(np.radians(vlat[i])), 1e-6)
+            vr_lng.append(vlng[i] + r * np.cos(ang) / c)
+            vr_lat.append(np.clip(vlat[i] + r * np.sin(ang), -89.999, 89.999))
+    slng = np.concatenate([lng[edge_m]] + vr_lng)
+    slat = np.concatenate([lat[edge_m]] + vr_lat)
+    for res in (7, 8, 9, 11, 12):
+        h = E.lnglat_to_cell(slng, slat, res)
+        dlng, dlat = E.cell_to_lnglat(h)
+        h2 = E.lnglat_to_cell(dlng, dlat, res)
+        bad = h2 != h
+        assert not bad.any(), (
+            f"res {res}: {bad.sum()} boundary cells fail decode->encode, "
+            f"e.g. {h[bad][:3]} -> {h2[bad][:3]}"
+        )
