@@ -35,3 +35,115 @@ def test_dispatch_matches_fmt_cycle():
             assert codecs.psnr(px, out) >= 40.0
         else:
             assert np.array_equal(out, px)
+
+
+# --- GIF (from-scratch animated container, VERDICT r4 #6) -------------------
+
+
+def _pal_frames(shape, seed=5):
+    rng = np.random.RandomState(seed)
+    return codecs.gif_palette()[rng.randint(0, 256, size=shape).astype(np.uint8)]
+
+
+def test_gif_round_trip_exact_both_lzw_paths():
+    frames = _pal_frames((3, 24, 17))
+    for optimize in (True, False):  # dict LZW and the clear-flooded stream
+        dec = codecs.decode_gif(codecs.encode_gif(frames, optimize=optimize))
+        assert dec.shape == frames.shape and (dec == frames).all()
+
+
+def test_gif_lzw_table_reset_path():
+    # 320x320 repetitive frame: the dictionary hits 4096 entries and the
+    # encoder emits CLEAR mid-stream; the decoder must resync exactly
+    idx = np.tile(np.arange(8, dtype=np.uint8).reshape(1, 2, 4), (2, 160, 80))
+    frames = codecs.gif_palette()[idx]
+    dec = codecs.decode_gif(codecs.encode_gif(frames))
+    assert (dec == frames).all()
+
+
+def test_gif_quantization_is_332():
+    rng = np.random.RandomState(3)
+    arb = rng.randint(0, 256, size=(1, 16, 16, 3)).astype(np.uint8)
+    dec = codecs.decode_gif(codecs.encode_gif(arb))
+    # every channel lands on its 3-3-2 bucket midpoint
+    assert (dec[0] == codecs.gif_palette()[codecs.gif_quantize(arb[0])]).all()
+
+
+def _raw_gif(w, h, blocks):
+    import struct as S
+
+    out = bytearray(b"GIF89a")
+    out += S.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    out += codecs.gif_palette().tobytes()
+    for b in blocks:
+        out += b
+    out.append(0x3B)
+    return bytes(out)
+
+
+def _image_block(idx2d, left=0, top=0, interlace=False, gce=None):
+    """Hand-built image descriptor (+optional GCE) with a flooded LZW body —
+    exercises decoder paths our writer never emits."""
+    import struct as S
+
+    h, w = idx2d.shape
+    out = bytearray()
+    if gce is not None:
+        disposal, transparent = gce
+        flags = (disposal << 2) | (1 if transparent is not None else 0)
+        out += b"\x21\xf9\x04" + S.pack("<BHB", flags, 1, transparent or 0) + b"\x00"
+    out += b"\x2c" + S.pack("<HHHHB", left, top, w, h, 0x40 if interlace else 0)
+    rows = idx2d
+    if interlace:
+        order = np.concatenate(
+            [np.arange(s, h, st) for s, st in ((0, 8), (4, 8), (2, 4), (1, 2))]
+        )
+        rows = idx2d[order]  # stored in interlace pass order
+    out.append(8)
+    stream = codecs._lzw_encode_flooded(rows.reshape(-1), 8)
+    for off in range(0, len(stream), 255):
+        chunk = stream[off : off + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def test_gif_interlaced_image_decodes():
+    rng = np.random.RandomState(11)
+    idx = rng.randint(0, 256, size=(16, 9)).astype(np.uint8)
+    data = _raw_gif(9, 16, [_image_block(idx, interlace=True)])
+    dec = codecs.decode_gif(data)
+    assert (dec[0] == codecs.gif_palette()[idx]).all()
+
+
+def test_gif_subrect_transparency_and_disposal():
+    """Frame composition semantics: full frame A with disposal=2 (restore
+    background), then a 2x2 sub-rectangle at (1,1) with one transparent
+    pixel — the transparent pixel shows the restored background."""
+    pal = codecs.gif_palette()
+    A, C, T = 10, 200, 77
+    f1 = np.full((4, 4), A, np.uint8)
+    f2 = np.array([[C, T], [C, C]], np.uint8)
+    data = _raw_gif(
+        4, 4,
+        [
+            _image_block(f1, gce=(2, None)),       # disposal 2 after frame 1
+            _image_block(f2, left=1, top=1, gce=(0, T)),  # transparency
+        ],
+    )
+    dec = codecs.decode_gif(data)
+    assert dec.shape == (2, 4, 4, 3)
+    assert (dec[0] == pal[A]).all()
+    bg = pal[0]  # logical-screen background index 0
+    expect = np.broadcast_to(bg, (4, 4, 3)).copy()
+    expect[1, 1] = pal[C]
+    expect[2, 1] = pal[C]
+    expect[2, 2] = pal[C]
+    # (1,2) was transparent -> restored background shows through
+    assert (dec[1] == expect).all()
+
+
+def test_gif_rejects_garbage():
+    with pytest.raises(ValueError, match="not a GIF"):
+        codecs.decode_gif(b"RIFFxxxx")
