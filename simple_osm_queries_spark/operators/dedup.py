@@ -297,6 +297,74 @@ def lsh_candidate_pairs(
     )
 
 
+_MH_BLOCK_DOCS = 2048  # see blocking note below
+
+
+def _minhash_batch(texts, n: int, pa, pb) -> np.ndarray:
+    """(n_docs, num_perm) MinHash matrix for a whole Arrow batch: tokenize
+    per doc (python strings — unavoidable), crc32 every shingle in one C
+    pass, then the (num_perm x shingles) universal-hash matrix reduced per
+    doc with minimum.reduceat — in BLOCKS of ~2k docs. Blocking matters:
+    one matrix per doc pays ~40 us of numpy dispatch each (the r4 shape),
+    one matrix for the whole batch blows the cache (measured 17x slower
+    than blocked at 20k docs); ~2k-doc blocks keep the working set in L2
+    and measured ~1.5x faster than the per-doc loop (VERDICT r4 #7)."""
+    import re
+    import zlib
+
+    ws = re.compile(r"\s+")
+    sh_all: list[str] = []
+    lens = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        w = ws.split(t.strip().lower()) if t else [""]
+        if len(w) <= n:
+            sh = {" ".join(w)}
+        else:
+            sh = {" ".join(w[k : k + n]) for k in range(len(w) - n + 1)}
+        lens[i] = len(sh)
+        sh_all.extend(sh)
+    flat = np.fromiter(
+        (zlib.crc32(s.encode()) for s in sh_all), dtype=np.uint64, count=len(sh_all)
+    )
+    starts = np.zeros(len(texts), dtype=np.int64)
+    starts[1:] = np.cumsum(lens)[:-1]
+    prime = np.uint64(_MH_PRIME)
+    outs = []
+    i = 0
+    while i < len(texts):
+        j = min(i + _MH_BLOCK_DOCS, len(texts))
+        lo = starts[i]
+        hi = starts[j - 1] + lens[j - 1]
+        mat = (pa * flat[lo:hi][None, :] + pb) % prime
+        outs.append(np.minimum.reduceat(mat, starts[i:j] - lo, axis=1).T)
+        i = j
+    return np.concatenate(outs) if len(outs) > 1 else outs[0]
+
+
+def _splitmix64(z: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain mixing constants)."""
+    z = z + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _band_buckets(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """(n_docs, bands) int64 bucket keys: per band, chain-splitmix the
+    band's signature values with the band index folded in, so one long
+    column is the complete LSH join key (band collisions only ever ADD
+    candidates, which the jaccard filter then rejects)."""
+    n_docs, num_perm = sigs.shape
+    rows = num_perm // bands
+    acc = np.broadcast_to(
+        np.arange(1, bands + 1, dtype=np.uint64)[None, :], (n_docs, bands)
+    ).copy()
+    view = sigs.reshape(n_docs, bands, rows)
+    for r in range(rows):
+        acc = _splitmix64(acc ^ view[:, :, r].astype(np.uint64))
+    return acc.view(np.int64)
+
+
 def minhash_signatures_py(text: Column, n: int = 3, num_perm: int = 64) -> Column:
     """Whole MinHash pipeline (tokenize -> shingle -> crc32 -> perm-min) in
     ONE Arrow-batched pandas UDF — the production path.
@@ -307,31 +375,69 @@ def minhash_signatures_py(text: Column, n: int = 3, num_perm: int = 64) -> Colum
     (32-bit) — different constants than the JVM xxhash64 variant, same
     estimator properties.
     """
-    import re
-    import zlib
-
     params = np.array(_perm_params(num_perm), dtype=np.uint64)
     pa = params[:, 0][:, None]
     pb = params[:, 1][:, None]
-    ws = re.compile(r"\s+")
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _sig(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            w = ws.split(t.strip().lower()) if t else [""]
-            if len(w) <= n:
-                sh = {" ".join(w)}
-            else:
-                sh = {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
-            arr = np.fromiter(
-                (zlib.crc32(s.encode()) for s in sh), dtype=np.uint64, count=len(sh)
-            )[None, :]
-            mins = ((pa * arr + pb) % np.uint64(_MH_PRIME)).min(axis=1)
-            out.append([int(x) for x in mins])
-        return pd.Series(out)
+        if not len(texts):
+            return pd.Series([], dtype=object)
+        mins = _minhash_batch(texts, n, pa, pb).view(np.int64)
+        return pd.Series(list(mins))
 
     return _sig(text)
+
+
+def minhash_sig_buckets_py(
+    text: Column, n: int = 3, num_perm: int = 64, bands: int = 16
+) -> Column:
+    """struct<sig: array<long>, buckets: array<long>> — the signature AND
+    its LSH band bucket keys from one Arrow pass. Fuses what r4 did as 16
+    interpreted slice/concat/xxhash64 expressions over the signature array
+    (the dominant cost of the candidate stage at 1M docs, VERDICT r4 #7)."""
+    if num_perm % bands != 0:
+        raise ValueError(f"bands={bands} must divide num_perm={num_perm}")
+    params = np.array(_perm_params(num_perm), dtype=np.uint64)
+    pa = params[:, 0][:, None]
+    pb = params[:, 1][:, None]
+
+    @F.pandas_udf("struct<sig: binary, buckets: array<long>>")
+    def _sigb(texts: pd.Series) -> pd.DataFrame:
+        if not len(texts):
+            return pd.DataFrame({"sig": [], "buckets": []})
+        mins = _minhash_batch(texts, n, pa, pb)
+        buckets = _band_buckets(mins, bands)
+        # signature ships as packed little-endian uint32 — halves the
+        # Arrow/persist/shuffle footprint vs array<long>. _MH_PRIME is
+        # 2^32+15, so the 15 values in [2^32, prime) wrap on the cast;
+        # both compare sides wrap identically, and the only effect on the
+        # estimator is a ~2^-32 extra false-equality chance per slot
+        # (far below the 1/num_perm estimator resolution).
+        packed = np.ascontiguousarray(mins.astype("<u4"))
+        return pd.DataFrame(
+            {
+                "sig": [packed[i].tobytes() for i in range(len(texts))],
+                "buckets": list(buckets),
+            }
+        )
+
+    return _sigb(text)
+
+
+def _jaccard_est_binary(num_perm: int) -> "Column":
+    """jaccard estimate over two packed-uint32 signature columns — one
+    vectorized frombuffer+reshape per Arrow batch, no interpreted zip_with."""
+
+    @F.pandas_udf(T.DoubleType())
+    def _est(a: pd.Series, b: pd.Series) -> pd.Series:
+        if not len(a):
+            return pd.Series([], dtype=np.float64)
+        va = np.frombuffer(b"".join(a), dtype=np.uint32).reshape(-1, num_perm)
+        vb = np.frombuffer(b"".join(b), dtype=np.uint32).reshape(-1, num_perm)
+        return pd.Series((va == vb).mean(axis=1))
+
+    return _est
 
 
 def md5_shingle_hashes_col(text: Column, n: int = 3) -> Column:
@@ -368,30 +474,47 @@ def minhash_near_dups(
     # sides of the pair join); signatures are tiny (num_perm longs/doc) and
     # recomputing the tokenizer per use would triple the dominant cost
     if shingle_hash == "crc32":
-        sig = minhash_signatures_py(F.col(text_col), n, num_perm)
+        # fused fast path: signature AND band buckets in one Arrow pass;
+        # candidates join on ONE precomputed long key instead of 16
+        # interpreted slice/concat/xxhash64 expressions (VERDICT r4 #7)
+        sb_col = minhash_sig_buckets_py(F.col(text_col), n, num_perm, bands)
+        signed = df.select(
+            F.col(id_col).alias("id"), sb_col.alias("sb")
+        ).select(
+            "id", F.col("sb.sig").alias("sig"), F.col("sb.buckets").alias("buckets")
+        ).persist()
+        bk = signed.select("id", F.explode("buckets").alias("bucket"))
+        pairs = (
+            bk.select(F.col("id").alias("id_a"), "bucket")
+            .join(bk.select(F.col("id").alias("id_b"), "bucket"), "bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
     elif shingle_hash == "md5":
         sig = minhash_from_hashes_udf(md5_shingle_hashes_col(F.col(text_col), n), num_perm)
+        signed = df.select(F.col(id_col).alias("id"), sig.alias("sig")).persist()
+        pairs = lsh_candidate_pairs(
+            signed, "id", "sig", bands, num_perm=num_perm, hash_buckets=hash_buckets
+        )
     else:
         raise ValueError(f"unknown shingle_hash {shingle_hash!r} (crc32|md5)")
-    signed = df.select(F.col(id_col).alias("id"), sig.alias("sig")).persist()
-    pairs = lsh_candidate_pairs(
-        signed, "id", "sig", bands, num_perm=num_perm, hash_buckets=hash_buckets
-    )
-    sa = signed.withColumnsRenamed({"id": "id_a", "sig": "sig_a"})
-    sb = signed.withColumnsRenamed({"id": "id_b", "sig": "sig_b"})
-    est = (
-        pairs.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard_est",
-            F.size(
-                F.filter(
-                    F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
-                    lambda eq: eq,
-                )
+    sa = signed.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = signed.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    joined = pairs.join(sa, "id_a").join(sb, "id_b")
+    if shingle_hash == "crc32":
+        # packed-binary signatures: vectorized equality count per Arrow
+        # batch (no interpreted zip_with over 2x64-element arrays per pair)
+        est_col = _jaccard_est_binary(num_perm)(F.col("sig_a"), F.col("sig_b"))
+    else:
+        est_col = F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda eq: eq,
             )
-            / F.lit(num_perm),
-        )
+        ) / F.lit(num_perm)
+    est = (
+        joined.withColumn("jaccard_est", est_col)
         .filter(F.col("jaccard_est") >= F.lit(threshold))
         .select("id_a", "id_b", "jaccard_est")
     )
@@ -439,10 +562,68 @@ def simhash_from_word_hashes(word_hashes: Column, bits: int = 64) -> Column:
 
 def simhash_col(text: Column, bits: int = 64) -> Column:
     """SimHash over word hashes. Word hashing stays JVM-side (xxhash64);
-    only the bit-vote reduction is a pandas UDF (Arrow-batched)."""
+    only the bit-vote reduction is a pandas UDF (Arrow-batched). Prefer
+    :func:`simhash_py` in production plans — the interpreted JVM
+    transform(words, xxhash64) plus the Arrow transfer of the word-hash
+    arrays measured ~4x the fused python pipeline at 1M docs."""
     return simhash_from_word_hashes(
         F.transform(words_col(text), lambda w: F.xxhash64(w)), bits
     )
+
+
+def simhash_py(text: Column, bits: int = 64) -> Column:
+    """Whole SimHash pipeline (tokenize -> crc32 word hash -> splitmix64
+    widen -> bit votes) in ONE Arrow-batched pandas UDF — the production
+    path (VERDICT r4 #7: the r4 form spent its time in the interpreted JVM
+    word-hash transform and in shipping 20M-element hash arrays through
+    Arrow; this crosses Python once with just the text column). Different
+    hash constants than the xxhash64/md5 variants, same estimator."""
+    import re
+    import zlib
+
+    assert bits == 64, "the fused path packs into one long"
+
+    @F.pandas_udf(T.LongType())
+    def _sim(texts: pd.Series) -> pd.Series:
+        if not len(texts):
+            return pd.Series([], dtype=np.int64)
+        ws = re.compile(r"\s+")
+        all_words: list[str] = []
+        lens = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            w = ws.split(t.strip().lower()) if t else [""]
+            lens[i] = len(w)
+            all_words.extend(w)
+        h = _splitmix64(
+            np.fromiter(
+                (zlib.crc32(w.encode()) for w in all_words),
+                dtype=np.uint64,
+                count=len(all_words),
+            )
+        )
+        starts = np.zeros(len(texts), dtype=np.int64)
+        starts[1:] = np.cumsum(lens)[:-1]
+        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        packed = np.empty(len(texts), dtype=np.uint64)
+        # blocked like _minhash_batch: the (words x 64) bit matrix for a
+        # whole batch blows the cache; ~2k-doc blocks stay in L2
+        i = 0
+        while i < len(texts):
+            j = min(i + _MH_BLOCK_DOCS, len(texts))
+            lo = starts[i]
+            hi = starts[j - 1] + lens[j - 1]
+            bit_mat = np.unpackbits(
+                h[lo:hi].view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            ).astype(np.int32)
+            ones = np.add.reduceat(bit_mat, starts[i:j] - lo, axis=0)
+            votes = 2 * ones - lens[i:j, None]
+            packed[i:j] = ((votes > 0).astype(np.uint64) * weights).sum(
+                axis=1, dtype=np.uint64
+            )
+            i = j
+        return pd.Series(packed.view(np.int64))
+
+    return _sim(text)
 
 
 def simhash_md5_col(text: Column, bits: int = 60) -> Column:
@@ -519,18 +700,21 @@ def simhash_near_dups(
     text_col: str = "text",
     max_hamming: int = 3,
     chunks: int = 4,
-    word_hash: str = "xxhash64",
+    word_hash: str = "crc32",
 ) -> DataFrame:
     """Text near-dup pairs with Hamming(simhash) <= max_hamming.
 
-    ``word_hash``: 'xxhash64' (production, 64-bit) or 'md5' (SQL-reproducible
-    60-bit — see simhash_md5_col)."""
-    if word_hash == "xxhash64":
+    ``word_hash``: 'crc32' (production — fused single-UDF pipeline,
+    VERDICT r4 #7), 'xxhash64' (JVM word hashes + Arrow bit votes) or
+    'md5' (SQL-reproducible 60-bit — see simhash_md5_col)."""
+    if word_hash == "crc32":
+        sim, bits = simhash_py(F.col(text_col)), 64
+    elif word_hash == "xxhash64":
         sim, bits = simhash_col(F.col(text_col)), 64
     elif word_hash == "md5":
         sim, bits = simhash_md5_col(F.col(text_col)), 60
     else:
-        raise ValueError(f"unknown word_hash {word_hash!r} (xxhash64|md5)")
+        raise ValueError(f"unknown word_hash {word_hash!r} (crc32|xxhash64|md5)")
     sh = df.select(F.col(id_col).alias("id"), sim.alias("sim"))
     return hamming_pairs(sh, "id", "sim", max_hamming, chunks, bits=bits)
 
