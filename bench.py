@@ -553,6 +553,15 @@ def run_h3_block(spark, points_dir: str) -> dict:
         "knn_h3_100q_amortized",
         lambda: knn.knn_h3(cells_df, queries_df, res=12, cell_col="h3r12").count(),
     )
+    # geodesic metric (r5): same 100 queries ranked by great-circle meters
+    # through the wrap-aware spherical cover — the globally-correct path
+    # must stay in the same cost class as the equirect one
+    one(
+        "knn_haversine_100q",
+        lambda: knn.knn_h3(
+            slim, queries_df, res=12, metric="haversine"
+        ).count(),
+    )
     one(
         "pip_h3_polyfill",
         lambda: point_in_polygon_h3_join(slim, [(0, PENTAGON)], res=8).count(),
