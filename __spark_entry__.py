@@ -991,6 +991,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # recomputed in SQL.
     def q_knn_haversine(spark, sf_dir):
         d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # the H3E scatter (mirrors H3E_LON_SQL / H3E_LAT_SQL verbatim —
+        # keep the two in lockstep, the oracle references the constants)
         lon = ((F.col("doc_id") * 7919) % 36000) / F.lit(100.0) - F.lit(180.0) + F.lit(0.005)
         lat = ((F.col("doc_id") * 104729) % 12000) / F.lit(100.0) - F.lit(60.0) + F.lit(0.005)
         pts = d.select(F.col("doc_id").alias("id"), lon.alias("lon"), lat.alias("lat"))
@@ -1659,10 +1661,11 @@ SELECT id, ((xb >> 0) & 1) * 2 + ((yb >> 0) & 1) * 1 + ((xb >> 1) & 1) * 8 + ((y
     # + cos(phi_q) cos(phi) sin^2(dlon/2) — same ordering as the meters
     # distance 2 R asin(sqrt(a)) the Spark side ranks by, antimeridian-safe
     # through sin periodicity
+    # reuse the NAMED H3E scatter constants so the Spark fixture and its
+    # twin can never silently diverge (code-review r5 finding)
     hav_points = (
-        "SELECT doc_id AS id, "
-        "((doc_id * 7919) % 36000) / 100.0 - 180.0 + 0.005 AS lon, "
-        "((doc_id * 104729) % 12000) / 100.0 - 60.0 + 0.005 AS lat FROM documents"
+        f"SELECT doc_id AS id, {H3E_LON_SQL} AS lon, "
+        f"{H3E_LAT_SQL} AS lat FROM documents"
     )
     hav_parts = []
     for qid, qlon, qlat in KNN_HAV_QUERIES:

@@ -74,9 +74,18 @@ def fs_read_text(spark: SparkSession, path: str) -> str:
 
 
 def fs_write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
-    """Write-to-temp + rename (the same atomicity discipline as the band
-    manifests). The temp name carries the pid so concurrent writers on a
-    shared store never interleave into one temp file."""
+    """Write-to-temp + ATOMIC overwrite-rename (the same atomicity
+    discipline as the band manifests). The temp name carries the pid so
+    concurrent writers on a shared store never interleave into one temp
+    file.
+
+    The replace goes through FileContext's Rename.OVERWRITE (atomic on
+    local/HDFS) — a delete-then-rename pair would open a crash window in
+    which the destination is GONE; for a gc_snapshots manifest rewrite
+    that lost manifest would silently corrupt versioned reads
+    (code-review r5 finding). Stores whose FileContext lacks atomic rename
+    (some object stores) fall back to delete+rename with the window
+    documented here."""
     import os
 
     tmp = f"{path}.{os.getpid()}.tmp"
@@ -89,6 +98,22 @@ def fs_write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
         stream.close()
     jvm = spark._jvm
     dst = jvm.org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, False)  # replace semantics (manifest rewrite on GC)
+    try:
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            fs.getUri(), spark._jsc.hadoopConfiguration()
+        )
+        # Options.Rename is a nested enum: py4j reaches it via Class.forName
+        # with the $ binary name; the varargs Rename... crosses as an array
+        ren_cls = jvm.java.lang.Class.forName("org.apache.hadoop.fs.Options$Rename")
+        overwrite = next(
+            c for c in ren_cls.getEnumConstants() if c.toString() == "OVERWRITE"
+        )
+        ren_arr = jvm.java.lang.reflect.Array.newInstance(ren_cls, 1)
+        ren_arr[0] = overwrite
+        fc.rename(p, dst, ren_arr)
+        return
+    except Exception:
+        pass  # no FileContext for this scheme: non-atomic fallback below
+    fs.delete(dst, False)
     if not fs.rename(p, dst):
         raise OSError(f"atomic write rename {tmp} -> {path} failed")

@@ -217,12 +217,17 @@ def upsert_index(
     # the delta lineage feeds the dup check, both touched-id broadcasts, and
     # the rewrite union — persist once (diff-sized) instead of 4 evaluations;
     # try/finally so the raise/early-return paths release the cache too
+    # manifests are read ONCE per upsert and the version threaded through —
+    # re-listing/parsing every historical manifest in each helper would make
+    # per-upsert driver overhead grow with total upsert count forever
+    # (code-review r5 finding)
+    cur_version = current_version(spark, out_path)
     delta = delta.persist()
     try:
         return _apply(
             spark, report, t0, out_path, digest, mpath, delta, deletes,
             delta_fingerprint, id_col, partition_col, files_per_cell,
-            id_lookup, index_df, maintain_lookup,
+            id_lookup, index_df, maintain_lookup, cur_version,
         )
     finally:
         delta.unpersist()
@@ -236,6 +241,7 @@ def _resolve_lookup(
     partition_col: str,
     id_lookup: DataFrame | None,
     maintain_lookup: bool,
+    cur_version: int,
 ) -> tuple[DataFrame, bool]:
     """(projection DataFrame, came_from_maintained_lookup). The maintained
     table is trusted only when its version stamp matches the index version
@@ -247,7 +253,7 @@ def _resolve_lookup(
         state_path = os.path.join(_lookup_dir(out_path), "_state.json")
         if fsio.fs_exists(spark, state_path):
             state = json.loads(fsio.fs_read_text(spark, state_path))
-            if state.get("version") == current_version(spark, out_path):
+            if state.get("version") == cur_version:
                 return (
                     spark.read.parquet(os.path.join(_lookup_dir(out_path), "data"))
                     .select(id_col, partition_col),
@@ -300,7 +306,7 @@ def _refresh_lookup(
 def _apply(
     spark, report, t0, out_path, digest, mpath, delta, deletes,
     delta_fingerprint, id_col, partition_col, files_per_cell, id_lookup,
-    index_df, maintain_lookup,
+    index_df, maintain_lookup, cur_version,
 ) -> dict:
     dup = (
         delta.groupBy(id_col).count().filter(F.col("count") > 1).limit(1).count()
@@ -315,7 +321,8 @@ def _apply(
         touched_ids = touched_ids.unionByName(deletes.select(id_col))
 
     lookup, used_lookup = _resolve_lookup(
-        spark, out_path, index_df, id_col, partition_col, id_lookup, maintain_lookup
+        spark, out_path, index_df, id_col, partition_col, id_lookup,
+        maintain_lookup, cur_version,
     )
     report["used_lookup"] = used_lookup
     # touched ids are diff-sized by the operator's nature — broadcast
@@ -359,7 +366,7 @@ def _apply(
         p for p in parts
         if not fsio.fs_exists(spark, _part_dir(data_path, spark, partition_col, p))
     ]
-    version = current_version(spark, out_path) + 1
+    version = cur_version + 1
     manifest = {
         "digest": digest,
         "version": version,

@@ -392,8 +392,9 @@ def minhash_signatures_py(text: Column, n: int = 3, num_perm: int = 64) -> Colum
 def minhash_sig_buckets_py(
     text: Column, n: int = 3, num_perm: int = 64, bands: int = 16
 ) -> Column:
-    """struct<sig: array<long>, buckets: array<long>> — the signature AND
-    its LSH band bucket keys from one Arrow pass. Fuses what r4 did as 16
+    """struct<sig: binary, buckets: array<long>> — the signature (packed
+    little-endian uint32, num_perm values) AND its LSH band bucket keys
+    from one Arrow pass. Fuses what r4 did as 16
     interpreted slice/concat/xxhash64 expressions over the signature array
     (the dominant cost of the candidate stage at 1M docs, VERDICT r4 #7)."""
     if num_perm % bands != 0:
@@ -474,6 +475,12 @@ def minhash_near_dups(
     # sides of the pair join); signatures are tiny (num_perm longs/doc) and
     # recomputing the tokenizer per use would triple the dominant cost
     if shingle_hash == "crc32":
+        if not hash_buckets:
+            raise ValueError(
+                "hash_buckets=False (externally reproducible raw-slice "
+                "bucketing) requires shingle_hash='md5' — the crc32 fast "
+                "path always uses fused splitmix64 bucket keys"
+            )
         # fused fast path: signature AND band buckets in one Arrow pass;
         # candidates join on ONE precomputed long key instead of 16
         # interpreted slice/concat/xxhash64 expressions (VERDICT r4 #7)

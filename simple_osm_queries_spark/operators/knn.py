@@ -298,8 +298,9 @@ def _h3_disc_cells_col(qlon, qlat, res: int, disc_deg: float):
     """
     from pyspark.sql import types as T
 
-    R = 1.05 * disc_deg + h3_max_circumradius_deg(res)
-    step = h3_min_inradius_deg(res) / _math.sqrt(2.0) * 0.99
+    # geometry constants shared with the plan-time pre-check (defined below
+    # in the haversine section) — one source of truth for R/step/budget
+    R, step = _equirect_cover_params(res, disc_deg)
     n_side = int(_math.ceil(R / step))
     if (2 * n_side + 1) ** 2 > 16384:
         raise ValueError(
@@ -330,7 +331,7 @@ def _h3_disc_cells_col(qlon, qlat, res: int, disc_deg: float):
             half_arc = np.sqrt(np.maximum(R * R - offs * offs, 0.0))
             try:
                 ridx, lon_off = banded_lon_offsets(
-                    rows, half_arc, step, max_samples=65536
+                    rows, half_arc, step, max_samples=EQUIRECT_COVER_BUDGET
                 )
             except CoverBudgetExceeded as e:
                 raise ValueError(
@@ -453,8 +454,7 @@ def _h3_spherical_disc_cells_col(qlon, qlat, res: int, disc_arc_deg: float):
     vectorized call."""
     from pyspark.sql import types as T
 
-    R = disc_arc_deg + h3_max_circumradius_deg(res)
-    step = h3_min_inradius_deg(res) / _math.sqrt(2.0) * 0.99
+    R, step = _spherical_cover_params(res, disc_arc_deg)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _cover(lon: pd.Series, lat: pd.Series) -> pd.Series:
@@ -470,7 +470,7 @@ def _h3_spherical_disc_cells_col(qlon, qlat, res: int, disc_arc_deg: float):
         for i in range(len(lo)):
             try:
                 lat_s, lon_off = spherical_disc_offsets(
-                    la[i], R, step, max_samples=131072
+                    la[i], R, step, max_samples=SPHERICAL_COVER_BUDGET
                 )
             except CoverBudgetExceeded as e:
                 # knn_h3 pre-checks the batch's worst-case latitude on the
@@ -543,21 +543,43 @@ def _knn_brute_equirect(points: DataFrame, queries: DataFrame, k: int | None) ->
     )
 
 
+# ONE definition of each cover's geometry constants, shared by the
+# plan-time pre-check and the executor UDF — editing either side of a
+# duplicated formula/budget would silently desynchronize them and
+# reintroduce the opaque executor-side failure the pre-check pre-empts
+# (code-review r5 finding).
+EQUIRECT_COVER_BUDGET = 65536
+SPHERICAL_COVER_BUDGET = 131072
+
+
+def _equirect_cover_params(res: int, disc_deg: float) -> tuple[float, float]:
+    """(padded radius R in lon/lat degrees, sample step in arc degrees)."""
+    R = 1.05 * disc_deg + h3_max_circumradius_deg(res)
+    step = h3_min_inradius_deg(res) / _math.sqrt(2.0) * 0.99
+    return R, step
+
+
+def _spherical_cover_params(res: int, disc_arc_deg: float) -> tuple[float, float]:
+    """(padded radius R in ARC degrees, sample step in arc degrees)."""
+    R = disc_arc_deg + h3_max_circumradius_deg(res)
+    step = h3_min_inradius_deg(res) / _math.sqrt(2.0) * 0.99
+    return R, step
+
+
 def _precheck_equirect_cover(max_abs_lat: float, res: int, disc_deg: float) -> None:
     """Plan-time budget check for the equirect disc cover at the batch's
     worst-case latitude (ADVICE r4 #4): an oversized disc fails here on the
     driver with a clean message instead of as an opaque PythonException
     after the job launches. The equirect sample count grows monotonically
     with |lat| (arc extent / band cos), so the max |lat| is the worst case."""
-    R = 1.05 * disc_deg + h3_max_circumradius_deg(res)
-    step = h3_min_inradius_deg(res) / _math.sqrt(2.0) * 0.99
+    R, step = _equirect_cover_params(res, disc_deg)
     offs = np.arange(-int(_math.ceil(R / step)), int(_math.ceil(R / step)) + 1) * step
     try:
         banded_lon_offsets(
             max_abs_lat + offs,
             np.sqrt(np.maximum(R * R - offs * offs, 0.0)),
             step,
-            max_samples=65536,
+            max_samples=EQUIRECT_COVER_BUDGET,
         )
     except CoverBudgetExceeded as e:
         raise ValueError(
@@ -572,11 +594,10 @@ def _precheck_spherical_cover(max_abs_lat: float, res: int, disc_arc_deg: float)
     monotone in |lat| (extent and spacing both scale with 1/cos and mostly
     cancel until the 180-deg wrap cap), so probe the batch's worst-case
     latitude AND the equator and fail on either."""
-    R = disc_arc_deg + h3_max_circumradius_deg(res)
-    step = h3_min_inradius_deg(res) / _math.sqrt(2.0) * 0.99
+    R, step = _spherical_cover_params(res, disc_arc_deg)
     for lat in {0.0, float(max_abs_lat)}:
         try:
-            spherical_disc_offsets(lat, R, step, max_samples=131072)
+            spherical_disc_offsets(lat, R, step, max_samples=SPHERICAL_COVER_BUDGET)
         except CoverBudgetExceeded as e:
             raise ValueError(
                 f"disc {disc_arc_deg} arc-deg at lat {lat:.2f} needs {e.total} "
@@ -626,6 +647,13 @@ def knn_h3(
     """
     if metric not in ("equirect", "haversine"):
         raise ValueError(f"unknown metric {metric!r}")
+    # each metric takes ITS radius parameter only — silently ignoring the
+    # other one would run a wildly different search disc than the caller
+    # asked for (code-review r5 finding)
+    if metric == "haversine" and disc_deg is not None:
+        raise ValueError("metric='haversine' takes disc_m (meters), not disc_deg")
+    if metric == "equirect" and disc_m is not None:
+        raise ValueError("metric='equirect' takes disc_deg (degrees), not disc_m")
     # one tiny agg (query side is small by contract) instead of an
     # isEmpty + two filters: the common no-polar case pays a single job and
     # reuses `queries` untouched, and knn_h3_exact's per-round calls don't
@@ -718,6 +746,10 @@ def knn_h3_exact(
     the pathological remainder. With ``metric='haversine'`` the loop doubles
     ``disc_m`` (meters) and the fallback is the exact haversine brute path —
     globally correct results at any latitude/longitude."""
+    if metric == "haversine" and disc_deg is not None:
+        raise ValueError("metric='haversine' takes disc_m (meters), not disc_deg")
+    if metric == "equirect" and disc_m is not None:
+        raise ValueError("metric='equirect' takes disc_deg (degrees), not disc_m")
     if metric == "haversine":
         if disc_m is None:
             disc_m = (
