@@ -323,6 +323,40 @@ def run_image_block(spark) -> dict:
         )),
     )
     one("resize_32x32", lambda: multimodal.resize_images(imgs, 32, 32).count())
+
+    # r5: video axis — frame sampling over REAL animated GIFs through the
+    # from-scratch stdlib codec (write the fixture once per n)
+    n_gif = int(os.environ.get("SPARK_GRAFT_GIF_N", "2000"))
+    gdir = f"/tmp/soq_bench_gifs_{n_gif}"
+    if not os.path.exists(os.path.join(gdir, "_SUCCESS")):
+        from simple_osm_queries_spark.sources import codecs as _codecs
+
+        def _gen(batches):
+            import numpy as _np
+            import pandas as _pd
+
+            pal = _codecs.gif_palette()
+            for pdf in batches:
+                blobs = []
+                for mid in pdf["media_id"]:
+                    rng = _np.random.RandomState(int(mid) % 65536)
+                    idx = rng.randint(0, 256, size=(12, 32, 32)).astype(_np.uint8)
+                    blobs.append(_codecs.encode_gif(pal[idx]))
+                yield _pd.DataFrame(
+                    {"media_id": pdf["media_id"].astype(str), "bytes": blobs}
+                )
+
+        spark.range(n_gif).select(F.col("id").alias("media_id")).repartition(
+            CPUS
+        ).mapInPandas(_gen, "media_id string, bytes binary").write.mode(
+            "overwrite"
+        ).parquet(gdir)
+    gifs = spark.read.parquet(gdir)
+    out["n_gifs"] = n_gif
+    one(
+        "gif_frame_sample",
+        lambda: multimodal.sample_frames(gifs, every_n=4).count(),
+    )
     one(
         "tile_image_rollup",
         lambda: imgs.select(
