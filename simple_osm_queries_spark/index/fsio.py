@@ -73,32 +73,17 @@ def fs_read_text(spark: SparkSession, path: str) -> str:
         stream.close()
 
 
-def fs_write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
-    """Write-to-temp + ATOMIC overwrite-rename (the same atomicity
-    discipline as the band manifests). The temp name carries the pid so
-    concurrent writers on a shared store never interleave into one temp
-    file.
+# per-session cache: (gateway id, scheme) -> (FileContext, Rename[] array).
+# FileContext.getFileContext builds a fresh AbstractFileSystem (a new
+# DFSClient on HDFS) per call and the nested-enum reflection costs ~5 py4j
+# round-trips — both are invariant per scheme (code-review r5 #4).
+_FC_CACHE: dict = {}
 
-    The replace goes through FileContext's Rename.OVERWRITE (atomic on
-    local/HDFS) — a delete-then-rename pair would open a crash window in
-    which the destination is GONE; for a gc_snapshots manifest rewrite
-    that lost manifest would silently corrupt versioned reads
-    (code-review r5 finding). Stores whose FileContext lacks atomic rename
-    (some object stores) fall back to delete+rename with the window
-    documented here."""
-    import os
 
-    tmp = f"{path}.{os.getpid()}.tmp"
-    fs, p = _jfs(spark, tmp)
-    stream = fs.create(p, True)
-    try:
-        stream.write(bytearray(text.encode("utf-8")))
-        stream.hflush()
-    finally:
-        stream.close()
-    jvm = spark._jvm
-    dst = jvm.org.apache.hadoop.fs.Path(path)
-    try:
+def _file_context(spark: SparkSession, fs):
+    key = (id(spark._jvm), str(fs.getUri()))
+    if key not in _FC_CACHE:
+        jvm = spark._jvm
         fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
             fs.getUri(), spark._jsc.hadoopConfiguration()
         )
@@ -110,10 +95,78 @@ def fs_write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
         )
         ren_arr = jvm.java.lang.reflect.Array.newInstance(ren_cls, 1)
         ren_arr[0] = overwrite
+        _FC_CACHE[key] = (fc, ren_arr)
+    return _FC_CACHE[key]
+
+
+def fs_write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
+    """Write-to-temp + ATOMIC overwrite-replace (the same atomicity
+    discipline as the band manifests). The temp name carries the pid so
+    concurrent writers on a shared store never interleave into one temp
+    file.
+
+    A delete-then-rename pair would open a crash window in which the
+    destination is GONE; for a gc_snapshots manifest rewrite that lost
+    manifest would silently corrupt versioned reads (code-review r5).
+    Replace strategy per scheme:
+
+    * ``file`` (incl. scheme-less local paths) — python ``os.replace``,
+      the POSIX rename(2) overwrite, genuinely atomic. (Hadoop's LocalFs
+      FileContext rename is NOT: its default renameInternal deletes dst
+      first — review r5 #2.) The sidecar .crc is removed so a later
+      Hadoop read never sees a stale checksum.
+    * ``hdfs`` and other FileContext schemes — FileContext.rename with
+      Rename.OVERWRITE (atomic on HDFS).
+    * schemes with no FileContext (UnsupportedFileSystemException, e.g.
+      some object stores) — documented non-atomic delete+rename fallback.
+      Any OTHER rename failure propagates instead of silently degrading.
+    """
+    import os
+
+    tmp = f"{path}.{os.getpid()}.tmp"
+    fs, p = _jfs(spark, tmp)
+    scheme = fs.getUri().getScheme()
+    if scheme in (None, "file"):
+        local_dst = path[len("file:"):] if path.startswith("file:") else path
+        local_tmp = f"{local_dst}.{os.getpid()}.tmp"
+        os.makedirs(os.path.dirname(local_dst) or ".", exist_ok=True)
+        with open(local_tmp, "w", encoding="utf-8") as f:
+            f.write(text)
+            f.flush()
+            os.fsync(f.fileno())
+        # drop any stale Hadoop checksum sidecar of the OLD content; the
+        # raw replace below is the atomic commit point
+        crc = os.path.join(
+            os.path.dirname(local_dst), f".{os.path.basename(local_dst)}.crc"
+        )
+        try:
+            os.remove(crc)
+        except FileNotFoundError:
+            pass
+        os.replace(local_tmp, local_dst)
+        return
+    stream = fs.create(p, True)
+    try:
+        stream.write(bytearray(text.encode("utf-8")))
+        stream.hflush()
+    finally:
+        stream.close()
+    jvm = spark._jvm
+    dst = jvm.org.apache.hadoop.fs.Path(path)
+    try:
+        fc, ren_arr = _file_context(spark, fs)
         fc.rename(p, dst, ren_arr)
         return
-    except Exception:
-        pass  # no FileContext for this scheme: non-atomic fallback below
-    fs.delete(dst, False)
+    except Exception as e:  # narrow: only "scheme has no FileContext" degrades
+        name = ""
+        je = getattr(e, "java_exception", None)
+        if je is not None:
+            try:
+                name = je.getClass().getName()
+            except Exception:
+                name = ""
+        if "UnsupportedFileSystem" not in name:
+            raise
+    fs.delete(dst, False)  # documented non-atomic fallback
     if not fs.rename(p, dst):
         raise OSError(f"atomic write rename {tmp} -> {path} failed")

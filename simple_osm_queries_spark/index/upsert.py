@@ -95,9 +95,17 @@ def _applied_manifests(spark: SparkSession, out_path: str) -> list[dict]:
 
 
 def current_version(spark: SparkSession, out_path: str) -> int:
-    """0 for a fresh build; +1 per committed upsert."""
-    ms = _applied_manifests(spark, out_path)
-    return ms[-1]["version"] if ms else 0
+    """0 for a fresh build; +1 per committed upsert.
+
+    O(1 listing), no manifest parsing: versions are assigned consecutively
+    by the single writer and manifests are never deleted (gc FLAGS them,
+    keeping lineage), so the committed count IS the current version —
+    per-upsert driver overhead stays flat as history grows (code-review
+    r5 #3). Corollary: never hand-delete a manifest json; run a rebuild
+    instead (the changed-input wipe resets the whole history)."""
+    return sum(
+        1 for n in fsio.fs_listdir(spark, _updir(out_path)) if n.endswith(".json")
+    )
 
 
 def recover_pending_upserts(spark: SparkSession, out_path: str) -> int:
@@ -217,10 +225,10 @@ def upsert_index(
     # the delta lineage feeds the dup check, both touched-id broadcasts, and
     # the rewrite union — persist once (diff-sized) instead of 4 evaluations;
     # try/finally so the raise/early-return paths release the cache too
-    # manifests are read ONCE per upsert and the version threaded through —
-    # re-listing/parsing every historical manifest in each helper would make
-    # per-upsert driver overhead grow with total upsert count forever
-    # (code-review r5 finding)
+    # the version is resolved ONCE per upsert (a single directory listing —
+    # see current_version) and threaded through the helpers; parsing every
+    # historical manifest here would grow per-upsert driver overhead with
+    # total upsert count forever (code-review r5 findings #3/#4)
     cur_version = current_version(spark, out_path)
     delta = delta.persist()
     try:

@@ -233,3 +233,8 @@ def test_mismatched_disc_parameter_rejected(spark, global_points):
         knn.knn_h3(pts, qdf, res=8, disc_m=1000.0)
     with pytest.raises(ValueError, match="disc_m"):
         knn.knn_h3_exact(pts, qdf, res=8, disc_deg=0.5, metric="haversine")
+    # the exact-loop variant of the remaining combination: equirect +
+    # disc_m must ALSO fail loudly (the doubling loop swallows in-loop
+    # ValueErrors by design, so the guard must fire before it)
+    with pytest.raises(ValueError, match="disc_deg"):
+        knn.knn_h3_exact(pts, qdf, res=8, disc_m=1000.0)
