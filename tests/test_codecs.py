@@ -147,3 +147,30 @@ def test_gif_subrect_transparency_and_disposal():
 def test_gif_rejects_garbage():
     with pytest.raises(ValueError, match="not a GIF"):
         codecs.decode_gif(b"RIFFxxxx")
+
+
+def test_gif_round_trip_fuzz():
+    """Property fuzz over sizes (incl. 1x1 and wide/tall extremes), frame
+    counts, and both LZW paths — decode(encode(frames)) must be exact for
+    palette-exact inputs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    pal = codecs.gif_palette()
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 40),
+        n=st.integers(1, 4),
+        seed=st.integers(0, 2**31 - 1),
+        optimize=st.booleans(),
+    )
+    def run(w, h, n, seed, optimize):
+        rng = np.random.RandomState(seed)
+        frames = pal[rng.randint(0, 256, size=(n, h, w)).astype(np.uint8)]
+        dec = codecs.decode_gif(codecs.encode_gif(frames, optimize=optimize))
+        assert dec.shape == frames.shape
+        assert (dec == frames).all()
+
+    run()
