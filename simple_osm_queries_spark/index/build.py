@@ -182,6 +182,8 @@ def build_index(
     iceberg_table: str | None = None,
     files_per_cell: int = 16,
     partition_col: str = "cell_x",
+    maintain_lookup: bool = True,
+    id_col: str = "id",
 ) -> dict:
     """Write the node table as a cell-partitioned index, band by band, with
     atomic per-band manifests. Returns a build report.
@@ -250,8 +252,38 @@ def build_index(
         report["rows"] += n
         if progress:
             print(f"band {band.key}: {n} rows in {time.time()-tb:.1f}s")
+    if maintain_lookup and backend == "parquet" and id_col in nodes.columns:
+        _write_lookup_if_missing(nodes.sparkSession, out_path, id_col, partition_col)
     report["t_sec"] = time.time() - t0
     return report
+
+
+def _write_lookup_if_missing(spark, out_path: str, id_col: str, partition_col: str) -> None:
+    """Seed the (id, partition) lookup projection AT BUILD TIME (r5): the
+    first incremental upsert then resolves affected partitions from the
+    compact table instead of paying a full two-column index scan (the
+    bootstrap that made the first diff ~2x slower than later ones). Only
+    written when absent or stale for version 0 — a resumed build with
+    upserts already applied leaves the maintained lookup alone."""
+    import json as _json
+
+    from simple_osm_queries_spark.index import fsio, upsert as _up
+
+    state_path = os.path.join(out_path, "_lookup", "_state.json")
+    cur = _up.current_version(spark, out_path)
+    if fsio.fs_exists(spark, state_path):
+        state = _json.loads(fsio.fs_read_text(spark, state_path))
+        if state.get("version") == cur:
+            return
+    (
+        spark.read.parquet(os.path.join(out_path, "data"))
+        .select(id_col, partition_col)
+        .repartition(F.col(partition_col))
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(os.path.join(out_path, "_lookup", "data"))
+    )
+    fsio.fs_write_text_atomic(spark, state_path, _json.dumps({"version": cur}))
 
 
 def read_index(spark: SparkSession, out_path: str) -> DataFrame:

@@ -559,12 +559,15 @@ def test_upsert_maintained_lookup_used_and_repaired(spark, tmp_path):
     from simple_osm_queries_spark.index import upsert
 
     out = _mini_index(spark, tmp_path, "idx_lkauto")
+    # r5: the BUILD seeds the lookup at version 0, so even the first
+    # upsert resolves affected partitions without a full two-column scan
+    state_path = os.path.join(out, "_lookup", "_state.json")
+    assert _json.load(open(state_path))["version"] == 0
     delta1 = spark.createDataFrame(
         [(2, 0, 0, 53.5)], "id long, cell_x int, cell_y int, lat double"
     )
     r1 = upsert.upsert_index(spark, out, delta1, "lk-1")
-    assert not r1["used_lookup"]  # nothing to trust yet: bootstrap run
-    state_path = os.path.join(out, "_lookup", "_state.json")
+    assert r1["used_lookup"]
     assert _json.load(open(state_path))["version"] == 1
 
     # second upsert trusts the projection and still finds the moved id's
