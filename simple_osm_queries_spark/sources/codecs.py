@@ -6,11 +6,10 @@ pixels must be allclose, PSNR>=40 dB for lossy formats):
 
 * ``png``  — real, spec-conformant 8-bit RGB PNG (zlib, filter 0). Lossless.
 * ``bmp``  — real BI_RGB 24-bit BMP. Lossless.
-* ``jpeg`` — STUB: PIL/libjpeg are unavailable here, so "jpeg" rows carry a
-  deterministic lossy container (magic ``SOQJ``) holding pixels quantized to
-  6 bits/channel. That keeps the lossy verification path real (PSNR ~= 42.7 dB
-  < inf, >= 40) while remaining decodable everywhere. When PIL is importable
-  the real JPEG codec is used instead.
+* ``jpeg`` — REAL from-scratch baseline JFIF codec (sources/jpeg.py):
+  Annex-K tables, canonical Huffman, batch-numpy DCT; cross-checked against
+  the JDK's javax.imageio JPEG implementation (tests/test_jpeg.py). The
+  pre-r5 "SOQJ" stand-in container still decodes for old fixture bytes.
 
 Encode/decode are exercised through Arrow-batched pandas UDFs in
 operators/multimodal.py; this module is plain numpy on byte strings.
@@ -123,30 +122,44 @@ def decode_bmp(data: bytes) -> np.ndarray:
     return out
 
 
-# --- "JPEG" (lossy stub when PIL absent) ------------------------------------
+# --- JPEG (real from-scratch baseline codec, sources/jpeg.py) ---------------
 
-_JPEG_QUANT_BITS = 2  # drop 2 LSB/channel -> PSNR ~= 42.7 dB
+_JPEG_QUANT_BITS = 2  # legacy SOQJ container parameter (decode-only now)
+
+# quality 98 keeps the synthetic fixtures' sharp modular-sawtooth content at
+# >= 43 dB PSNR (measured min 45.1 over the fixture family, 43.6 on gaussian
+# noise) while remaining genuinely lossy; the engine's own encoder is used
+# even when PIL is present so fixture bytes are deterministic everywhere
+_JPEG_QUALITY = 98
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
-    if HAVE_PIL:  # pragma: no cover
-        buf = io.BytesIO()
-        Image.fromarray(pixels, "RGB").save(buf, "JPEG", quality=quality)
-        return buf.getvalue()
-    h, w, _ = pixels.shape
-    q = (pixels >> _JPEG_QUANT_BITS).astype(np.uint8)
-    return _SOQJ_MAGIC + struct.pack(">HHB", w, h, _JPEG_QUANT_BITS) + zlib.compress(q.tobytes(), 6)
+def encode_jpeg(pixels: np.ndarray, quality: int = _JPEG_QUALITY) -> bytes:
+    """Real baseline JFIF JPEG via the from-scratch codec (sources/jpeg.py),
+    4:4:4, Annex-K tables at IJG quality scaling."""
+    from simple_osm_queries_spark.sources.jpeg import encode_jpeg_real
+
+    return encode_jpeg_real(pixels, quality=quality, subsampling="444")
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode real JPEG streams (any baseline JFIF/EXIF, incl. 4:2:0 and
+    restart markers — not just this engine's own output). The legacy "SOQJ"
+    stand-in container from pre-r5 fixtures still decodes for backward
+    compatibility. Progressive/arithmetic streams fall back to PIL when it
+    is importable, else raise JpegFormatError naming the frame type."""
     if data[:4] == _SOQJ_MAGIC:
         w, h, bits = struct.unpack(">HHB", data[4:9])
         q = np.frombuffer(zlib.decompress(data[9:]), dtype=np.uint8).reshape(h, w, 3)
         # dequantize to bucket midpoint
         return ((q.astype(np.uint16) << bits) + (1 << (bits - 1)) - 1).clip(0, 255).astype(np.uint8)
-    if HAVE_PIL:  # pragma: no cover
-        return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
-    raise NotImplementedError("real JPEG decode requires PIL/libjpeg (not in this container)")
+    from simple_osm_queries_spark.sources.jpeg import JpegFormatError, decode_jpeg_real
+
+    try:
+        return decode_jpeg_real(data)
+    except JpegFormatError:
+        if HAVE_PIL:  # pragma: no cover - env-dependent
+            return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        raise
 
 
 # --- dispatch ----------------------------------------------------------------

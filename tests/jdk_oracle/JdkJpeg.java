@@ -1,0 +1,81 @@
+import javax.imageio.IIOImage;
+import javax.imageio.ImageIO;
+import javax.imageio.ImageWriteParam;
+import javax.imageio.ImageWriter;
+import javax.imageio.stream.ImageOutputStream;
+import java.awt.image.BufferedImage;
+import java.io.*;
+
+/**
+ * Cross-implementation JPEG oracle for tests/test_jpeg.py: the JDK ships its
+ * own independent JPEG codec (javax.imageio), so the engine's from-scratch
+ * Python codec can be verified against a second implementation with no
+ * network and no PIL. Modes:
+ *   decode in.jpg out.ppm          - JDK decodes a JPEG, writes binary P6
+ *   encode in.ppm out.jpg quality  - JDK encodes a P6 as JPEG (quality 0-100)
+ */
+public class JdkJpeg {
+    public static void main(String[] args) throws Exception {
+        if (args[0].equals("decode")) {
+            BufferedImage img = ImageIO.read(new File(args[1]));
+            if (img == null) throw new IOException("JDK could not decode " + args[1]);
+            writePpm(img, args[2]);
+        } else {
+            BufferedImage img = readPpm(args[1]);
+            float q = Float.parseFloat(args[3]) / 100f;
+            ImageWriter w = ImageIO.getImageWritersByFormatName("jpeg").next();
+            ImageWriteParam p = w.getDefaultWriteParam();
+            p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT);
+            p.setCompressionQuality(q);
+            try (ImageOutputStream os = ImageIO.createImageOutputStream(new File(args[2]))) {
+                w.setOutput(os);
+                w.write(null, new IIOImage(img, null, null), p);
+            }
+            w.dispose();
+        }
+    }
+
+    static void writePpm(BufferedImage img, String path) throws IOException {
+        int w = img.getWidth(), h = img.getHeight();
+        try (DataOutputStream os = new DataOutputStream(
+                new BufferedOutputStream(new FileOutputStream(path)))) {
+            os.writeBytes("P6\n" + w + " " + h + "\n255\n");
+            for (int y = 0; y < h; y++)
+                for (int x = 0; x < w; x++) {
+                    int rgb = img.getRGB(x, y);
+                    os.writeByte((rgb >> 16) & 0xFF);
+                    os.writeByte((rgb >> 8) & 0xFF);
+                    os.writeByte(rgb & 0xFF);
+                }
+        }
+    }
+
+    static BufferedImage readPpm(String path) throws IOException {
+        try (DataInputStream is = new DataInputStream(
+                new BufferedInputStream(new FileInputStream(path)))) {
+            if (!token(is).equals("P6")) throw new IOException("not P6");
+            int w = Integer.parseInt(token(is));
+            int h = Integer.parseInt(token(is));
+            token(is); // maxval
+            BufferedImage img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB);
+            byte[] row = new byte[w * 3];
+            for (int y = 0; y < h; y++) {
+                is.readFully(row);
+                for (int x = 0; x < w; x++)
+                    img.setRGB(x, y, ((row[3 * x] & 0xFF) << 16)
+                            | ((row[3 * x + 1] & 0xFF) << 8) | (row[3 * x + 2] & 0xFF));
+            }
+            return img;
+        }
+    }
+
+    static String token(DataInputStream is) throws IOException {
+        StringBuilder sb = new StringBuilder();
+        int c;
+        while ((c = is.read()) != -1) {
+            if (Character.isWhitespace(c)) { if (sb.length() > 0) break; }
+            else sb.append((char) c);
+        }
+        return sb.toString();
+    }
+}
