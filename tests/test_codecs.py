@@ -174,3 +174,96 @@ def test_gif_round_trip_fuzz():
         assert (dec == frames).all()
 
     run()
+
+
+# --- AVI / MJPEG (second real video container, VERDICT r4 #6) ---------------
+
+
+def _smooth_frames(n, h, w, seed=3):
+    y, x = np.mgrid[0:h, 0:w].astype(float)
+    return np.stack(
+        [
+            np.clip(
+                128 + 80 * np.sin(2 * np.pi * (x + 5 * t) / 40)[..., None] * np.ones(3) + 8 * t,
+                0,
+                255,
+            ).astype(np.uint8)
+            for t in range(n)
+        ]
+    )
+
+
+def test_avi_mjpeg_roundtrip():
+    frames = _smooth_frames(7, 32, 48)
+    avi = codecs.encode_avi_mjpeg(frames, fps=5, quality=95)
+    assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+    out = codecs.decode_avi_mjpeg(avi)
+    assert out.shape == frames.shape
+    assert min(codecs.psnr(frames[i], out[i]) for i in range(len(frames))) >= 40.0
+
+
+def test_avi_riff_size_fields_consistent():
+    """The RIFF outer size must cover the whole body, chunk sizes must walk
+    exactly to EOF — a structurally broken writer would still self-roundtrip
+    through a tolerant reader, so check the framing directly."""
+    import struct as _s
+
+    avi = codecs.encode_avi_mjpeg(_smooth_frames(3, 16, 16), fps=10)
+    assert _s.unpack("<I", avi[4:8])[0] == len(avi) - 8
+    pos = 12
+    seen = []
+    while pos + 8 <= len(avi):
+        tag = avi[pos : pos + 4]
+        size = _s.unpack("<I", avi[pos + 4 : pos + 8])[0]
+        seen.append(tag if tag != b"LIST" else avi[pos + 8 : pos + 12])
+        pos += 8 + size + (size % 2)
+    assert pos == len(avi)
+    assert seen == [b"hdrl", b"movi", b"idx1"]
+
+
+def test_avi_tolerant_parse_junk_and_rec_lists():
+    """Real AVIs wrap frames in 'rec ' sub-lists and interleave non-video
+    chunks ('01wb' audio, 'JUNK' padding); the reader must skip those and
+    still find every video frame."""
+    import struct as _s
+
+    frames = _smooth_frames(2, 16, 24)
+    plain = codecs.encode_avi_mjpeg(frames, fps=10, quality=95)
+    # rebuild the movi list by hand with junk + a rec-wrapped second frame
+    from simple_osm_queries_spark.sources.jpeg import encode_jpeg_real
+
+    j0 = encode_jpeg_real(frames[0], 95, "420")
+    j1 = encode_jpeg_real(frames[1], 95, "420")
+
+    def chunk(tag, payload):
+        pad = b"\x00" if len(payload) % 2 else b""
+        return tag + _s.pack("<I", len(payload)) + payload + pad
+
+    rec = chunk(b"00dc", j1)
+    movi_body = (
+        b"movi"
+        + chunk(b"JUNK", b"\x00" * 11)
+        + chunk(b"00dc", j0)
+        + chunk(b"01wb", b"\x01\x02\x03\x04")
+        + b"LIST"
+        + _s.pack("<I", 4 + len(rec))
+        + b"rec "
+        + rec
+    )
+    body = b"AVI " + b"LIST" + _s.pack("<I", len(movi_body)) + movi_body
+    data = b"RIFF" + _s.pack("<I", len(body)) + body
+    out = codecs.decode_avi_mjpeg(data)
+    assert out.shape == frames.shape
+    assert min(codecs.psnr(frames[i], out[i]) for i in range(2)) >= 40.0
+    # and the writer's own output parses identically
+    assert codecs.decode_avi_mjpeg(plain).shape == frames.shape
+
+
+def test_avi_no_frames_raises():
+    import struct as _s
+
+    body = b"AVI " + b"LIST" + _s.pack("<I", 4) + b"movi"
+    with pytest.raises(ValueError, match="no decodable MJPEG frames"):
+        codecs.decode_avi_mjpeg(b"RIFF" + _s.pack("<I", len(body)) + body)
+    with pytest.raises(ValueError, match="not a RIFF"):
+        codecs.decode_avi_mjpeg(b"nope")

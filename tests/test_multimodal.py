@@ -100,3 +100,34 @@ def test_sample_frames_with_fake_decoder(spark):
     assert got == {("v0", 0), ("v0", 10), ("v0", 20), ("v1", 0)}
     px = codecs.decode_png(bytes([r for r in rows if r.frame_idx == 10][0].frame_png))
     assert px.shape == (4, 4, 3) and px[0, 0, 0] == 10
+
+
+def test_sample_frames_decodes_mjpeg_avi(spark):
+    """VERDICT r4 #6 second container: frame sampling over MJPEG-in-AVI via
+    the from-scratch RIFF walk + baseline JPEG codec; sampled frames match
+    the source within the JPEG lossy budget."""
+    y, x = np.mgrid[0:24, 0:32].astype(float)
+    truth = {}
+    media = []
+    for mid, nframes in [("a0", 25), ("a1", 7)]:
+        frames = np.stack(
+            [
+                np.clip(
+                    128
+                    + 70 * np.sin(2 * np.pi * (x + 4 * t) / 36)[..., None] * np.ones(3)
+                    + 5 * t,
+                    0,
+                    255,
+                ).astype(np.uint8)
+                for t in range(nframes)
+            ]
+        )
+        truth[mid] = frames
+        media.append((mid, codecs.encode_avi_mjpeg(frames, fps=10, quality=95)))
+    df = spark.createDataFrame(media, "media_id string, bytes binary")
+    rows = multimodal.sample_frames(df, every_n=10).collect()
+    got = {(r.media_id, r.frame_idx) for r in rows}
+    assert got == {("a0", 0), ("a0", 10), ("a0", 20), ("a1", 0)}
+    for r in rows:
+        px = codecs.decode_png(bytes(r.frame_png))
+        assert codecs.psnr(px, truth[r.media_id][r.frame_idx]) >= 40.0
