@@ -292,7 +292,10 @@ def run_image_block(spark) -> dict:
     from simple_osm_queries_spark.operators import multimodal, tiles as _t
 
     n_img = int(os.environ.get("SPARK_GRAFT_IMG_N", "20000"))
-    idir = f"/tmp/soq_bench_images_{n_img}"
+    # _v2: r5 fixtures carry REAL baseline JPEG bytes (sources/jpeg.py), not
+    # the SOQJ stand-in — the version bump forces regeneration so
+    # decode_verify_psnr times the real codec
+    idir = f"/tmp/soq_bench_images_{n_img}_v2"
     if not os.path.exists(os.path.join(idir, "_SUCCESS")):
         datagen.gen_nodes(spark, n_img, partitions=CPUS * 2, with_images=True).write.mode(
             "overwrite"

@@ -171,8 +171,10 @@ def build_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int,
     return codes
 
 
-def build_decode_table(bits: list[int], vals: list[int]):
-    """MINCODE/MAXCODE/VALPTR decoder tables (Annex F figure F.15)."""
+def build_decode_walk_table(bits: list[int], vals: list[int]):
+    """MINCODE/MAXCODE/VALPTR decoder tables (Annex F figure F.15) for the
+    reference length-by-length walk — kept as the independent oracle the
+    fast LUT is tested against."""
     mincode = [0] * 17
     maxcode = [-1] * 17
     valptr = [0] * 17
@@ -188,6 +190,39 @@ def build_decode_table(bits: list[int], vals: list[int]):
             maxcode[length] = code - 1
         code <<= 1
     return mincode, maxcode, valptr, list(vals)
+
+
+_LUT_CACHE: dict[tuple, tuple[list, list]] = {}
+
+
+def build_decode_table(bits: list[int], vals: list[int]):
+    """16-bit lookup decoder: peek the next 16 bits, one list index gives
+    (symbol, code length) — the classic fast-Huffman layout. Each code of
+    length L owns the 2^(16-L) LUT entries sharing its prefix; length 0
+    marks an invalid prefix. ~5x fewer Python ops than the per-bit walk.
+    Built once per distinct table (cached): virtually every real JPEG uses
+    the Annex-K tables, so a 65k-entry build per DHT parse would otherwise
+    dominate small-image decode."""
+    key = (tuple(bits), tuple(vals))
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    sym = [0] * 65536
+    ln = [0] * 65536
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            v = vals[k]
+            k += 1
+            base = code << (16 - length)
+            span = 1 << (16 - length)
+            sym[base : base + span] = [v] * span
+            ln[base : base + span] = [length] * span
+            code += 1
+        code <<= 1
+    _LUT_CACHE[key] = (sym, ln)
+    return sym, ln
 
 
 # --- DCT ---------------------------------------------------------------------
@@ -291,7 +326,23 @@ class _BitReader:
         return val
 
     def decode(self, table) -> int:
-        """Annex F figure F.16: length-by-length canonical walk."""
+        """One-lookup Huffman decode against a build_decode_table LUT."""
+        sym, ln = table
+        while self.n < 16:
+            b = self.d[self.pos] if self.pos < len(self.d) else 0
+            self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+        idx = (self.acc >> (self.n - 16)) & 0xFFFF
+        length = ln[idx]
+        if length == 0:
+            raise ValueError("invalid Huffman code in entropy stream")
+        self.n -= length
+        self.acc &= (1 << self.n) - 1
+        return sym[idx]
+
+    def decode_walk(self, table) -> int:
+        """Annex F figure F.16 length-by-length walk (oracle for decode)."""
         mincode, maxcode, valptr, vals = table
         code = 0
         for length in range(1, 17):
@@ -607,9 +658,10 @@ def _decode_scan(frame, scan, qtabs, htabs, segs, restart_interval) -> np.ndarra
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
 
-    # zigzag-ordered coefficient store per scan component
-    store = [
-        np.zeros((mcuy * c["v"] * mcux * c["h"], 64), dtype=np.int32) for c in comps
+    # zigzag-ordered coefficient store per scan component (python lists in
+    # the bit-serial loop; one bulk np.array conversion afterwards)
+    store: list[list] = [
+        [None] * (mcuy * c["v"] * mcux * c["h"]) for c in comps
     ]
     tables = []
     for c, td, ta in scan:
@@ -637,7 +689,7 @@ def _decode_scan(frame, scan, qtabs, htabs, segs, restart_interval) -> np.ndarra
             for by in range(c["v"]):
                 for bx in range(c["h"]):
                     row = (my * c["v"] + by) * bwc + (mx * c["h"] + bx)
-                    _decode_block(reader, store[ci][row], pred, ci, dct, act)
+                    store[ci][row] = _decode_block(reader, pred, ci, dct, act)
         since_restart += 1
 
     planes = []
@@ -647,7 +699,7 @@ def _decode_scan(frame, scan, qtabs, htabs, segs, restart_interval) -> np.ndarra
             raise JpegFormatError(f"missing quant table {c['tq']}")
         bwc, bhc = mcux * c["h"], mcuy * c["v"]
         nat = np.zeros((bwc * bhc, 64), dtype=np.float64)
-        nat[:, ZIGZAG] = store[ci]
+        nat[:, ZIGZAG] = np.array(store[ci], dtype=np.int32)
         coefs = nat.reshape(-1, 8, 8) * qt[None, :, :]
         px = idct_blocks(coefs) + 128.0
         plane = (
@@ -669,11 +721,12 @@ def _decode_scan(frame, scan, qtabs, htabs, segs, restart_interval) -> np.ndarra
     return ycbcr_to_rgb(planes[0], planes[1], planes[2])
 
 
-def _decode_block(reader, zz_out, pred, ci, dct, act) -> None:
+def _decode_block(reader, pred, ci, dct, act) -> list:
+    zz = [0] * 64
     s = reader.decode(dct)
     diff = _extend(reader.read(s), s)
     pred[ci] += diff
-    zz_out[0] = pred[ci]
+    zz[0] = pred[ci]
     k = 1
     while k < 64:
         rs = reader.decode(act)
@@ -686,5 +739,7 @@ def _decode_block(reader, zz_out, pred, ci, dct, act) -> None:
         k += run
         if k > 63:
             raise JpegFormatError("AC coefficient index out of range")
-        zz_out[k] = _extend(reader.read(size), size)
+        v = reader.read(size)
+        zz[k] = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
         k += 1
+    return zz

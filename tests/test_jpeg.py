@@ -83,13 +83,15 @@ def test_huffman_tables_canonical_and_prefix_free(bits, vals):
     # prefix-freeness: no code is a prefix of another
     for (c1, l1), (c2, l2) in zip(items, items[1:]):
         assert not (l2 >= l1 and (c2 >> (l2 - l1)) == c1)
-    # decode tables invert the encode tables symbol-for-symbol
-    dec = J.build_decode_table(bits, vals)
+    # decode tables invert the encode tables symbol-for-symbol, through
+    # BOTH decoder paths: the fast 16-bit LUT and the Annex-F F.16 walk
+    # (independent constructions — their agreement is the LUT's oracle)
+    lut = J.build_decode_table(bits, vals)
+    walk = J.build_decode_walk_table(bits, vals)
     for sym, (code, ln) in codes.items():
-        r = J._BitReader(
-            int(code << (8 * ((ln + 7) // 8) - ln)).to_bytes((ln + 7) // 8, "big")
-        )
-        assert r.decode(dec) == sym
+        raw = int(code << (8 * ((ln + 7) // 8) - ln)).to_bytes((ln + 7) // 8, "big")
+        assert J._BitReader(raw).decode(lut) == sym
+        assert J._BitReader(raw).decode_walk(walk) == sym
 
 
 def test_bit_writer_stuffs_ff():
