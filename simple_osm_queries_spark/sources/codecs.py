@@ -62,36 +62,93 @@ def encode_png(pixels: np.ndarray) -> bytes:
 
 
 def decode_png(data: bytes) -> np.ndarray:
+    """Full non-interlaced 8-bit PNG decode -> (h, w, 3) uint8 RGB.
+
+    Handles ALL five scanline filters (None/Sub/Up/Average/Paeth — external
+    encoders such as the JDK's ImageIO default to Sub/Paeth, which the
+    pre-r5 reader rejected) and the 8-bit color types: grayscale (0),
+    RGB (2), palette (3, via PLTE), gray+alpha (4) and RGBA (6) — alpha is
+    composited over black, matching the fixtures' opaque assumption.
+    Interlaced (Adam7) and 16-bit streams raise with the feature named.
+    Cross-checked against JDK ImageIO-written PNGs in tests/test_codecs.py.
+    """
     assert data[:8] == _PNG_SIG, "not a PNG"
-    pos, w, h, idat = 8, 0, 0, b""
+    pos, w, h, idat, plte = 8, 0, 0, b"", None
+    bit = ctype = interlace = 0
     while pos < len(data):
         (ln,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
         payload = data[pos + 8 : pos + 8 + ln]
         if tag == b"IHDR":
-            w, h, bit, ctype = struct.unpack(">IIBB", payload[:10])
-            assert bit == 8 and ctype == 2, "only 8-bit RGB supported"
+            w, h, bit, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", payload[:13]
+            )
+            if bit != 8:
+                raise ValueError(f"only 8-bit PNG supported (bit depth {bit})")
+            if interlace:
+                raise ValueError("Adam7-interlaced PNG not supported")
+            if ctype not in (0, 2, 3, 4, 6):
+                raise ValueError(f"unsupported PNG color type {ctype}")
+        elif tag == b"PLTE":
+            plte = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":
             break
         pos += 12 + ln
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
     raw = zlib.decompress(idat)
-    stride = w * 3 + 1
-    rows = []
-    prev = np.zeros(w * 3, dtype=np.uint8)
+    stride = w * nch + 1
+    out = np.empty((h, w * nch), dtype=np.uint8)
+    prev = np.zeros(w * nch, dtype=np.uint8)
     for y in range(h):
         row = raw[y * stride : (y + 1) * stride]
-        ftype, body = row[0], np.frombuffer(row[1:], dtype=np.uint8).copy()
-        if ftype == 0:
+        ftype = row[0]
+        body = np.frombuffer(row[1:], dtype=np.uint8).copy()
+        if ftype == 0:  # None
             pass
         elif ftype == 2:  # Up
             body = (body.astype(np.int16) + prev).astype(np.uint8)
-        else:  # pragma: no cover - our encoder only writes filter 0
+        elif ftype in (1, 3, 4):
+            # Sub/Average/Paeth need the left neighbor -> sequential in x,
+            # vectorized over channels (bpp-strided). Rows are short; the
+            # per-pixel python loop is bounded by w.
+            bpp = nch
+            cur = body.astype(np.int32)
+            up = prev.astype(np.int32)
+            for x in range(w * nch):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = up[x]
+                if ftype == 1:  # Sub
+                    cur[x] = (cur[x] + a) & 0xFF
+                elif ftype == 3:  # Average
+                    cur[x] = (cur[x] + ((a + b) >> 1)) & 0xFF
+                else:  # Paeth
+                    c = up[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[x] = (cur[x] + pred) & 0xFF
+            body = cur.astype(np.uint8)
+        else:
             raise ValueError(f"unsupported PNG filter {ftype}")
-        rows.append(body)
+        out[y] = body
         prev = body
-    return np.stack(rows).reshape(h, w, 3)
+    px = out.reshape(h, w, nch)
+    if ctype == 2:
+        return px.copy()
+    if ctype == 0:
+        return np.repeat(px, 3, axis=2)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        return plte[px[..., 0]]
+    if ctype == 4:  # gray + alpha, over black
+        g = (px[..., 0].astype(np.uint16) * px[..., 1] // 255).astype(np.uint8)
+        return np.repeat(g[..., None], 3, axis=2)
+    # RGBA over black
+    a = px[..., 3].astype(np.uint16)
+    return ((px[..., :3].astype(np.uint16) * a[..., None]) // 255).astype(np.uint8)
 
 
 # --- BMP ------------------------------------------------------------------

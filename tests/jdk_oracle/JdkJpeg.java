@@ -11,8 +11,10 @@ import java.io.*;
  * own independent JPEG codec (javax.imageio), so the engine's from-scratch
  * Python codec can be verified against a second implementation with no
  * network and no PIL. Modes:
- *   decode in.jpg out.ppm          - JDK decodes a JPEG, writes binary P6
+ *   decode in.img out.ppm          - JDK decodes a JPEG/PNG, writes binary P6
  *   encode in.ppm out.jpg quality  - JDK encodes a P6 as JPEG (quality 0-100)
+ *   encodepng in.ppm out.png       - JDK encodes a P6 as PNG (its own filter
+ *                                    heuristics: Sub/Up/Average/Paeth rows)
  */
 public class JdkJpeg {
     public static void main(String[] args) throws Exception {
@@ -20,6 +22,8 @@ public class JdkJpeg {
             BufferedImage img = ImageIO.read(new File(args[1]));
             if (img == null) throw new IOException("JDK could not decode " + args[1]);
             writePpm(img, args[2]);
+        } else if (args[0].equals("encodepng")) {
+            ImageIO.write(readPpm(args[1]), "png", new File(args[2]));
         } else {
             BufferedImage img = readPpm(args[1]);
             float q = Float.parseFloat(args[3]) / 100f;

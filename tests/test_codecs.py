@@ -267,3 +267,106 @@ def test_avi_no_frames_raises():
         codecs.decode_avi_mjpeg(b"RIFF" + _s.pack("<I", len(body)) + body)
     with pytest.raises(ValueError, match="not a RIFF"):
         codecs.decode_avi_mjpeg(b"nope")
+
+
+# --- PNG full-filter decode (r5b: external-PNG compatibility) ----------------
+
+
+def _png_chunk_t(tag, payload):
+    import struct as _s
+    import zlib as _z
+
+    return _s.pack(">I", len(payload)) + tag + payload + _s.pack(
+        ">I", _z.crc32(tag + payload) & 0xFFFFFFFF
+    )
+
+
+def _filtered_png(px, filters):
+    """Hand-build a PNG whose row filters are forced to the given types —
+    covers Sub/Average/Paeth, which our own writer never emits."""
+    import struct as _s
+    import zlib as _z
+
+    h, w, _ = px.shape
+    raw = bytearray()
+    prev = np.zeros(w * 3, dtype=np.int32)
+    for y in range(h):
+        cur = px[y].reshape(-1).astype(np.int32)
+        f = filters[y % len(filters)]
+        raw.append(f)
+        if f == 0:
+            enc = cur
+        elif f == 1:  # Sub
+            enc = (cur - np.concatenate([np.zeros(3, np.int32), cur[:-3]])) & 0xFF
+        elif f == 2:  # Up
+            enc = (cur - prev) & 0xFF
+        elif f == 3:  # Average
+            left = np.concatenate([np.zeros(3, np.int32), cur[:-3]])
+            enc = (cur - ((left + prev) >> 1)) & 0xFF
+        else:  # Paeth
+            left = np.concatenate([np.zeros(3, np.int32), cur[:-3]])
+            upleft = np.concatenate([np.zeros(3, np.int32), prev[:-3]])
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft))
+            enc = (cur - pred) & 0xFF
+        raw += bytes(enc.astype(np.uint8))
+        prev = cur
+
+    ihdr = _s.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk_t(b"IHDR", ihdr)
+        + _png_chunk_t(b"IDAT", _z.compress(bytes(raw)))
+        + _png_chunk_t(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("filters", [[1], [3], [4], [0, 1, 2, 3, 4]])
+def test_png_decode_all_filters(filters):
+    px = image_pixels(9)
+    assert np.array_equal(codecs.decode_png(_filtered_png(px, filters)), px)
+
+
+def test_png_decode_gray_palette_alpha():
+    import struct as _s
+    import zlib as _z
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # grayscale (type 0)
+    g = (np.arange(6 * 7) % 256).astype(np.uint8).reshape(6, 7)
+    raw = b"".join(b"\x00" + g[y].tobytes() for y in range(6))
+    png = sig + _png_chunk_t(b"IHDR", _s.pack(">IIBBBBB", 7, 6, 8, 0, 0, 0, 0)) + _png_chunk_t(
+        b"IDAT", _z.compress(raw)
+    ) + _png_chunk_t(b"IEND", b"")
+    out = codecs.decode_png(png)
+    assert np.array_equal(out, np.repeat(g[..., None], 3, axis=2))
+    # palette (type 3)
+    plte = np.arange(256 * 3, dtype=np.uint8).reshape(256, 3)
+    idx = ((np.arange(5 * 4) * 37) % 256).astype(np.uint8).reshape(5, 4)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(5))
+    png = sig + _png_chunk_t(b"IHDR", _s.pack(">IIBBBBB", 4, 5, 8, 3, 0, 0, 0)) + _png_chunk_t(
+        b"PLTE", plte.tobytes()
+    ) + _png_chunk_t(b"IDAT", _z.compress(raw)) + _png_chunk_t(b"IEND", b"")
+    assert np.array_equal(codecs.decode_png(png), plte[idx])
+    # RGBA (type 6) composites over black
+    px = image_pixels(2)
+    rgba = np.dstack([px, np.full(px.shape[:2], 128, np.uint8)])
+    raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(px.shape[0]))
+    png = sig + _png_chunk_t(
+        b"IHDR", _s.pack(">IIBBBBB", px.shape[1], px.shape[0], 8, 6, 0, 0, 0)
+    ) + _png_chunk_t(b"IDAT", _z.compress(raw)) + _png_chunk_t(b"IEND", b"")
+    out = codecs.decode_png(png)
+    assert np.array_equal(out, (px.astype(np.uint16) * 128 // 255).astype(np.uint8))
+
+
+def test_png_rejects_named_unsupported():
+    import struct as _s
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    png16 = sig + _png_chunk_t(b"IHDR", _s.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0))
+    with pytest.raises(ValueError, match="bit depth"):
+        codecs.decode_png(png16)
+    adam7 = sig + _png_chunk_t(b"IHDR", _s.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1))
+    with pytest.raises(ValueError, match="Adam7"):
+        codecs.decode_png(adam7)

@@ -321,3 +321,26 @@ def _encode_with_restarts(px: np.ndarray, quality: int, restart_every: int) -> b
     sos_at = body.index(b"\xff\xda")
     dri = b"\xff\xdd" + _s.pack(">HH", 4, restart_every)
     return body[:sos_at] + dri + body[sos_at:]
+
+
+def test_we_decode_jdk_png_exactly(jdk_oracle, tmp_path):
+    """PNG is lossless, so a JDK-ImageIO-written PNG (its own scanline
+    filter heuristics — Sub/Up/Average/Paeth, which our writer never
+    emits) must decode in the engine to the EXACT source pixels."""
+    from simple_osm_queries_spark.sources import codecs
+
+    run, _ = jdk_oracle
+    px = image_pixels(17)  # sharp content drives varied filter choices
+    src = tmp_path / "src.ppm"
+    _write_ppm(src, px)
+    pf = tmp_path / "jdk.png"
+    run("encodepng", src, pf)
+    data = pf.read_bytes()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    out = codecs.decode_png(data)
+    assert np.array_equal(out, px)
+    # smooth gradient too (tends to pick Sub/Paeth rows)
+    g = _smooth_image(40, 56)
+    _write_ppm(src, g)
+    run("encodepng", src, pf)
+    assert np.array_equal(codecs.decode_png(pf.read_bytes()), g)
