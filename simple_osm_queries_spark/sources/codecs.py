@@ -6,7 +6,8 @@ pixels must be allclose, PSNR>=40 dB for lossy formats):
 
 * ``png``  — real, spec-conformant 8-bit RGB PNG (zlib, filter 0). Lossless.
 * ``bmp``  — real BI_RGB 24-bit BMP. Lossless.
-* ``jpeg`` — REAL from-scratch baseline JFIF codec (sources/jpeg.py):
+* ``jpeg`` — REAL from-scratch JFIF codec (sources/jpeg.py): baseline
+  encoder; decoder handles baseline AND progressive (SOF2) streams.
   Annex-K tables, canonical Huffman, batch-numpy DCT; cross-checked against
   the JDK's javax.imageio JPEG implementation (tests/test_jpeg.py). The
   pre-r5 "SOQJ" stand-in container still decodes for old fixture bytes.
@@ -61,43 +62,17 @@ def encode_png(pixels: np.ndarray) -> bytes:
     )
 
 
-def decode_png(data: bytes) -> np.ndarray:
-    """Full non-interlaced 8-bit PNG decode -> (h, w, 3) uint8 RGB.
+# Adam7 pass grid: (x0, y0, dx, dy) per pass, from the PNG spec diagram
+_ADAM7_PASSES = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    Handles ALL five scanline filters (None/Sub/Up/Average/Paeth — external
-    encoders such as the JDK's ImageIO default to Sub/Paeth, which the
-    pre-r5 reader rejected) and the 8-bit color types: grayscale (0),
-    RGB (2), palette (3, via PLTE), gray+alpha (4) and RGBA (6) — alpha is
-    composited over black, matching the fixtures' opaque assumption.
-    Interlaced (Adam7) and 16-bit streams raise with the feature named.
-    Cross-checked against JDK ImageIO-written PNGs in tests/test_codecs.py.
-    """
-    assert data[:8] == _PNG_SIG, "not a PNG"
-    pos, w, h, idat, plte = 8, 0, 0, b"", None
-    bit = ctype = interlace = 0
-    while pos < len(data):
-        (ln,) = struct.unpack(">I", data[pos : pos + 4])
-        tag = data[pos + 4 : pos + 8]
-        payload = data[pos + 8 : pos + 8 + ln]
-        if tag == b"IHDR":
-            w, h, bit, ctype, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", payload[:13]
-            )
-            if bit != 8:
-                raise ValueError(f"only 8-bit PNG supported (bit depth {bit})")
-            if interlace:
-                raise ValueError("Adam7-interlaced PNG not supported")
-            if ctype not in (0, 2, 3, 4, 6):
-                raise ValueError(f"unsupported PNG color type {ctype}")
-        elif tag == b"PLTE":
-            plte = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
-        elif tag == b"IDAT":
-            idat += payload
-        elif tag == b"IEND":
-            break
-        pos += 12 + ln
-    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
-    raw = zlib.decompress(idat)
+
+def _png_defilter(raw: bytes, h: int, w: int, nch: int) -> np.ndarray:
+    """Reverse the five PNG scanline filters over h rows of w pixels with
+    nch bytes each -> (h, w*nch) uint8. Sub/Average/Paeth need the left
+    neighbor, so those rows run a per-byte python loop bounded by w."""
     stride = w * nch + 1
     out = np.empty((h, w * nch), dtype=np.uint8)
     prev = np.zeros(w * nch, dtype=np.uint8)
@@ -110,9 +85,6 @@ def decode_png(data: bytes) -> np.ndarray:
         elif ftype == 2:  # Up
             body = (body.astype(np.int16) + prev).astype(np.uint8)
         elif ftype in (1, 3, 4):
-            # Sub/Average/Paeth need the left neighbor -> sequential in x,
-            # vectorized over channels (bpp-strided). Rows are short; the
-            # per-pixel python loop is bounded by w.
             bpp = nch
             cur = body.astype(np.int32)
             up = prev.astype(np.int32)
@@ -134,6 +106,62 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError(f"unsupported PNG filter {ftype}")
         out[y] = body
         prev = body
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Full 8-bit PNG decode -> (h, w, 3) uint8 RGB.
+
+    Handles ALL five scanline filters (None/Sub/Up/Average/Paeth — external
+    encoders such as the JDK's ImageIO default to Sub/Paeth, which the
+    pre-r5 reader rejected), Adam7 interlacing, and the 8-bit color types:
+    grayscale (0), RGB (2), palette (3, via PLTE), gray+alpha (4) and
+    RGBA (6) — alpha is composited over black, matching the fixtures'
+    opaque assumption. 16-bit streams raise with the feature named.
+    Cross-checked against JDK ImageIO-written PNGs (incl. an Adam7 stream
+    forced through PNG metadata) in tests/test_codecs.py / test_jpeg.py.
+    """
+    assert data[:8] == _PNG_SIG, "not a PNG"
+    pos, w, h, idat, plte = 8, 0, 0, b"", None
+    bit = ctype = interlace = 0
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, bit, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", payload[:13]
+            )
+            if bit != 8:
+                raise ValueError(f"only 8-bit PNG supported (bit depth {bit})")
+            if ctype not in (0, 2, 3, 4, 6):
+                raise ValueError(f"unsupported PNG color type {ctype}")
+        elif tag == b"PLTE":
+            plte = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    raw = zlib.decompress(idat)
+    if not interlace:
+        out = _png_defilter(raw, h, w, nch)
+    else:
+        # Adam7: seven independently-filtered sub-images scattered onto the
+        # (x0 + i*dx, y0 + j*dy) grids; empty passes contribute no bytes
+        out = np.empty((h, w * nch), dtype=np.uint8)
+        grid = out.reshape(h, w, nch)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue
+            sub_len = ph * (pw * nch + 1)
+            sub = _png_defilter(raw[off : off + sub_len], ph, pw, nch)
+            off += sub_len
+            grid[y0::dy, x0::dx, :] = sub.reshape(ph, pw, nch)
     px = out.reshape(h, w, nch)
     if ctype == 2:
         return px.copy()
@@ -199,11 +227,12 @@ def encode_jpeg(pixels: np.ndarray, quality: int = _JPEG_QUALITY) -> bytes:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode real JPEG streams (any baseline JFIF/EXIF, incl. 4:2:0 and
-    restart markers — not just this engine's own output). The legacy "SOQJ"
-    stand-in container from pre-r5 fixtures still decodes for backward
-    compatibility. Progressive/arithmetic streams fall back to PIL when it
-    is importable, else raise JpegFormatError naming the frame type."""
+    """Decode real JPEG streams — baseline AND progressive (SOF0/1/2)
+    JFIF/EXIF, incl. 4:2:0, restart markers, grayscale, multi-scan — not
+    just this engine's own output. The legacy "SOQJ" stand-in container
+    from pre-r5 fixtures still decodes for backward compatibility.
+    Arithmetic/lossless streams fall back to PIL when importable, else
+    raise JpegFormatError naming the frame type."""
     if data[:4] == _SOQJ_MAGIC:
         w, h, bits = struct.unpack(">HHB", data[4:9])
         q = np.frombuffer(zlib.decompress(data[9:]), dtype=np.uint8).reshape(h, w, 3)

@@ -13,10 +13,13 @@ module implements the real thing, not a stand-in:
   entropy stream. Output decodes in any conformant reader (verified
   cross-implementation against the JDK's javax.imageio codec, which IS in
   this container — tests/test_jpeg.py).
-* **Decoder**: marker parser (DQT/DHT/SOF0/SOF1/DRI/SOS/APPn/COM), general
-  per-component sampling factors (any h,v in 1..4 — covers 4:4:4, 4:2:2,
-  4:2:0), restart markers, 1- or 3-component scans, canonical Huffman
-  decoding (Annex F figures F.15/F.16), batch numpy dequant + IDCT.
+* **Decoder**: marker parser (DQT/DHT/SOF0/SOF1/SOF2/DRI/SOS/APPn/COM),
+  general per-component sampling factors (any h,v in 1..4 — covers 4:4:4,
+  4:2:2, 4:2:0), restart markers, 1- or 3-component frames, multi-scan
+  sequential AND full progressive decoding (spectral selection +
+  successive approximation, G.1.2 — DC/AC first and refinement scans with
+  EOB runs), 16-bit-LUT canonical Huffman (the Annex F F.16 walk is kept
+  as the tested oracle), batch numpy dequant + IDCT.
 
 Everything heavy is vectorized: the forward/inverse DCT runs as one einsum
 over all 8x8 blocks of a component, and zigzag/dequant are single fancy-index
@@ -536,11 +539,14 @@ class JpegFormatError(ValueError):
 
 
 def decode_jpeg_real(data: bytes) -> np.ndarray:
-    """Decode a baseline (SOF0/SOF1) JFIF/EXIF JPEG to (h, w, 3) uint8 RGB.
+    """Decode a sequential (SOF0/SOF1) or progressive (SOF2) JFIF/EXIF JPEG
+    to (h, w, 3) uint8 RGB.
 
-    Grayscale streams are replicated to 3 channels. Progressive (SOF2),
-    arithmetic-coded, lossless, and 12-bit streams raise JpegFormatError
-    with the offending marker named."""
+    Progressive streams accumulate spectral-band / successive-approximation
+    scans (G.1.2) into the shared coefficient store before the one
+    reconstruction pass. Grayscale streams are replicated to 3 channels.
+    Arithmetic-coded, lossless, hierarchical, and 12-bit streams raise
+    JpegFormatError with the offending marker named."""
     if data[:2] != b"\xff\xd8":
         raise JpegFormatError("missing SOI marker")
     qtabs: dict[int, np.ndarray] = {}
@@ -584,7 +590,7 @@ def decode_jpeg_real(data: bytes) -> np.ndarray:
                 vals = list(seg[j + 17 : j + 17 + cnt])
                 htabs[(tc, th)] = build_decode_table(bits, vals)
                 j += 17 + cnt
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 (both Huffman sequential)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise JpegFormatError(f"{prec}-bit precision not supported")
@@ -592,10 +598,10 @@ def decode_jpeg_real(data: bytes) -> np.ndarray:
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"w": fw, "h": fh, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            frame = _init_frame(fw, fh, comps, progressive=(marker == 0xC2))
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise JpegFormatError(
-                f"unsupported frame type 0xFF{marker:02X} (progressive/arithmetic/lossless)"
+                f"unsupported frame type 0xFF{marker:02X} (arithmetic/lossless/hierarchical)"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
@@ -606,12 +612,21 @@ def decode_jpeg_real(data: bytes) -> np.ndarray:
             scan = []
             for c in range(ns):
                 cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
-                comp = next(x for x in frame["comps"] if x["id"] == cs)
-                scan.append((comp, tdta >> 4, tdta & 0xF))
+                idx = next(
+                    k for k, x in enumerate(frame["comps"]) if x["id"] == cs
+                )
+                scan.append((idx, tdta >> 4, tdta & 0xF))
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
             segs, i = _split_entropy(data, i)
-            return _decode_scan(frame, scan, qtabs, htabs, segs, restart_interval)
+            _decode_scan_into(
+                frame, scan, htabs, segs, restart_interval,
+                ss, se, ahal >> 4, ahal & 0xF,
+            )
+            frame["scanned"] = True
         # else: APPn / COM / unknown — skipped via seglen
-    raise JpegFormatError("no SOS marker found")
+    if frame is None or not frame.get("scanned"):
+        raise JpegFormatError("no SOS marker found")
+    return _reconstruct(frame, qtabs)
 
 
 def _split_entropy(data: bytes, off: int) -> tuple[list[bytes], int]:
@@ -647,59 +662,201 @@ def _split_entropy(data: bytes, off: int) -> tuple[list[bytes], int]:
     return segs, i
 
 
-def _decode_scan(frame, scan, qtabs, htabs, segs, restart_interval) -> np.ndarray:
-    w, h = frame["w"], frame["h"]
-    comps = [c for c, _, _ in scan]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
+def _init_frame(w: int, h: int, comps: list[dict], progressive: bool) -> dict:
+    """Frame state shared across scans: per-component padded block grids
+    (MCU-aligned, frame-level hmax/vmax — the libjpeg convention) plus the
+    TRUE block dims non-interleaved scans cover, and a zigzag-ordered
+    mutable coefficient store each scan accumulates into."""
     for c in comps:
         if not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4):
             raise JpegFormatError(f"sampling factors {c['h']}x{c['v']} out of range")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
+    store = []
+    for c in comps:
+        c["bw"] = mcux * c["h"]  # padded grid width (blocks)
+        c["bh"] = mcuy * c["v"]
+        cw = -(-w * c["h"] // hmax)  # component resolution
+        ch = -(-h * c["v"] // vmax)
+        c["nbw"] = -(-cw // 8)  # true block dims (non-interleaved scans)
+        c["nbh"] = -(-ch // 8)
+        store.append([[0] * 64 for _ in range(c["bw"] * c["bh"])])
+    return {
+        "w": w, "h": h, "comps": comps, "progressive": progressive,
+        "hmax": hmax, "vmax": vmax, "mcux": mcux, "mcuy": mcuy,
+        "store": store, "scanned": False,
+    }
 
-    # zigzag-ordered coefficient store per scan component (python lists in
-    # the bit-serial loop; one bulk np.array conversion afterwards)
-    store: list[list] = [
-        [None] * (mcuy * c["v"] * mcux * c["h"]) for c in comps
-    ]
+
+def _decode_scan_into(frame, scan, htabs, segs, restart_interval, ss, se, ah, al):
+    """Decode one scan's entropy data into the frame store. Baseline scans
+    carry full blocks; progressive scans carry a spectral band (ss..se) at
+    successive-approximation precision (ah, al) per G.1.2."""
+    prog = frame["progressive"]
+    ns = len(scan)
+    if prog and ss > 0 and ns != 1:
+        raise JpegFormatError("progressive AC scans must be non-interleaved")
+
     tables = []
-    for c, td, ta in scan:
+    for ci, td, ta in scan:
+        need_dc = (not prog) or ss == 0
+        need_ac = (not prog) or ss > 0
         try:
-            tables.append((htabs[(0, td)], htabs[(1, ta)]))
+            dct = htabs[(0, td)] if (need_dc and ah == 0 or not prog) else None
+            act = htabs[(1, ta)] if need_ac else None
         except KeyError as e:
             raise JpegFormatError(f"missing Huffman table {e}") from None
+        tables.append((dct, act))
 
-    pred = [0] * len(comps)
+    comps = frame["comps"]
+    store = frame["store"]
+    # unit list: (comp_idx, store_row) per entropy-coded data unit, in scan
+    # order, grouped so restart intervals can cut between MCUs
+    if ns > 1 or not prog:
+        if ns > 1:
+            mcux, mcuy = frame["mcux"], frame["mcuy"]
+        else:
+            mcux, mcuy = comps[scan[0][0]]["nbw"], comps[scan[0][0]]["nbh"]
+        mcus = []
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            units = []
+            for si, (ci, _, _) in enumerate(scan):
+                c = comps[ci]
+                if ns > 1:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            units.append(
+                                (si, ci, (my * c["v"] + by) * c["bw"] + mx * c["h"] + bx)
+                            )
+                else:
+                    units.append((si, ci, my * c["bw"] + mx))
+            mcus.append(units)
+    else:
+        c = comps[scan[0][0]]
+        mcus = [
+            [(0, scan[0][0], by * c["bw"] + bx)]
+            for by in range(c["nbh"])
+            for bx in range(c["nbw"])
+        ]
+
+    pred = [0] * ns
+    eobrun = 0
     seg_idx = 0
     reader = _BitReader(segs[0])
     since_restart = 0
-    for m in range(mcux * mcuy):
+    for units in mcus:
         if restart_interval and since_restart == restart_interval:
             seg_idx += 1
             if seg_idx >= len(segs):
                 raise JpegFormatError("entropy stream ended before last MCU")
             reader = _BitReader(segs[seg_idx])
-            pred = [0] * len(comps)
+            pred = [0] * ns
+            eobrun = 0
             since_restart = 0
-        my, mx = divmod(m, mcux)
-        for ci, c in enumerate(comps):
-            dct, act = tables[ci]
-            bwc = mcux * c["h"]
-            for by in range(c["v"]):
-                for bx in range(c["h"]):
-                    row = (my * c["v"] + by) * bwc + (mx * c["h"] + bx)
-                    store[ci][row] = _decode_block(reader, pred, ci, dct, act)
+        for si, ci, row in units:
+            blk = store[ci][row]
+            dct, act = tables[si]
+            if not prog:
+                _decode_block_seq(reader, blk, pred, si, dct, act)
+            elif ss == 0:
+                if ah == 0:
+                    s = reader.decode(dct)
+                    pred[si] += _extend(reader.read(s), s)
+                    blk[0] = pred[si] << al
+                else:
+                    if reader.read(1):
+                        blk[0] |= 1 << al
+            elif ah == 0:
+                eobrun = _ac_first(reader, blk, act, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine(reader, blk, act, ss, se, al, eobrun)
         since_restart += 1
 
+
+def _ac_first(reader, blk, act, ss, se, al, eobrun) -> int:
+    """Progressive AC initial scan for one block (G.1.2.2)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode(act)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL: 16 zero coefficients
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.read(r)
+            break
+        k += r
+        if k > se:
+            raise JpegFormatError("AC coefficient index out of range")
+        blk[k] = _extend(reader.read(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine(reader, blk, act, ss, se, al, eobrun) -> int:
+    """Progressive AC refinement scan for one block (G.1.2.3): new ±1
+    coefficients at bit position al, plus one correction bit for every
+    already-nonzero coefficient the scan passes over."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode(act)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r < 15:
+                    eobrun = (1 << r)
+                    if r:
+                        eobrun += reader.read(r)
+                    break
+                val = 0  # ZRL: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise JpegFormatError("invalid refinement magnitude")
+                val = p1 if reader.read(1) else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if reader.read(1) and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                if reader.read(1) and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct(frame, qtabs) -> np.ndarray:
+    """Dequantize + IDCT the accumulated coefficient store and assemble the
+    RGB image (shared by sequential and progressive paths)."""
+    w, h = frame["w"], frame["h"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
     planes = []
-    for ci, c in enumerate(comps):
+    for ci, c in enumerate(frame["comps"]):
         qt = qtabs.get(c["tq"])
         if qt is None:
             raise JpegFormatError(f"missing quant table {c['tq']}")
-        bwc, bhc = mcux * c["h"], mcuy * c["v"]
+        bwc, bhc = c["bw"], c["bh"]
         nat = np.zeros((bwc * bhc, 64), dtype=np.float64)
-        nat[:, ZIGZAG] = np.array(store[ci], dtype=np.int32)
+        nat[:, ZIGZAG] = np.array(frame["store"][ci], dtype=np.int32)
         coefs = nat.reshape(-1, 8, 8) * qt[None, :, :]
         px = idct_blocks(coefs) + 128.0
         plane = (
@@ -717,16 +874,17 @@ def _decode_scan(frame, scan, qtabs, htabs, segs, restart_interval) -> np.ndarra
         g = np.clip(planes[0].round(), 0, 255).astype(np.uint8)
         return np.stack([g, g, g], axis=-1)
     if len(planes) != 3:
-        raise JpegFormatError(f"{len(planes)}-component scans not supported")
+        raise JpegFormatError(f"{len(planes)}-component frames not supported")
     return ycbcr_to_rgb(planes[0], planes[1], planes[2])
 
 
-def _decode_block(reader, pred, ci, dct, act) -> list:
-    zz = [0] * 64
+def _decode_block_seq(reader, zz, pred, si, dct, act) -> None:
+    """Baseline sequential block decode into the (zero-initialized)
+    zigzag-order store entry."""
     s = reader.decode(dct)
     diff = _extend(reader.read(s), s)
-    pred[ci] += diff
-    zz[0] = pred[ci]
+    pred[si] += diff
+    zz[0] = pred[si]
     k = 1
     while k < 64:
         rs = reader.decode(act)
@@ -742,4 +900,3 @@ def _decode_block(reader, pred, ci, dct, act) -> list:
         v = reader.read(size)
         zz[k] = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
         k += 1
-    return zz

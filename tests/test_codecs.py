@@ -367,6 +367,38 @@ def test_png_rejects_named_unsupported():
     png16 = sig + _png_chunk_t(b"IHDR", _s.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0))
     with pytest.raises(ValueError, match="bit depth"):
         codecs.decode_png(png16)
-    adam7 = sig + _png_chunk_t(b"IHDR", _s.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1))
-    with pytest.raises(ValueError, match="Adam7"):
-        codecs.decode_png(adam7)
+    bad = sig + _png_chunk_t(b"IHDR", _s.pack(">IIBBBBB", 4, 4, 8, 7, 0, 0, 0))
+    with pytest.raises(ValueError, match="color type"):
+        codecs.decode_png(bad)
+
+
+def _adam7_png(px):
+    """Hand-build an Adam7-interlaced RGB PNG (filter 0 rows) per the spec
+    pass grid."""
+    import struct as _s
+    import zlib as _z
+
+    h, w, _ = px.shape
+    raw = bytearray()
+    for x0, y0, dx, dy in [(0,0,8,8),(4,0,8,8),(0,4,4,8),(2,0,4,4),(0,2,2,4),(1,0,2,2),(0,1,1,2)]:
+        sub = px[y0::dy, x0::dx, :]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            raw.append(0)
+            raw += row.tobytes()
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk_t(b"IHDR", _s.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1))
+        + _png_chunk_t(b"IDAT", _z.compress(bytes(raw)))
+        + _png_chunk_t(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("shape", [(16, 16), (13, 9), (7, 5), (1, 1), (2, 3)])
+def test_png_adam7_decode(shape):
+    """Adam7 pass extraction incl. ragged sizes where later passes are
+    empty or partial."""
+    h, w = shape
+    px = ((np.arange(h * w * 3) * 23) % 256).astype(np.uint8).reshape(h, w, 3)
+    assert np.array_equal(codecs.decode_png(_adam7_png(px)), px)

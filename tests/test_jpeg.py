@@ -141,13 +141,13 @@ def test_solid_color_nearly_exact():
     assert np.abs(out.astype(int) - px.astype(int)).max() <= 2
 
 
-def test_rejects_garbage_and_names_progressive():
+def test_rejects_garbage_and_names_arithmetic():
     with pytest.raises(J.JpegFormatError):
         J.decode_jpeg_real(b"\x00\x01\x02")
-    # minimal stream with a progressive SOF2 marker
-    prog = b"\xff\xd8\xff\xc2" + b"\x00\x0b" + b"\x08\x00\x08\x00\x08\x01\x01\x11\x00"
-    with pytest.raises(J.JpegFormatError, match="progressive"):
-        J.decode_jpeg_real(prog)
+    # minimal stream with an arithmetic-coded SOF9 marker
+    arith = b"\xff\xd8\xff\xc9" + b"\x00\x0b" + b"\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+    with pytest.raises(J.JpegFormatError, match="arithmetic"):
+        J.decode_jpeg_real(arith)
 
 
 def test_legacy_soqj_container_still_decodes():
@@ -344,3 +344,75 @@ def test_we_decode_jdk_png_exactly(jdk_oracle, tmp_path):
     _write_ppm(src, g)
     run("encodepng", src, pf)
     assert np.array_equal(codecs.decode_png(pf.read_bytes()), g)
+
+
+def test_we_decode_jdk_progressive_jpeg(jdk_oracle, tmp_path):
+    """Progressive (SOF2) streams: the JDK's default progressive script
+    emits interleaved DC scans plus per-component spectral-band AC scans
+    with successive approximation — the G.1.2 paths. Luma must agree with
+    the JDK's own decode almost exactly (chroma differs only by the
+    conformant upsampling-method gap)."""
+    run, _ = jdk_oracle
+    px = _smooth_image(48, 64)
+    src = tmp_path / "src.ppm"
+    _write_ppm(src, px)
+    jf = tmp_path / "prog.jpg"
+    run("encode", src, jf, 92, "prog")
+    data = jf.read_bytes()
+    assert b"\xff\xc2" in data[:2000]  # really SOF2
+    ours = J.decode_jpeg_real(data)
+    assert ours.shape == px.shape
+    assert psnr(px, ours) >= 35.0
+    back = tmp_path / "back.ppm"
+    run("decode", jf, back)
+    jdk_px = _read_ppm(back)
+    assert psnr(ours, jdk_px) >= 38.0
+    yo = ours.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    yj = jdk_px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    luma_psnr = 10 * np.log10(255.0**2 / np.mean((yo - yj) ** 2))
+    assert luma_psnr >= 50.0
+
+
+def test_we_decode_jdk_progressive_grayscale(jdk_oracle, tmp_path):
+    """Single-component progressive stream (non-interleaved DC + AC
+    scans over the one component; no upsampling in play, so agreement
+    with the JDK decode is tight)."""
+    run, _ = jdk_oracle
+    g = np.clip(
+        128 + 70 * np.sin(np.arange(56)[None, :] / 5.0) * np.cos(np.arange(40)[:, None] / 4.0),
+        0,
+        255,
+    ).astype(np.uint8)
+    px = np.repeat(g[..., None], 3, axis=2)
+    src = tmp_path / "g.ppm"
+    _write_ppm(src, px)
+    jf = tmp_path / "g.jpg"
+    run("encode", src, jf, 90, "prog", "gray")
+    data = jf.read_bytes()
+    assert b"\xff\xc2" in data[:2000]
+    # really a single-component frame: SOF2 payload byte 8 (Nf) == 1
+    sof_at = data.index(b"\xff\xc2")
+    assert data[sof_at + 9] == 1
+    ours = J.decode_jpeg_real(data)
+    assert ours.shape == px.shape
+    back = tmp_path / "gback.ppm"
+    run("decode", jf, back)
+    assert psnr(ours, _read_ppm(back)) >= 40.0
+
+
+def test_we_decode_jdk_adam7_png(jdk_oracle, tmp_path):
+    """An Adam7-interlaced PNG written by the JDK (interlaceMethod forced
+    through PNG metadata) decodes to the exact source pixels."""
+    from simple_osm_queries_spark.sources import codecs
+
+    run, _ = jdk_oracle
+    px = image_pixels(23)
+    src = tmp_path / "src.ppm"
+    _write_ppm(src, px)
+    pf = tmp_path / "a7.png"
+    run("encodepng", src, pf, "adam7")
+    data = pf.read_bytes()
+    # IHDR byte 12 (interlace method) must really be 1
+    ihdr_at = data.index(b"IHDR")
+    assert data[ihdr_at + 16] == 1
+    assert np.array_equal(codecs.decode_png(data), px)
