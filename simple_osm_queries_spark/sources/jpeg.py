@@ -394,13 +394,21 @@ def _box_downsample(plane: np.ndarray, fx: int, fy: int) -> np.ndarray:
 
 
 def encode_jpeg_real(
-    pixels: np.ndarray, quality: int = 95, subsampling: str = "444"
+    pixels: np.ndarray,
+    quality: int = 95,
+    subsampling: str = "444",
+    restart_every: int = 0,
 ) -> bytes:
     """Encode (h, w, 3) uint8 RGB as a baseline JFIF JPEG.
 
     ``subsampling``: '444' (no chroma subsampling; PSNR-friendly, the
     default for the synthetic fixtures) or '420' (2x2 chroma, the common
-    production choice — also what the JDK/libjpeg emit by default)."""
+    production choice — also what the JDK/libjpeg emit by default).
+
+    ``restart_every`` > 0 emits a DRI segment and RSTn markers every that
+    many MCUs. Each restart segment is entropy-decodable INDEPENDENTLY
+    (DC predictors reset), which is the hook a distributed pipeline uses
+    to split one huge image's entropy decode across tasks."""
     if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
         raise ValueError("encode_jpeg_real expects (h, w, 3) uint8 RGB")
     h, w = pixels.shape[:2]
@@ -451,21 +459,33 @@ def encode_jpeg_real(
         build_encode_table(AC_CHROMA_BITS, AC_CHROMA_VALS),
     ]
 
+    entropy = bytearray()
     bw_out = _BitWriter()
     pred = [0, 0, 0]
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for ci, (sh, sv) in enumerate(samp):
-                tsel = 0 if ci == 0 else 1
-                dct_t, act_t = dc_tabs[tsel], ac_tabs[tsel]
-                zzgrid = comp_zz[ci]
-                for by in range(sv):
-                    for bx in range(sh):
-                        zz = zzgrid[my * sv + by, mx * sh + bx]
-                        _encode_block(bw_out, zz, pred, ci, dct_t, act_t)
+    rst = 0
+    for m in range(mcuy * mcux):
+        if restart_every and m and m % restart_every == 0:
+            bw_out.flush()
+            entropy += bw_out.buf
+            entropy += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            bw_out = _BitWriter()
+            pred = [0, 0, 0]
+        my, mx = divmod(m, mcux)
+        for ci, (sh, sv) in enumerate(samp):
+            tsel = 0 if ci == 0 else 1
+            dct_t, act_t = dc_tabs[tsel], ac_tabs[tsel]
+            zzgrid = comp_zz[ci]
+            for by in range(sv):
+                for bx in range(sh):
+                    zz = zzgrid[my * sv + by, mx * sh + bx]
+                    _encode_block(bw_out, zz, pred, ci, dct_t, act_t)
     bw_out.flush()
+    entropy += bw_out.buf
 
-    return _assemble_jfif(w, h, qlum, qchr, samp, bytes(bw_out.buf))
+    return _assemble_jfif(
+        w, h, qlum, qchr, samp, bytes(entropy), restart_every=restart_every
+    )
 
 
 def _encode_block(bw, zz, pred, ci, dct, act) -> None:
@@ -498,7 +518,9 @@ def _encode_block(bw, zz, pred, ci, dct, act) -> None:
         bw.write(code, ln)
 
 
-def _assemble_jfif(w, h, qlum, qchr, samp, entropy: bytes) -> bytes:
+def _assemble_jfif(
+    w, h, qlum, qchr, samp, entropy: bytes, restart_every: int = 0
+) -> bytes:
     out = bytearray()
     out += b"\xff\xd8"  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
@@ -520,6 +542,8 @@ def _assemble_jfif(w, h, qlum, qchr, samp, entropy: bytes) -> bytes:
     ):
         payload = bytes([tc_th]) + bytes(bits) + bytes(vals)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    if restart_every:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_every)  # DRI
     # SOS
     sos = bytearray([3])
     for ci in range(3):

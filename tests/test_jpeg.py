@@ -256,71 +256,28 @@ def test_we_decode_jdk_jpeg(jdk_oracle, tmp_path):
     assert psnr(ours, jdk_px) >= 38.0
 
 
-def test_we_decode_jdk_jpeg_with_restarts(jdk_oracle, tmp_path):
-    """Restart-marker path: re-encode the JDK stream through our encoder is
-    not enough (we never emit DRI), so synthesize restarts by hand: encode
-    with our tables but inject DRI via a re-encode helper below."""
-    # Build a stream WITH restart markers using the encoder's own pieces:
-    px = image_pixels(5)
-    data = _encode_with_restarts(px, quality=98, restart_every=2)
+@pytest.mark.parametrize("sub,every", [("444", 2), ("444", 7), ("420", 3)])
+def test_restart_marker_streams(jdk_oracle, tmp_path, sub, every):
+    """`restart_every` emits DRI + RSTn; the stream round-trips in the
+    engine AND the JDK accepts it (cross-implementation validity). Restart
+    segments reset DC predictors, so each is independently decodable —
+    the distributed-split hook for huge images."""
+    # smooth content for the subsampled case: the conformant
+    # replication-vs-triangular chroma upsampling gap otherwise dominates
+    px = image_pixels(5) if sub == "444" else _smooth_image(32, 32)
+    data = J.encode_jpeg_real(px, quality=98, subsampling=sub, restart_every=every)
+    assert b"\xff\xdd" in data  # DRI present
+    n_rst = sum(data.count(bytes([0xFF, 0xD0 + k])) for k in range(8))
+    assert n_rst >= 1
     out = J.decode_jpeg_real(data)
-    assert psnr(px, out) >= 40.0
-    # the JDK agrees the stream is valid
+    assert psnr(px, out) >= (40.0 if sub == "444" else 35.0)
     run, _ = jdk_oracle
     jf = tmp_path / "rst.jpg"
     jf.write_bytes(data)
     back = tmp_path / "rst.ppm"
     run("decode", jf, back)
-    assert psnr(_read_ppm(back), out) >= 40.0
+    assert psnr(_read_ppm(back), out) >= (40.0 if sub == "444" else 30.0)
 
-
-def _encode_with_restarts(px: np.ndarray, quality: int, restart_every: int) -> bytes:
-    """Minimal DRI-emitting encode: reuse the module's block machinery, one
-    MCU per 8x8 (4:4:4), inserting RSTn every `restart_every` MCUs."""
-    import struct as _s
-
-    h, w = px.shape[:2]
-    ycc = J.rgb_to_ycbcr(px)
-    qlum = J.quality_scaled(J.QUANT_LUM, quality)
-    qchr = J.quality_scaled(J.QUANT_CHROMA, quality)
-    mcux, mcuy = -(-w // 8), -(-h // 8)
-    comp_zz = []
-    for cidx, qt in ((0, qlum), (1, qchr), (2, qchr)):
-        blocks = J._plane_blocks(ycc[..., cidx], mcux, mcuy) - 128.0
-        quant = np.round(J.fdct_blocks(blocks) / qt[None]).astype(np.int32)
-        comp_zz.append(quant.reshape(-1, 64)[:, J.ZIGZAG].reshape(mcuy, mcux, 64))
-    dc = [
-        J.build_encode_table(J.DC_LUM_BITS, J.DC_LUM_VALS),
-        J.build_encode_table(J.DC_CHROMA_BITS, J.DC_CHROMA_VALS),
-    ]
-    ac = [
-        J.build_encode_table(J.AC_LUM_BITS, J.AC_LUM_VALS),
-        J.build_encode_table(J.AC_CHROMA_BITS, J.AC_CHROMA_VALS),
-    ]
-    entropy = bytearray()
-    bw = J._BitWriter()
-    pred = [0, 0, 0]
-    rst = 0
-    n_mcu = mcux * mcuy
-    for m in range(n_mcu):
-        if m and m % restart_every == 0:
-            bw.flush()
-            entropy += bw.buf
-            entropy += bytes([0xFF, 0xD0 + (rst & 7)])
-            rst += 1
-            bw = J._BitWriter()
-            pred = [0, 0, 0]
-        my, mx = divmod(m, mcux)
-        for ci in range(3):
-            t = 0 if ci == 0 else 1
-            J._encode_block(bw, comp_zz[ci][my, mx], pred, ci, dc[t], ac[t])
-    bw.flush()
-    entropy += bw.buf
-    body = J._assemble_jfif(w, h, qlum, qchr, [(1, 1)] * 3, bytes(entropy))
-    # splice a DRI segment just before SOS
-    sos_at = body.index(b"\xff\xda")
-    dri = b"\xff\xdd" + _s.pack(">HH", 4, restart_every)
-    return body[:sos_at] + dri + body[sos_at:]
 
 
 def test_we_decode_jdk_png_exactly(jdk_oracle, tmp_path):
