@@ -35,6 +35,34 @@ except ImportError:  # pragma: no cover
 _SOQJ_MAGIC = b"SOQJ"
 
 
+
+
+def _codec_guard(name):
+    """Convert stray parser failures (IndexError, StopIteration, numpy/zlib
+    errors...) on malformed input into ValueError at the codec boundary —
+    untrusted bytes must yield ONE catchable failure type, and StopIteration
+    in particular would silently terminate a generator-backed UDF."""
+
+    def deco(fn):
+        import functools
+
+        @functools.wraps(fn)
+        def wrapped(data, *a, **kw):
+            try:
+                return fn(data, *a, **kw)
+            except ValueError:
+                raise
+            except (IndexError, KeyError, StopIteration, struct.error,
+                    zlib.error, AssertionError, TypeError, OverflowError) as e:
+                raise ValueError(
+                    f"malformed {name} stream: {type(e).__name__}: {e}"
+                ) from e
+
+        return wrapped
+
+    return deco
+
+
 # --- PNG ------------------------------------------------------------------
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -74,6 +102,12 @@ def _png_defilter(raw: bytes, h: int, w: int, nch: int) -> np.ndarray:
     nch bytes each -> (h, w*nch) uint8. Sub/Average/Paeth need the left
     neighbor, so those rows run a per-byte python loop bounded by w."""
     stride = w * nch + 1
+    if len(raw) < h * stride:
+        # checked BEFORE allocating: a corrupted IHDR with a huge
+        # width/height must fail here, not attempt a 100-GiB np.empty
+        raise ValueError(
+            f"PNG data truncated: {len(raw)} bytes for {h}x{w}x{nch}"
+        )
     out = np.empty((h, w * nch), dtype=np.uint8)
     prev = np.zeros(w * nch, dtype=np.uint8)
     for y in range(h):
@@ -109,6 +143,7 @@ def _png_defilter(raw: bytes, h: int, w: int, nch: int) -> np.ndarray:
     return out
 
 
+@_codec_guard("PNG")
 def decode_png(data: bytes) -> np.ndarray:
     """Full 8-bit PNG decode -> (h, w, 3) uint8 RGB.
 
@@ -149,7 +184,17 @@ def decode_png(data: bytes) -> np.ndarray:
         out = _png_defilter(raw, h, w, nch)
     else:
         # Adam7: seven independently-filtered sub-images scattered onto the
-        # (x0 + i*dx, y0 + j*dy) grids; empty passes contribute no bytes
+        # (x0 + i*dx, y0 + j*dy) grids; empty passes contribute no bytes.
+        # Total-length sanity precedes any allocation (corrupt IHDR dims).
+        expect = sum(
+            ((h - y0 + dy - 1) // dy) * (((w - x0 + dx - 1) // dx) * nch + 1)
+            for x0, y0, dx, dy in _ADAM7_PASSES
+            if (w - x0 + dx - 1) // dx > 0 and (h - y0 + dy - 1) // dy > 0
+        )
+        if len(raw) < expect:
+            raise ValueError(
+                f"PNG data truncated: {len(raw)} bytes for Adam7 {h}x{w}x{nch}"
+            )
         out = np.empty((h, w * nch), dtype=np.uint8)
         grid = out.reshape(h, w, nch)
         off = 0
@@ -195,6 +240,7 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
     return header + info + bytes(body)
 
 
+@_codec_guard("BMP")
 def decode_bmp(data: bytes) -> np.ndarray:
     assert data[:2] == b"BM", "not a BMP"
     (offset,) = struct.unpack("<I", data[10:14])
@@ -489,6 +535,7 @@ def encode_gif(frames: np.ndarray, delay_cs: int = 4, optimize: bool = True) -> 
     return bytes(out)
 
 
+@_codec_guard("GIF")
 def decode_gif(data: bytes) -> np.ndarray:
     """Animated GIF bytes -> (n_frames, h, w, 3) uint8 (frames composited
     per the spec: sub-rectangle placement, transparency skip, disposal
@@ -627,6 +674,7 @@ def encode_avi_mjpeg(frames: np.ndarray, fps: int = 10, quality: int = 90) -> by
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+@_codec_guard("AVI")
 def decode_avi_mjpeg(data: bytes) -> np.ndarray:
     """MJPEG AVI bytes -> (n, h, w, 3) uint8. Tolerant chunk walk: finds the
     'movi' LIST and JPEG-decodes every video chunk ('##dc'/'##db') in file

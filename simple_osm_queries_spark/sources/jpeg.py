@@ -570,7 +570,24 @@ def decode_jpeg_real(data: bytes) -> np.ndarray:
     scans (G.1.2) into the shared coefficient store before the one
     reconstruction pass. Grayscale streams are replicated to 3 channels.
     Arithmetic-coded, lossless, hierarchical, and 12-bit streams raise
-    JpegFormatError with the offending marker named."""
+    JpegFormatError with the offending marker named.
+
+    EVERY malformed-stream failure surfaces as JpegFormatError (a
+    ValueError): web-scale ingestion feeds untrusted bytes, and a stray
+    IndexError — or worse, StopIteration inside a generator-backed UDF —
+    must not escape the codec boundary. A stream truncated INSIDE the
+    entropy segment still decodes (zero-padded tail -> gray bottom), the
+    standard salvage behavior for partial downloads."""
+    try:
+        return _decode_jpeg_impl(data)
+    except JpegFormatError:
+        raise
+    except (IndexError, ValueError, KeyError, StopIteration, struct.error,
+            OverflowError) as e:
+        raise JpegFormatError(f"malformed JPEG stream: {type(e).__name__}: {e}") from e
+
+
+def _decode_jpeg_impl(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise JpegFormatError("missing SOI marker")
     qtabs: dict[int, np.ndarray] = {}

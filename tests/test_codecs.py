@@ -402,3 +402,57 @@ def test_png_adam7_decode(shape):
     h, w = shape
     px = ((np.arange(h * w * 3) * 23) % 256).astype(np.uint8).reshape(h, w, 3)
     assert np.array_equal(codecs.decode_png(_adam7_png(px)), px)
+
+
+# --- codec boundary hardening (r5b): untrusted bytes -> ValueError only ------
+
+
+def _fuzz_cases():
+    rng = np.random.RandomState(7)
+    px = image_pixels(3)
+    from simple_osm_queries_spark.sources import jpeg as J
+
+    return [
+        ("jpeg", J.encode_jpeg_real(px, 95), J.decode_jpeg_real),
+        ("png", codecs.encode_png(px), codecs.decode_png),
+        ("bmp", codecs.encode_bmp(px), codecs.decode_bmp),
+        (
+            "gif",
+            codecs.encode_gif(
+                codecs.gif_palette()[rng.randint(0, 256, (3, 8, 8)).astype(np.uint8)]
+            ),
+            codecs.decode_gif,
+        ),
+        ("avi", codecs.encode_avi_mjpeg(np.stack([px, px[::-1]]), fps=5), codecs.decode_avi_mjpeg),
+    ]
+
+
+@pytest.mark.parametrize("case", _fuzz_cases(), ids=lambda c: c[0])
+def test_codec_truncation_raises_valueerror_only(case):
+    """Web-scale ingestion feeds partial downloads: every truncation point
+    must either decode (salvageable tail) or raise ValueError — never
+    IndexError/StopIteration (the latter would silently terminate a
+    generator-backed UDF) and never attempt a corrupt-dimension
+    allocation."""
+    _, data, dec = case
+    for k in range(0, len(data), 5):
+        try:
+            dec(data[:k])
+        except ValueError:
+            pass
+
+
+@pytest.mark.parametrize("case", _fuzz_cases(), ids=lambda c: c[0])
+def test_codec_corruption_raises_valueerror_only(case):
+    _, data, dec = case
+    rng = np.random.RandomState(11)
+    buf = bytearray(data)
+    for _ in range(500):
+        i = int(rng.randint(2, len(buf)))
+        old = buf[i]
+        buf[i] = int(rng.randint(0, 256))
+        try:
+            dec(bytes(buf))
+        except ValueError:
+            pass
+        buf[i] = old
