@@ -897,7 +897,10 @@ def _reconstruct(frame, qtabs) -> np.ndarray:
             raise JpegFormatError(f"missing quant table {c['tq']}")
         bwc, bhc = c["bw"], c["bh"]
         nat = np.zeros((bwc * bhc, 64), dtype=np.float64)
-        nat[:, ZIGZAG] = np.array(frame["store"][ci], dtype=np.int32)
+        # int64: a CORRUPT stream can accumulate DC predictors past int32
+        # (conformant coefficients fit 16 bits); the guard still converts a
+        # future numpy overflow error, but don't rely on it
+        nat[:, ZIGZAG] = np.array(frame["store"][ci], dtype=np.int64)
         coefs = nat.reshape(-1, 8, 8) * qt[None, :, :]
         px = idct_blocks(coefs) + 128.0
         plane = (
