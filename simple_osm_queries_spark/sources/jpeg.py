@@ -6,8 +6,9 @@ invariant is "decoded pixels allclose, PSNR>=40 dB for LOSSY formats" — and
 the lossy format every real training-data pipeline hits first is JPEG. This
 module implements the real thing, not a stand-in:
 
-* **Encoder**: baseline sequential DFCT (SOF0), 8-bit, JFIF color
-  (BT.601 full-range YCbCr), 4:4:4 or 4:2:0 chroma subsampling, Annex-K
+* **Encoder**: baseline sequential DCT (SOF0), 8-bit, JFIF color
+  (BT.601 full-range YCbCr), 4:4:4 / 4:2:2 / 4:2:0 chroma subsampling,
+  restart markers (``restart_every``), Annex-K
   quantization tables scaled by the IJG quality formula, Annex-K "typical"
   Huffman tables with canonical code assignment per Annex C, byte-stuffed
   entropy stream. Output decodes in any conformant reader (verified
@@ -402,8 +403,9 @@ def encode_jpeg_real(
     """Encode (h, w, 3) uint8 RGB as a baseline JFIF JPEG.
 
     ``subsampling``: '444' (no chroma subsampling; PSNR-friendly, the
-    default for the synthetic fixtures) or '420' (2x2 chroma, the common
-    production choice — also what the JDK/libjpeg emit by default).
+    default for the synthetic fixtures), '422' (2x1 horizontal chroma),
+    or '420' (2x2 chroma, the common production choice — also what the
+    JDK/libjpeg emit by default).
 
     ``restart_every`` > 0 emits a DRI segment and RSTn markers every that
     many MCUs. Each restart segment is entropy-decodable INDEPENDENTLY
@@ -414,7 +416,7 @@ def encode_jpeg_real(
     h, w = pixels.shape[:2]
     if h == 0 or w == 0 or h > 65535 or w > 65535:
         raise ValueError(f"unsupported image size {w}x{h}")
-    if subsampling not in ("444", "420"):
+    if subsampling not in ("444", "422", "420"):
         raise ValueError(f"unsupported subsampling {subsampling!r}")
     ycc = rgb_to_ycbcr(pixels)
 
@@ -425,11 +427,12 @@ def encode_jpeg_real(
         samp = [(1, 1), (1, 1), (1, 1)]
         planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
     else:
-        samp = [(2, 2), (1, 1), (1, 1)]
+        fx, fy = (2, 2) if subsampling == "420" else (2, 1)
+        samp = [(fx, fy), (1, 1), (1, 1)]
         planes = [
             ycc[..., 0],
-            _box_downsample(ycc[..., 1], 2, 2),
-            _box_downsample(ycc[..., 2], 2, 2),
+            _box_downsample(ycc[..., 1], fx, fy),
+            _box_downsample(ycc[..., 2], fx, fy),
         ]
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)

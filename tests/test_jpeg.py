@@ -114,7 +114,7 @@ def test_roundtrip_fixture_images(i):
 
 
 @pytest.mark.parametrize("shape", [(8, 8), (1, 1), (17, 23), (64, 33), (120, 80)])
-@pytest.mark.parametrize("sub", ["444", "420"])
+@pytest.mark.parametrize("sub", ["444", "422", "420"])
 def test_roundtrip_sizes_and_subsampling(shape, sub):
     rng = np.random.default_rng(shape[0] * 100 + shape[1])
     # moderately smooth content so 4:2:0 chroma decimation stays fair
@@ -212,7 +212,7 @@ def _smooth_image(h: int, w: int) -> np.ndarray:
     return np.clip(np.stack([r, g, b], axis=-1).round(), 0, 255).astype(np.uint8)
 
 
-@pytest.mark.parametrize("sub", ["444", "420"])
+@pytest.mark.parametrize("sub", ["444", "422", "420"])
 def test_jdk_decodes_our_jpeg(jdk_oracle, tmp_path, sub):
     """The engine's encoder output is a conformant stream: the JDK's
     independent decoder reproduces the source within the lossy budget AND
