@@ -53,7 +53,8 @@ def _codec_guard(name):
             except ValueError:
                 raise
             except (IndexError, KeyError, StopIteration, struct.error,
-                    zlib.error, AssertionError, TypeError, OverflowError) as e:
+                    zlib.error, AssertionError, TypeError, OverflowError,
+                    MemoryError, OSError) as e:
                 raise ValueError(
                     f"malformed {name} stream: {type(e).__name__}: {e}"
                 ) from e
@@ -118,16 +119,20 @@ def _png_defilter(raw: bytes, h: int, w: int, nch: int) -> np.ndarray:
             pass
         elif ftype == 2:  # Up
             body = (body.astype(np.int16) + prev).astype(np.uint8)
-        elif ftype in (1, 3, 4):
+        elif ftype == 1:  # Sub: recurrence cur[x] = raw[x] + cur[x-bpp]
+            # = per-lane cumulative sum — vectorized (external encoders pick
+            # Sub for most rows; the python loop was ~w*nch iterations/row)
+            body = (
+                body.reshape(w, nch).astype(np.int64).cumsum(axis=0) & 0xFF
+            ).astype(np.uint8).reshape(-1)
+        elif ftype in (3, 4):
             bpp = nch
             cur = body.astype(np.int32)
             up = prev.astype(np.int32)
             for x in range(w * nch):
                 a = cur[x - bpp] if x >= bpp else 0
                 b = up[x]
-                if ftype == 1:  # Sub
-                    cur[x] = (cur[x] + a) & 0xFF
-                elif ftype == 3:  # Average
+                if ftype == 3:  # Average
                     cur[x] = (cur[x] + ((a + b) >> 1)) & 0xFF
                 else:  # Paeth
                     c = up[x - bpp] if x >= bpp else 0
@@ -272,6 +277,7 @@ def encode_jpeg(pixels: np.ndarray, quality: int = _JPEG_QUALITY) -> bytes:
     return encode_jpeg_real(pixels, quality=quality, subsampling="444")
 
 
+@_codec_guard("JPEG")
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Decode real JPEG streams — baseline AND progressive (SOF0/1/2)
     JFIF/EXIF, incl. 4:2:0, restart markers, grayscale, multi-scan — not

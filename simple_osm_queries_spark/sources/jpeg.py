@@ -197,6 +197,10 @@ def build_decode_walk_table(bits: list[int], vals: list[int]):
 
 
 _LUT_CACHE: dict[tuple, tuple[list, list]] = {}
+_LUT_CACHE_MAX = 64  # optimized/progressive JPEGs carry content-derived
+# per-image tables (~1 MB of LUT lists each) — FIFO-bound the cache so a
+# long-lived executor decoding many distinct external files cannot leak;
+# the Annex-K tables just get re-inserted if ever evicted
 
 
 def build_decode_table(bits: list[int], vals: list[int]):
@@ -225,6 +229,8 @@ def build_decode_table(bits: list[int], vals: list[int]):
             ln[base : base + span] = [length] * span
             code += 1
         code <<= 1
+    while len(_LUT_CACHE) >= _LUT_CACHE_MAX:
+        _LUT_CACHE.pop(next(iter(_LUT_CACHE)))
     _LUT_CACHE[key] = (sym, ln)
     return sym, ln
 
@@ -442,7 +448,6 @@ def encode_jpeg_real(
     # per component: batch DCT + quantize, zigzag, raster block grid
     qtabs = [qlum, qchr, qchr]
     comp_zz = []  # (bh, bw, 64) int32 zigzag-ordered quantized coefficients
-    comp_bw = []
     for (sh, sv), plane, qt in zip(samp, planes, qtabs):
         bw_c = mcux * sh
         bh_c = mcuy * sv
@@ -451,7 +456,6 @@ def encode_jpeg_real(
         quant = np.round(coefs / qt[None, :, :]).astype(np.int32)
         zz = quant.reshape(-1, 64)[:, ZIGZAG]
         comp_zz.append(zz.reshape(bh_c, bw_c, 64))
-        comp_bw.append((bh_c, bw_c))
 
     dc_tabs = [
         build_encode_table(DC_LUM_BITS, DC_LUM_VALS),
@@ -586,7 +590,7 @@ def decode_jpeg_real(data: bytes) -> np.ndarray:
     except JpegFormatError:
         raise
     except (IndexError, ValueError, KeyError, StopIteration, struct.error,
-            OverflowError) as e:
+            OverflowError, MemoryError) as e:
         raise JpegFormatError(f"malformed JPEG stream: {type(e).__name__}: {e}") from e
 
 
@@ -602,8 +606,13 @@ def _decode_jpeg_impl(data: bytes) -> np.ndarray:
     while i < n:
         if data[i] != 0xFF:
             raise JpegFormatError(f"expected marker at offset {i}")
-        marker = data[i + 1]
-        i += 2
+        j = i + 1
+        while j < n and data[j] == 0xFF:
+            j += 1  # B.1.1.2: optional fill bytes (0xFF) precede any marker
+        if j >= n:
+            break
+        marker = data[j]
+        i = j + 1
         if marker == 0xD9:  # EOI
             break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
@@ -696,6 +705,9 @@ def _split_entropy(data: bytes, off: int) -> tuple[list[bytes], int]:
         if m == 0x00:
             cur.append(0xFF)
             i += 2
+        elif m == 0xFF:
+            i += 1  # fill byte before a marker (B.1.1.2)
+            continue
         elif 0xD0 <= m <= 0xD7:
             segs.append(bytes(cur))
             cur = bytearray()
@@ -706,16 +718,37 @@ def _split_entropy(data: bytes, off: int) -> tuple[list[bytes], int]:
     return segs, i
 
 
+# decompression-bomb guard: a ~30-byte stream can DECLARE 65535x65535x3 in
+# its SOF and would otherwise allocate an O(w*h) coefficient store before any
+# entropy data exists. 100M pixels mirrors PIL's default bomb threshold.
+MAX_PIXELS = 100_000_000
+
+
 def _init_frame(w: int, h: int, comps: list[dict], progressive: bool) -> dict:
     """Frame state shared across scans: per-component padded block grids
     (MCU-aligned, frame-level hmax/vmax — the libjpeg convention) plus the
     TRUE block dims non-interleaved scans cover, and a zigzag-ordered
-    mutable coefficient store each scan accumulates into."""
+    mutable coefficient store each scan accumulates into. Store entries are
+    allocated LAZILY (None until a scan touches the block), so memory is
+    bounded by actual entropy data, and declared dimensions are capped."""
+    if w * h > MAX_PIXELS:
+        raise JpegFormatError(
+            f"declared frame size {w}x{h} exceeds MAX_PIXELS={MAX_PIXELS}"
+        )
     for c in comps:
         if not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4):
             raise JpegFormatError(f"sampling factors {c['h']}x{c['v']} out of range")
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
+    for c in comps:
+        if hmax % c["h"] or vmax % c["v"]:
+            # e.g. h=3 under hmax=4: legal per T.81 but needs fractional
+            # upsampling this decoder does not implement — reject honestly
+            # instead of failing later with a shape mismatch
+            raise JpegFormatError(
+                f"non-integer subsampling ratio {c['h']}x{c['v']} vs "
+                f"{hmax}x{vmax} not supported"
+            )
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     store = []
@@ -726,7 +759,7 @@ def _init_frame(w: int, h: int, comps: list[dict], progressive: bool) -> dict:
         ch = -(-h * c["v"] // vmax)
         c["nbw"] = -(-cw // 8)  # true block dims (non-interleaved scans)
         c["nbh"] = -(-ch // 8)
-        store.append([[0] * 64 for _ in range(c["bw"] * c["bh"])])
+        store.append([None] * (c["bw"] * c["bh"]))
     return {
         "w": w, "h": h, "comps": comps, "progressive": progressive,
         "hmax": hmax, "vmax": vmax, "mcux": mcux, "mcuy": mcuy,
@@ -802,6 +835,8 @@ def _decode_scan_into(frame, scan, htabs, segs, restart_interval, ss, se, ah, al
             since_restart = 0
         for si, ci, row in units:
             blk = store[ci][row]
+            if blk is None:
+                blk = store[ci][row] = [0] * 64
             dct, act = tables[si]
             if not prog:
                 _decode_block_seq(reader, blk, pred, si, dct, act)
@@ -901,9 +936,12 @@ def _reconstruct(frame, qtabs) -> np.ndarray:
         bwc, bhc = c["bw"], c["bh"]
         nat = np.zeros((bwc * bhc, 64), dtype=np.float64)
         # int64: a CORRUPT stream can accumulate DC predictors past int32
-        # (conformant coefficients fit 16 bits); the guard still converts a
-        # future numpy overflow error, but don't rely on it
-        nat[:, ZIGZAG] = np.array(frame["store"][ci], dtype=np.int64)
+        # (conformant coefficients fit 16 bits); None = never-scanned block
+        zero = [0] * 64
+        nat[:, ZIGZAG] = np.array(
+            [b if b is not None else zero for b in frame["store"][ci]],
+            dtype=np.int64,
+        )
         coefs = nat.reshape(-1, 8, 8) * qt[None, :, :]
         px = idct_blocks(coefs) + 128.0
         plane = (

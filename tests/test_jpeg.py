@@ -373,3 +373,65 @@ def test_we_decode_jdk_adam7_png(jdk_oracle, tmp_path):
     ihdr_at = data.index(b"IHDR")
     assert data[ihdr_at + 16] == 1
     assert np.array_equal(codecs.decode_png(data), px)
+
+
+# --- review-fix regressions (r5b hardening round) ----------------------------
+
+
+def test_declared_bomb_dimensions_rejected_fast():
+    """A ~30-byte stream declaring 65535x65535x3 must fail on the declared
+    size, not allocate an O(w*h) coefficient store."""
+    import struct as _s
+    import time
+
+    sof = _s.pack(">BHHB", 8, 65535, 65535, 3) + bytes(
+        [1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    data = b"\xff\xd8\xff\xc0" + _s.pack(">H", 2 + len(sof)) + sof
+    t0 = time.time()
+    with pytest.raises(J.JpegFormatError, match="MAX_PIXELS"):
+        J.decode_jpeg_real(data)
+    assert time.time() - t0 < 1.0
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    """B.1.1.2 allows runs of 0xFF fill bytes before any marker; the parser
+    must consume them instead of misreading a segment length."""
+    px = image_pixels(4)
+    data = J.encode_jpeg_real(px, 95)
+    dqt_at = data.index(b"\xff\xdb")
+    sos_at = data.index(b"\xff\xda")
+    filled = data[:dqt_at] + b"\xff\xff" + data[dqt_at:sos_at] + b"\xff" + data[sos_at:]
+    assert np.array_equal(J.decode_jpeg_real(filled), J.decode_jpeg_real(data))
+
+
+def test_non_integer_sampling_ratio_rejected_honestly():
+    import struct as _s
+
+    sof = _s.pack(">BHHB", 8, 16, 16, 3) + bytes([1, 0x41, 0, 2, 0x31, 1, 3, 0x11, 1])
+    data = b"\xff\xd8\xff\xc0" + _s.pack(">H", 2 + len(sof)) + sof
+    with pytest.raises(J.JpegFormatError, match="non-integer subsampling"):
+        J.decode_jpeg_real(data)
+
+
+def test_lut_cache_is_bounded():
+    before = dict(J._LUT_CACHE)
+    try:
+        for k in range(J._LUT_CACHE_MAX + 20):
+            bits = [0] * 16
+            bits[7] = 2
+            J.build_decode_table(bits, [k & 0xFF, (k + 1) & 0xFF])
+        assert len(J._LUT_CACHE) <= J._LUT_CACHE_MAX
+    finally:
+        J._LUT_CACHE.clear()
+        J._LUT_CACHE.update(before)
+
+
+def test_codecs_decode_jpeg_wrapper_is_guarded():
+    """The SOQJ legacy branch and dispatcher must honor the ValueError-only
+    boundary too (review finding: struct/zlib errors escaped)."""
+    from simple_osm_queries_spark.sources import codecs
+
+    for bad in [b"SOQJ\x00\x00\x00", b"SOQJ" + b"\x00\x20\x00\x20\x02" + b"garbage"]:
+        with pytest.raises(ValueError):
+            codecs.decode_jpeg(bad)
