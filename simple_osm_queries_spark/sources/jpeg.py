@@ -221,6 +221,12 @@ def build_decode_table(bits: list[int], vals: list[int]):
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
+            if code >= (1 << length):
+                # malformed DHT: more codes than the bit length can hold.
+                # Without this check the out-of-range list slice assignment
+                # below silently APPENDS, growing the LUT (and the cache)
+                # without bound from a single crafted segment.
+                raise ValueError("invalid Huffman table: code overflows bit length")
             v = vals[k]
             k += 1
             base = code << (16 - length)
@@ -735,6 +741,10 @@ def _init_frame(w: int, h: int, comps: list[dict], progressive: bool) -> dict:
         raise JpegFormatError(
             f"declared frame size {w}x{h} exceeds MAX_PIXELS={MAX_PIXELS}"
         )
+    if len(comps) not in (1, 3):
+        # _reconstruct only supports gray/YCbCr; rejecting here also keeps
+        # the bomb guard honest (the per-component store scales with nc)
+        raise JpegFormatError(f"{len(comps)}-component frames not supported")
     for c in comps:
         if not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4):
             raise JpegFormatError(f"sampling factors {c['h']}x{c['v']} out of range")
@@ -835,6 +845,14 @@ def _decode_scan_into(frame, scan, htabs, segs, restart_interval, ss, se, ah, al
             since_restart = 0
         for si, ci, row in units:
             blk = store[ci][row]
+            if prog and ss > 0 and blk is None and eobrun > 0:
+                # EOB-run skip of a never-touched block: zero history means
+                # AC-first writes nothing and AC-refine's tail reads
+                # correction bits only for nonzero coefficients (none) —
+                # decrement without materializing, keeping memory bounded
+                # by entropy data even for max-EOB-run streams
+                eobrun -= 1
+                continue
             if blk is None:
                 blk = store[ci][row] = [0] * 64
             dct, act = tables[si]

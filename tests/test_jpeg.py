@@ -435,3 +435,94 @@ def test_codecs_decode_jpeg_wrapper_is_guarded():
     for bad in [b"SOQJ\x00\x00\x00", b"SOQJ" + b"\x00\x20\x00\x20\x02" + b"garbage"]:
         with pytest.raises(ValueError):
             codecs.decode_jpeg(bad)
+
+
+def test_many_component_sof_rejected():
+    """255-component SOF would multiply the store past the pixel cap."""
+    import struct as _s
+
+    comps = b"".join(bytes([cid, 0x11, 0]) for cid in range(1, 6))
+    sof = _s.pack(">BHHB", 8, 64, 64, 5) + comps
+    data = b"\xff\xd8\xff\xc0" + _s.pack(">H", 2 + len(sof)) + sof
+    with pytest.raises(J.JpegFormatError, match="component frames"):
+        J.decode_jpeg_real(data)
+
+
+def test_malformed_dht_cannot_grow_lut():
+    """bits=[255]*16 would overflow canonical codes and silently grow the
+    65536-entry LUT lists via out-of-range slice-append."""
+    with pytest.raises(ValueError, match="overflows bit length"):
+        J.build_decode_table([255] * 16, list(range(256)) * 16)
+    # and through the stream path: a DHT segment with those bits
+    import struct as _s
+
+    payload = bytes([0x00]) + bytes([255] * 16) + bytes(range(256)) * 16
+    seg = b"\xff\xd8\xff\xc4" + _s.pack(">H", 2 + len(payload)) + payload
+    with pytest.raises(J.JpegFormatError):
+        J.decode_jpeg_real(seg)
+    for sym, ln in J._LUT_CACHE.values():
+        assert len(sym) == 65536 and len(ln) == 65536
+
+
+def test_eob_run_does_not_materialize_skipped_blocks():
+    """Hand-crafted progressive stream: DC scan for component 1 only, then
+    an AC scan for component 2 that is a single EOB run covering all its
+    blocks. Components 2 (beyond the run entry) and 3 must stay None in
+    the store — memory bounded by entropy data — and reconstruction must
+    treat None as zeros."""
+    import struct as _s
+
+    w = h = 16  # 4 blocks per component at 4:4:4
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + _s.pack(">H", 2 + len(payload)) + payload
+
+    out = bytearray(b"\xff\xd8")
+    qt = bytes([0]) + bytes([16] * 64)
+    out += seg(0xDB, qt) + seg(0xDB, bytes([1]) + bytes([17] * 64))
+    sof = _s.pack(">BHHB", 8, h, w, 3) + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+    out += seg(0xC2, sof)  # SOF2 progressive
+    # Annex-K tables carry no EOB-run symbols (progressive files ship
+    # custom DHTs) — register a one-code AC table: '0' -> 0x20 (EOBRUN r=2)
+    eob_bits = [1] + [0] * 15
+    eob_vals = [0x20]
+    for tc_th, bits, vals in ((0x00, J.DC_LUM_BITS, J.DC_LUM_VALS),
+                              (0x11, eob_bits, eob_vals)):
+        out += seg(0xC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
+
+    # scan 1: DC-first for component 1 only (Ss=Se=0, Ah=0, Al=0)
+    dc_t = J.build_encode_table(J.DC_LUM_BITS, J.DC_LUM_VALS)
+    bw = J._BitWriter()
+    for _ in range(4):  # 4 blocks, zero diffs
+        code, ln = dc_t[0]
+        bw.write(code, ln)
+    bw.flush()
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0])) + bytes(bw.buf)
+
+    # scan 2: AC-first for component 2, one EOB run covering its 4 blocks
+    bw = J._BitWriter()
+    bw.write(0, 1)  # the single-code table: '0' -> 0x20 (EOBRUN, r=2)
+    bw.write(0, 2)  # extra bits = 0 -> run covers 1 + 3 = 4 blocks
+    bw.flush()
+    out += seg(0xDA, bytes([1, 2, 0x01, 1, 63, 0x00])) + bytes(bw.buf)
+    out += b"\xff\xd9"
+
+    frame_holder = {}
+    orig = J._reconstruct
+
+    def capture(frame, qtabs):
+        frame_holder["f"] = frame
+        return orig(frame, qtabs)
+
+    J._reconstruct = capture
+    try:
+        px = J.decode_jpeg_real(bytes(out))
+    finally:
+        J._reconstruct = orig
+    assert px.shape == (h, w, 3)
+    store = frame_holder["f"]["store"]
+    assert all(b is not None for b in store[0])  # DC scan touched comp 1
+    # the EOB run's FIRST block consumes the symbol (materialized); the
+    # remaining 3 skipped blocks and all of component 3 stay None
+    assert sum(1 for b in store[1] if b is not None) == 1
+    assert all(b is None for b in store[2])
