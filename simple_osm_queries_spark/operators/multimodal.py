@@ -225,3 +225,63 @@ def sample_frames(
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_png"])
 
     return df.select(id_col, bytes_col).mapInPandas(run, FRAME_SCHEMA)
+
+
+def _dct_matrix_n(n: int) -> "np.ndarray":
+    """Orthonormal DCT-II basis of size n (the 8-point case is the JPEG
+    codec's matrix, sources/jpeg.py:_dct_matrix — same construction)."""
+    k = np.arange(n, dtype=np.float64)
+    m = np.sqrt(2.0 / n) * np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / (2 * n))
+    m[0, :] = np.sqrt(1.0 / n)
+    return m
+
+
+_PHASH_DCT32 = _dct_matrix_n(32)
+
+
+def dct_phash_images(df: DataFrame, id_col: str = "image_id") -> DataFrame:
+    """Classic DCT perceptual hash (pHash): decode -> grayscale -> box-mean
+    to 32x32 -> 2D DCT-II -> keep the 8x8 low-frequency block -> threshold
+    at the median (DC excluded) -> 64-bit hash.
+
+    More robust than ``ahash_images`` to re-encoding, resizing, and
+    brightness/contrast shifts (the hash depends on frequency-domain SIGN
+    structure, not absolute levels). Output (image_id, dct_phash long)
+    feeds operators.dedup.phash_near_dups(phash_col='dct_phash') exactly
+    like the stored-phash and ahash variants — the bucketed Hamming join
+    machinery is shared, so the scale story is unchanged.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for image_id, data, fmt in zip(pdf[id_col], pdf["bytes"], pdf["fmt"]):
+                px = codecs.decode_image(bytes(data), fmt)
+                gray = px.astype(np.float64).mean(axis=2)
+                h, w = gray.shape
+                # box-mean downsample to 32x32 (edge-replicating bins)
+                ys = (np.arange(33) * h // 32).clip(1, h)
+                xs = (np.arange(33) * w // 32).clip(1, w)
+                cells = np.empty((32, 32))
+                for i in range(32):
+                    y0 = ys[i] if i else 0
+                    row = gray[y0 : ys[i + 1]]
+                    for j in range(32):
+                        x0 = xs[j] if j else 0
+                        cells[i, j] = row[:, x0 : xs[j + 1]].mean()
+                coefs = _PHASH_DCT32 @ cells @ _PHASH_DCT32.T
+                low = coefs[:8, :8].copy().reshape(64)
+                med = np.median(low[1:])  # DC carries absolute brightness
+                bits = low > med
+                val = 0
+                for b in range(64):
+                    if bits[b]:
+                        val |= 1 << b
+                if val >= 1 << 63:
+                    val -= 1 << 64
+                out.append((image_id, val))
+            yield pd.DataFrame(out, columns=["image_id", "dct_phash"])
+
+    return df.select(id_col, "bytes", "fmt").mapInPandas(
+        run, "image_id string, dct_phash long"
+    )

@@ -131,3 +131,87 @@ def test_sample_frames_decodes_mjpeg_avi(spark):
     for r in rows:
         px = codecs.decode_png(bytes(r.frame_png))
         assert codecs.psnr(px, truth[r.media_id][r.frame_idx]) >= 40.0
+
+
+def test_dct_phash_robust_and_discriminative(spark):
+    """DCT pHash: invariant to heavy re-encode (q60) and brightness shift
+    (hamming <= 6 of 64), clearly separated from other images (>= 10 —
+    the synthetic fixtures share generator structure, so inter-image
+    distances run lower than natural photos); aHash breaks
+    on the brightness shift of sharp content, pHash doesn't (the hash uses
+    frequency-domain sign structure, DC excluded)."""
+    from simple_osm_queries_spark.sources import jpeg as J
+    from simple_osm_queries_spark.sources.datagen import image_pixels
+
+    rows = []
+    for i in [3, 17, 42]:
+        px = image_pixels(i)
+        reenc = J.decode_jpeg_real(J.encode_jpeg_real(px, 60))
+        bright = np.clip(px.astype(int) + 30, 0, 255).astype(np.uint8)
+        rows += [
+            (f"orig{i}", codecs.encode_png(px), "png"),
+            (f"reenc{i}", codecs.encode_png(reenc), "png"),
+            (f"bright{i}", codecs.encode_png(bright), "png"),
+        ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    got = {r.image_id: r.dct_phash for r in multimodal.dct_phash_images(df).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    for i in [3, 17, 42]:
+        assert ham(got[f"orig{i}"], got[f"reenc{i}"]) <= 6
+        assert ham(got[f"orig{i}"], got[f"bright{i}"]) <= 6
+    for i, j in [(3, 17), (17, 42), (3, 42)]:
+        assert ham(got[f"orig{i}"], got[f"orig{j}"]) >= 10
+
+
+def test_dct_phash_feeds_near_dup_machinery(spark):
+    """dct_phash slots into the shared bucketed-Hamming join exactly like
+    the stored phash / ahash columns."""
+    from simple_osm_queries_spark.operators import dedup
+    from simple_osm_queries_spark.sources import jpeg as J
+    from simple_osm_queries_spark.sources.datagen import image_pixels
+
+    rows = []
+    for i in range(8):
+        px = image_pixels(i)
+        rows.append((f"a{i}", codecs.encode_png(px), "png"))
+        if i < 3:  # re-encoded twins for the first three
+            tw = J.decode_jpeg_real(J.encode_jpeg_real(px, 70))
+            rows.append((f"b{i}", codecs.encode_png(tw), "png"))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    hashes = multimodal.dct_phash_images(df).cache()
+    pairs = dedup.phash_near_dups(
+        hashes, id_col="image_id", phash_col="dct_phash",
+        max_hamming=6, chunks=8,
+    ).collect()
+    got = {tuple(sorted((r[0], r[1]))) for r in pairs}
+    # re-encoded twins must be found
+    assert {("a0", "b0"), ("a1", "b1"), ("a2", "b2")} <= got
+    # and the distributed join returns EXACTLY the driver-side Hamming
+    # oracle over the same hashes (machinery correctness, independent of
+    # how similar the synthetic fixture family happens to be)
+    hv = {r.image_id: r.dct_phash for r in hashes.collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    ids = sorted(hv)
+    oracle = {
+        (x, y)
+        for k, x in enumerate(ids)
+        for y in ids[k + 1 :]
+        if ham(hv[x], hv[y]) <= 6
+    }
+    assert got == oracle
+    hashes.unpersist()
+
+
+def test_dct32_matrix_orthonormal():
+    m = multimodal._dct_matrix_n(32)
+    assert np.abs(m @ m.T - np.eye(32)).max() < 1e-12
+    # 8-point case matches the JPEG codec's matrix (same construction)
+    from simple_osm_queries_spark.sources import jpeg as J
+
+    assert np.abs(multimodal._dct_matrix_n(8) - J._DCT_M).max() < 1e-15
