@@ -1,5 +1,6 @@
-"""Multimodal column operators: images (and stubs for audio/video) as opaque
-binary columns with typed metadata.
+"""Multimodal column operators: image, video, AND audio as opaque binary
+columns with typed metadata — all three modalities decode through
+from-scratch stdlib codecs (no stubs left).
 
 Real, tested plumbing: decode / verify / resize / feature-extract run as
 Arrow-batched ``mapInPandas`` over the binary column — the per-record codec
@@ -285,3 +286,67 @@ def dct_phash_images(df: DataFrame, id_col: str = "image_id") -> DataFrame:
     return df.select(id_col, "bytes", "fmt").mapInPandas(
         run, "image_id string, dct_phash long"
     )
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id string, n_samples long, channels int, rate int, duration_s double, "
+    "rms double, peak double, zcr double, spectral_centroid_hz double, "
+    "silence_frac double"
+)
+
+
+def audio_features(
+    df: DataFrame, id_col: str = "media_id", bytes_col: str = "bytes"
+) -> DataFrame:
+    """Audio feature extraction over WAV blobs (the third modality —
+    image/video/audio all decode through from-scratch stdlib codecs now):
+    mono mixdown, then RMS, peak, zero-crossing rate (crossings per
+    sample), FFT spectral centroid in Hz, and the fraction of 20 ms frames
+    whose RMS is under -40 dBFS (silence). Arrow-batched mapInPandas; the
+    binary column never leaves the executor — the standard shape for a
+    training-data audio-quality filter (drop silent/clipped/narrowband
+    rows before transcription)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf[id_col], pdf[bytes_col]):
+                x, rate = codecs.decode_wav(bytes(data))
+                nch = x.shape[1]
+                mono = x.mean(axis=1)
+                ns = len(mono)
+                rms = float(np.sqrt(np.mean(mono**2))) if ns else 0.0
+                peak = float(np.abs(mono).max()) if ns else 0.0
+                zcr = (
+                    float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+                    if ns > 1
+                    else 0.0
+                )
+                if ns > 1:
+                    mags = np.abs(np.fft.rfft(mono))
+                    freqs = np.fft.rfftfreq(ns, d=1.0 / rate)
+                    tot = mags.sum()
+                    centroid = float((freqs * mags).sum() / tot) if tot > 0 else 0.0
+                else:
+                    centroid = 0.0
+                frame = max(int(rate * 0.02), 1)
+                nf = ns // frame
+                if nf:
+                    fr = mono[: nf * frame].reshape(nf, frame)
+                    frms = np.sqrt((fr**2).mean(axis=1))
+                    silence = float(np.mean(frms < 0.01))
+                else:
+                    silence = 1.0
+                rows.append(
+                    (mid, ns, nch, rate, ns / rate if rate else 0.0,
+                     rms, peak, zcr, centroid, silence)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_samples", "channels", "rate", "duration_s",
+                    "rms", "peak", "zcr", "spectral_centroid_hz", "silence_frac",
+                ],
+            )
+
+    return df.select(id_col, bytes_col).mapInPandas(run, AUDIO_FEATURES_SCHEMA)

@@ -713,3 +713,73 @@ def decode_avi_mjpeg(data: bytes) -> np.ndarray:
     if not frames:
         raise ValueError("AVI stream holds no decodable MJPEG frames")
     return np.stack(frames)
+
+
+# --- WAV (RIFF PCM audio) ----------------------------------------------------
+#
+# The third modality: linear-PCM WAV through the same RIFF framing the AVI
+# container uses. Writer emits canonical 16-bit PCM; the reader is a
+# tolerant chunk walk (fmt + data, skipping LIST/fact/cue/junk chunks) and
+# accepts 8/16/32-bit integer and 32-bit float PCM, mono or multi-channel.
+# Everything is numpy on byte strings; operators/multimodal.py runs the
+# feature extraction Arrow-batched.
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """(n,) or (n, ch) float in [-1, 1] -> 16-bit PCM WAV bytes."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    pcm = np.clip(np.round(samples * 32767.0), -32768, 32767).astype("<i2")
+    block = ch * 2
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * block, block, 16)
+    data = pcm.tobytes()
+
+    def chunk(tag, payload):
+        pad = b"\x00" if len(payload) % 2 else b""
+        return tag + struct.pack("<I", len(payload)) + payload + pad
+
+    body = b"WAVE" + chunk(b"fmt ", fmt) + chunk(b"data", data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+@_codec_guard("WAV")
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes -> ((n, ch) float64 in [-1, 1], sample_rate). Accepts
+    8-bit unsigned / 16- and 32-bit signed integer PCM and 32-bit float
+    (format tags 1 and 3, plus WAVE_FORMAT_EXTENSIBLE wrapping either)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    fmt = None
+    pcm = None
+    pos = 12
+    n = len(data)
+    while pos + 8 <= n:
+        tag = data[pos : pos + 4]
+        size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        payload = data[pos + 8 : pos + 8 + size]
+        if tag == b"fmt ":
+            tag_fmt, ch, rate, _bps, _block, bits = struct.unpack("<HHIIHH", payload[:16])
+            if tag_fmt == 0xFFFE and size >= 26:  # EXTENSIBLE: real tag in the GUID
+                tag_fmt = struct.unpack("<H", payload[24:26])[0]
+            fmt = (tag_fmt, ch, rate, bits)
+        elif tag == b"data":
+            pcm = payload
+        pos += 8 + size + (size % 2)
+    if fmt is None or pcm is None:
+        raise ValueError("WAV stream missing fmt or data chunk")
+    tag_fmt, ch, rate, bits = fmt
+    if ch < 1:
+        raise ValueError("WAV stream declares zero channels")
+    if tag_fmt == 3 and bits == 32:
+        x = np.frombuffer(pcm, dtype="<f4").astype(np.float64)
+    elif tag_fmt == 1 and bits == 16:
+        x = np.frombuffer(pcm, dtype="<i2").astype(np.float64) / 32768.0
+    elif tag_fmt == 1 and bits == 32:
+        x = np.frombuffer(pcm, dtype="<i4").astype(np.float64) / 2147483648.0
+    elif tag_fmt == 1 and bits == 8:
+        x = (np.frombuffer(pcm, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV format tag {tag_fmt} / {bits}-bit")
+    usable = (len(x) // ch) * ch
+    return x[:usable].reshape(-1, ch), rate

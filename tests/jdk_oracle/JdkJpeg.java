@@ -24,6 +24,17 @@ public class JdkJpeg {
             BufferedImage img = ImageIO.read(new File(args[1]));
             if (img == null) throw new IOException("JDK could not decode " + args[1]);
             writePpm(img, args[2]);
+        } else if (args[0].equals("wavraw")) {
+            javax.sound.sampled.AudioInputStream ais =
+                    javax.sound.sampled.AudioSystem.getAudioInputStream(new File(args[1]));
+            javax.sound.sampled.AudioFormat f = ais.getFormat();
+            byte[] all = ais.readAllBytes();
+            try (DataOutputStream os = new DataOutputStream(
+                    new BufferedOutputStream(new FileOutputStream(args[2])))) {
+                os.writeBytes((int) f.getSampleRate() + " " + f.getChannels()
+                        + " " + f.getSampleSizeInBits() + "\n");
+                os.write(all);
+            }
         } else if (args[0].equals("encodepng")) {
             BufferedImage img = readPpm(args[1]);
             if (args.length > 3 && args[3].equals("adam7")) {

@@ -215,3 +215,130 @@ def test_dct32_matrix_orthonormal():
     from simple_osm_queries_spark.sources import jpeg as J
 
     assert np.abs(multimodal._dct_matrix_n(8) - J._DCT_M).max() < 1e-15
+
+
+
+# --- WAV audio (r5b: third modality) -----------------------------------------
+
+
+def _tone(freq, secs=0.5, rate=16000, amp=0.5):
+    t = np.arange(int(secs * rate)) / rate
+    return amp * np.sin(2 * np.pi * freq * t)
+
+
+def test_wav_roundtrip_mono_stereo():
+    sig = _tone(440)
+    out, rate = codecs.decode_wav(codecs.encode_wav(sig, 16000))
+    assert rate == 16000 and out.shape == (len(sig), 1)
+    assert np.abs(out[:, 0] - sig).max() < 1e-4  # 16-bit quantization
+    st = np.stack([_tone(440), _tone(880)], axis=1)
+    out2, r2 = codecs.decode_wav(codecs.encode_wav(st, 8000))
+    assert r2 == 8000 and out2.shape == st.shape
+    assert np.abs(out2 - st).max() < 1e-4
+
+
+def test_wav_pcm_variants_decode():
+    import struct as _s
+
+    sig = (_tone(440, 0.1) * 32767).astype("<i2")
+
+    def wav(fmt_tag, bits, payload):
+        blk = bits // 8
+        fmt = _s.pack("<HHIIHH", fmt_tag, 1, 16000, 16000 * blk, blk, bits)
+
+        def chunk(tag, p):
+            return tag + _s.pack("<I", len(p)) + p + (b"\x00" if len(p) % 2 else b"")
+
+        body = b"WAVE" + chunk(b"fmt ", fmt) + chunk(b"data", payload)
+        return b"RIFF" + _s.pack("<I", len(body)) + body
+
+    ref = sig.astype(np.float64) / 32768.0
+    # 32-bit float
+    out, _ = codecs.decode_wav(wav(3, 32, ref.astype("<f4").tobytes()))
+    assert np.abs(out[:, 0] - ref).max() < 1e-7
+    # 32-bit int
+    out, _ = codecs.decode_wav(wav(1, 32, (ref * 2147483647).astype("<i4").tobytes()))
+    assert np.abs(out[:, 0] - ref).max() < 1e-6
+    # 8-bit unsigned
+    out, _ = codecs.decode_wav(
+        wav(1, 8, (ref * 127 + 128).clip(0, 255).astype(np.uint8).tobytes())
+    )
+    assert np.abs(out[:, 0] - ref).max() < 0.02
+
+
+def test_wav_malformed_raises_valueerror_only():
+    data = codecs.encode_wav(_tone(440, 0.05))
+    for k in range(0, len(data), 9):
+        try:
+            codecs.decode_wav(data[:k])
+        except ValueError:
+            pass
+    rng = np.random.RandomState(3)
+    buf = bytearray(data)
+    for _ in range(400):
+        i = int(rng.randint(2, len(buf)))
+        old = buf[i]
+        buf[i] = int(rng.randint(0, 256))
+        try:
+            codecs.decode_wav(bytes(buf))
+        except ValueError:
+            pass
+        buf[i] = old
+
+
+def test_audio_features_physics(spark):
+    """Feature oracle from first principles: a pure 440 Hz tone has
+    spectral centroid ~440 Hz and ZCR ~2*440/rate; half-silence shows in
+    silence_frac; RMS of a*sin is a/sqrt(2)."""
+    tone = _tone(440, 1.0, amp=0.5)
+    half = np.concatenate([tone[:8000], np.zeros(8000)])
+    noise = (np.random.RandomState(1).rand(16000) - 0.5) * 0.8
+    rows = [
+        ("tone", codecs.encode_wav(tone)),
+        ("half", codecs.encode_wav(half)),
+        ("noise", codecs.encode_wav(noise)),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, bytes binary")
+    got = {r.media_id: r for r in multimodal.audio_features(df).collect()}
+    t = got["tone"]
+    assert t.rate == 16000 and abs(t.duration_s - 1.0) < 1e-9
+    assert abs(t.rms - 0.5 / np.sqrt(2)) < 0.01
+    assert abs(t.spectral_centroid_hz - 440.0) < 15.0
+    assert abs(t.zcr - 2 * 440 / 16000) < 0.005
+    assert t.silence_frac == 0.0
+    assert 0.45 <= got["half"].silence_frac <= 0.55
+    # white-ish noise: centroid far above the tone's
+    assert got["noise"].spectral_centroid_hz > 2000.0
+
+
+def test_wav_jdk_cross_check(tmp_path):
+    """The JDK's javax.sound.sampled reads our WAV to the identical PCM."""
+    import shutil
+    import subprocess
+
+    if shutil.which("javac") is None:
+        pytest.skip("JDK not available")
+    from pathlib import Path
+
+    d = tmp_path / "cls"
+    subprocess.run(
+        ["javac", "-d", str(d),
+         str(Path(__file__).parent / "jdk_oracle" / "JdkJpeg.java")],
+        check=True, capture_output=True,
+    )
+    sig = np.stack([_tone(440, 0.2), _tone(1000, 0.2)], axis=1)
+    wav = codecs.encode_wav(sig, 16000)
+    wf = tmp_path / "a.wav"
+    wf.write_bytes(wav)
+    out = tmp_path / "a.bin"
+    subprocess.run(["java", "-cp", str(d), "JdkJpeg", "wavraw", str(wf), str(out)],
+                   check=True, capture_output=True)
+    raw = out.read_bytes()
+    header, pcm = raw.split(b"\n", 1)
+    rate, ch, bits = map(int, header.split())
+    assert (rate, ch, bits) == (16000, 2, 16)
+    jdk = np.frombuffer(pcm, dtype="<i2").reshape(-1, 2)
+    ours, r = codecs.decode_wav(wav)
+    assert r == rate
+    assert np.array_equal(jdk, np.clip(np.round(ours * 32768.0), -32768, 32767).astype("<i2")) or \
+        np.abs(jdk - np.clip(np.round(ours * 32767.0), -32768, 32767)).max() <= 1
