@@ -360,6 +360,42 @@ def run_image_block(spark) -> dict:
         "gif_frame_sample",
         lambda: multimodal.sample_frames(gifs, every_n=4).count(),
     )
+
+    # r5b: DCT perceptual hash over the same image fixture (32x32 box-mean
+    # + 32-point DCT per image, Arrow-batched)
+    one("dct_phash", lambda: multimodal.dct_phash_images(imgs).count())
+
+    # r5b: audio modality — 0.25 s 16 kHz WAV clips, feature extraction
+    n_wav = int(os.environ.get("SPARK_GRAFT_WAV_N", "5000"))
+    wdir = f"/tmp/soq_bench_wavs_{n_wav}"
+    if not os.path.exists(os.path.join(wdir, "_SUCCESS")):
+        from simple_osm_queries_spark.sources import codecs as _codecs
+
+        def _genw(batches):
+            import numpy as _np
+            import pandas as _pd
+
+            for pdf in batches:
+                blobs = []
+                for mid in pdf["media_id"]:
+                    i = int(mid)
+                    t = _np.arange(4000) / 16000.0
+                    sig = 0.4 * _np.sin(2 * _np.pi * (200 + i % 1800) * t)
+                    if i % 3 == 0:
+                        sig[2000:] = 0.0  # half-silent clips
+                    blobs.append(_codecs.encode_wav(sig, 16000))
+                yield _pd.DataFrame(
+                    {"media_id": pdf["media_id"].astype(str), "bytes": blobs}
+                )
+
+        spark.range(n_wav).select(F.col("id").alias("media_id")).repartition(
+            CPUS
+        ).mapInPandas(_genw, "media_id string, bytes binary").write.mode(
+            "overwrite"
+        ).parquet(wdir)
+    wavs = spark.read.parquet(wdir)
+    out["n_wavs"] = n_wav
+    one("audio_features", lambda: multimodal.audio_features(wavs).count())
     one(
         "tile_image_rollup",
         lambda: imgs.select(
