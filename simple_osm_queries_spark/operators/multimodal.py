@@ -28,6 +28,7 @@ from collections.abc import Callable, Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from simple_osm_queries_spark.sources import codecs
 
@@ -145,23 +146,21 @@ def _box_mean_grid(gray: "np.ndarray", gy: int, gx: int) -> "np.ndarray":
     vectorized pass instead of gy*gx python-level .mean() calls (measured
     7.2 s -> sub-second for 20k 32x32 images at local[32])."""
     h, w = gray.shape
-    ys = (np.arange(gy + 1) * h // gy).clip(0, h)
-    xs = (np.arange(gx + 1) * w // gx).clip(0, w)
-    ys[-1] = h
-    xs[-1] = w
-    # guard degenerate bins on tiny images (h < gy): force distinct edges
-    for e in (ys, xs):
-        for i in range(1, len(e)):
-            if e[i] <= e[i - 1]:
-                e[i] = min(e[i - 1] + 1, e[-1]) if i < len(e) - 1 else e[-1]
+    # per-bin [lo, hi) ranges; for h >= gy these are the usual partition
+    # edges, for h < gy bins repeat the nearest source pixel (never empty —
+    # a zero-height bin would read as fake black and poison the hash)
+    idx = np.arange(gy)
+    y0 = np.minimum(idx * h // gy, h - 1)
+    y1 = np.maximum(np.minimum((idx + 1) * h // gy, h), y0 + 1)
+    idx = np.arange(gx)
+    x0 = np.minimum(idx * w // gx, w - 1)
+    x1 = np.maximum(np.minimum((idx + 1) * w // gx, w), x0 + 1)
     ii = np.zeros((h + 1, w + 1), dtype=np.float64)
     ii[1:, 1:] = gray.cumsum(axis=0).cumsum(axis=1)
-    y0, y1 = ys[:-1], ys[1:]
-    x0, x1 = xs[:-1], xs[1:]
     sums = (
         ii[np.ix_(y1, x1)] - ii[np.ix_(y0, x1)] - ii[np.ix_(y1, x0)] + ii[np.ix_(y0, x0)]
     )
-    areas = np.maximum((y1 - y0)[:, None] * (x1 - x0)[None, :], 1)
+    areas = (y1 - y0)[:, None] * (x1 - x0)[None, :]
     return sums / areas
 
 
@@ -248,22 +247,16 @@ def sample_frames(
     return df.select(id_col, bytes_col).mapInPandas(run, FRAME_SCHEMA)
 
 
-def _dct_matrix_n(n: int) -> "np.ndarray":
-    """Orthonormal DCT-II basis of size n (the 8-point case is the JPEG
-    codec's matrix, sources/jpeg.py:_dct_matrix — same construction)."""
-    k = np.arange(n, dtype=np.float64)
-    m = np.sqrt(2.0 / n) * np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / (2 * n))
-    m[0, :] = np.sqrt(1.0 / n)
-    return m
+from simple_osm_queries_spark.sources.jpeg import dct_matrix as _dct_matrix
 
-
-_PHASH_DCT32 = _dct_matrix_n(32)
+_PHASH_DCT32 = _dct_matrix(32)
 
 
 def dct_phash_images(df: DataFrame, id_col: str = "image_id") -> DataFrame:
     """Classic DCT perceptual hash (pHash): decode -> grayscale -> box-mean
     to 32x32 -> 2D DCT-II -> keep the 8x8 low-frequency block -> threshold
-    at the median (DC excluded) -> 64-bit hash.
+    at the median -> 63-bit hash (the DC coefficient — absolute
+    brightness — is excluded from both the median and the hash bits).
 
     More robust than ``ahash_images`` to re-encoding, resizing, and
     brightness/contrast shifts (the hash depends on frequency-domain SIGN
@@ -282,20 +275,22 @@ def dct_phash_images(df: DataFrame, id_col: str = "image_id") -> DataFrame:
                 cells = _box_mean_grid(gray, 32, 32)
                 coefs = _PHASH_DCT32 @ cells @ _PHASH_DCT32.T
                 low = coefs[:8, :8].copy().reshape(64)
-                med = np.median(low[1:])  # DC carries absolute brightness
+                # DC carries absolute brightness: excluded from BOTH the
+                # median and the hash (bit 0 stays 0 -> 63 informative bits)
+                med = np.median(low[1:])
                 bits = low > med
                 val = 0
-                for b in range(64):
+                for b in range(1, 64):
                     if bits[b]:
                         val |= 1 << b
                 if val >= 1 << 63:
                     val -= 1 << 64
                 out.append((image_id, val))
-            yield pd.DataFrame(out, columns=["image_id", "dct_phash"])
+            yield pd.DataFrame(out, columns=[id_col, "dct_phash"])
 
-    return df.select(id_col, "bytes", "fmt").mapInPandas(
-        run, "image_id string, dct_phash long"
-    )
+    return df.select(
+        F.col(id_col).cast("string").alias(id_col), "bytes", "fmt"
+    ).mapInPandas(run, f"{id_col} string, dct_phash long")
 
 
 AUDIO_FEATURES_SCHEMA = (
@@ -348,15 +343,17 @@ def audio_features(
                 else:
                     silence = 1.0
                 rows.append(
-                    (mid, ns, nch, rate, ns / rate if rate else 0.0,
+                    (mid, ns, nch, rate, ns / rate,
                      rms, peak, zcr, centroid, silence)
                 )
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "media_id", "n_samples", "channels", "rate", "duration_s",
+                    id_col, "n_samples", "channels", "rate", "duration_s",
                     "rms", "peak", "zcr", "spectral_centroid_hz", "silence_frac",
                 ],
             )
 
-    return df.select(id_col, bytes_col).mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+    return df.select(
+        F.col(id_col).cast("string").alias(id_col), bytes_col
+    ).mapInPandas(run, AUDIO_FEATURES_SCHEMA.replace("media_id", id_col, 1))

@@ -771,6 +771,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     tag_fmt, ch, rate, bits = fmt
     if ch < 1:
         raise ValueError("WAV stream declares zero channels")
+    if rate < 1:
+        raise ValueError("WAV stream declares zero sample rate")
     if tag_fmt == 3 and bits == 32:
         x = np.frombuffer(pcm, dtype="<f4").astype(np.float64)
     elif tag_fmt == 1 and bits == 16:

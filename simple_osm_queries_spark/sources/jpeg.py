@@ -244,14 +244,16 @@ def build_decode_table(bits: list[int], vals: list[int]):
 # --- DCT ---------------------------------------------------------------------
 
 
-def _dct_matrix() -> np.ndarray:
-    k = np.arange(8, dtype=np.float64)
-    m = np.sqrt(2.0 / 8.0) * np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16.0)
-    m[0, :] = np.sqrt(1.0 / 8.0)
+def dct_matrix(n: int = 8) -> np.ndarray:
+    """Orthonormal DCT-II basis of size n (n=8 is the JPEG block basis;
+    operators/multimodal.py uses n=32 for the perceptual hash)."""
+    k = np.arange(n, dtype=np.float64)
+    m = np.sqrt(2.0 / n) * np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / (2 * n))
+    m[0, :] = np.sqrt(1.0 / n)
     return m
 
 
-_DCT_M = _dct_matrix()
+_DCT_M = dct_matrix(8)
 
 
 def fdct_blocks(blocks: np.ndarray) -> np.ndarray:

@@ -209,12 +209,51 @@ def test_dct_phash_feeds_near_dup_machinery(spark):
 
 
 def test_dct32_matrix_orthonormal():
-    m = multimodal._dct_matrix_n(32)
-    assert np.abs(m @ m.T - np.eye(32)).max() < 1e-12
-    # 8-point case matches the JPEG codec's matrix (same construction)
     from simple_osm_queries_spark.sources import jpeg as J
 
-    assert np.abs(multimodal._dct_matrix_n(8) - J._DCT_M).max() < 1e-15
+    m = J.dct_matrix(32)
+    assert np.abs(m @ m.T - np.eye(32)).max() < 1e-12
+    # the shared construction's 8-point case IS the JPEG block basis
+    assert np.abs(J.dct_matrix(8) - J._DCT_M).max() == 0.0
+
+
+def test_box_mean_grid_small_images_never_black():
+    """Review regression: images smaller than the grid must repeat nearest
+    pixels, never produce zero-filled (fake black) cells."""
+    for h, w in [(16, 16), (4, 4), (1, 1), (5, 40), (40, 5)]:
+        u = np.full((h, w), 100.0)
+        got = multimodal._box_mean_grid(u, 32, 32)
+        assert got.shape == (32, 32)
+        assert np.abs(got - 100.0).max() < 1e-12
+
+
+def test_phash_and_audio_custom_id_col(spark):
+    """Review regression: id_col must propagate into the output schema."""
+    from simple_osm_queries_spark.sources.datagen import image_pixels
+
+    df = spark.createDataFrame(
+        [(7, codecs.encode_png(image_pixels(7)), "png")],
+        "doc_id long, bytes binary, fmt string",
+    )
+    out = multimodal.dct_phash_images(df, id_col="doc_id")
+    assert out.columns == ["doc_id", "dct_phash"]
+    assert out.collect()[0].doc_id == "7"
+    adf = spark.createDataFrame(
+        [(3, codecs.encode_wav(np.sin(np.arange(4000) / 20.0) * 0.4))],
+        "clip_id long, bytes binary",
+    )
+    aout = multimodal.audio_features(adf, id_col="clip_id")
+    assert aout.columns[0] == "clip_id"
+    assert aout.collect()[0].clip_id == "3"
+
+
+def test_wav_zero_rate_rejected():
+    """Review regression: rate=0 in the fmt chunk must raise ValueError,
+    not ZeroDivisionError later inside audio_features."""
+    data = bytearray(codecs.encode_wav(np.zeros(100)))
+    data[24:28] = b"\x00\x00\x00\x00"
+    with pytest.raises(ValueError, match="sample rate"):
+        codecs.decode_wav(bytes(data))
 
 
 
