@@ -112,17 +112,38 @@ def verify_invariants(df: DataFrame, min_psnr: float = 40.0) -> DataFrame:
     )
 
 
-def resize_images(df: DataFrame, new_w: int, new_h: int, out_fmt: str = "png") -> DataFrame:
-    """Nearest-neighbor resize (real numpy implementation), re-encoded."""
+def resize_images(
+    df: DataFrame,
+    new_w: int,
+    new_h: int,
+    out_fmt: str = "png",
+    method: str = "nearest",
+) -> DataFrame:
+    """Resize + re-encode. ``method='nearest'`` (index sampling — fast,
+    aliases on downscale) or ``'area'`` (box-mean over the integral image,
+    the correct anti-aliased choice for training thumbnails; upscales by
+    nearest-pixel repetition through the same bin logic)."""
+    if method not in ("nearest", "area"):
+        raise ValueError(f"unknown resize method {method!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_bytes = []
             for data, fmt in zip(pdf["bytes"], pdf["fmt"]):
                 px = codecs.decode_image(bytes(data), fmt)
-                ys = (np.arange(new_h) * px.shape[0] // new_h).clip(0, px.shape[0] - 1)
-                xs = (np.arange(new_w) * px.shape[1] // new_w).clip(0, px.shape[1] - 1)
-                resized = px[ys][:, xs]
+                if method == "area":
+                    resized = np.stack(
+                        [
+                            _box_mean_grid(px[..., c].astype(np.float64), new_h, new_w)
+                            for c in range(3)
+                        ],
+                        axis=-1,
+                    )
+                    resized = np.clip(resized.round(), 0, 255).astype(np.uint8)
+                else:
+                    ys = (np.arange(new_h) * px.shape[0] // new_h).clip(0, px.shape[0] - 1)
+                    xs = (np.arange(new_w) * px.shape[1] // new_w).clip(0, px.shape[1] - 1)
+                    resized = px[ys][:, xs]
                 out_bytes.append(codecs.encode_image(resized, out_fmt))
             yield pd.DataFrame(
                 {

@@ -381,3 +381,28 @@ def test_wav_jdk_cross_check(tmp_path):
     assert r == rate
     assert np.array_equal(jdk, np.clip(np.round(ours * 32768.0), -32768, 32767).astype("<i2")) or \
         np.abs(jdk - np.clip(np.round(ours * 32767.0), -32768, 32767)).max() <= 1
+
+
+def test_resize_area_antialiases(spark):
+    """Area resize of a fine checkerboard lands near mid-gray (the
+    box-mean absorbs sub-pixel detail); nearest-neighbor keeps extremes.
+    Uniform images resize exactly under both methods."""
+    cb = np.indices((32, 32)).sum(axis=0) % 2 * 255
+    px = np.repeat(cb[..., None], 3, axis=2).astype(np.uint8)
+    uni = np.full((32, 32, 3), 77, np.uint8)
+    df = spark.createDataFrame(
+        [("cb", codecs.encode_png(px), "png"), ("u", codecs.encode_png(uni), "png")],
+        "image_id string, bytes binary, fmt string",
+    )
+    area = {r.image_id: codecs.decode_png(bytes(r.bytes))
+            for r in multimodal.resize_images(df, 8, 8, method="area").collect()}
+    near = {r.image_id: codecs.decode_png(bytes(r.bytes))
+            for r in multimodal.resize_images(df, 8, 8, method="nearest").collect()}
+    assert np.abs(area["cb"].astype(int) - 127).max() <= 2
+    # nearest keeps pure extremes (no averaging; stride-4 sampling of the
+    # checkerboard hits a single parity, so the result is one extreme)
+    assert set(np.unique(near["cb"]).tolist()) <= {0, 255}
+    assert np.array_equal(area["u"], np.full((8, 8, 3), 77))
+    assert np.array_equal(near["u"], np.full((8, 8, 3), 77))
+    with pytest.raises(ValueError, match="unknown resize method"):
+        multimodal.resize_images(df, 8, 8, method="lanczos")
