@@ -310,7 +310,15 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
     return _ENCODERS[fmt](pixels)
 
 
-def decode_image(data: bytes, fmt: str) -> np.ndarray:
+def decode_image(data: bytes, fmt: str | None) -> np.ndarray:
+    """Decode via the named still-image format, or sniff the container
+    magic when ``fmt`` is None. A wrong label raises the target codec's
+    ValueError (the bytes don't parse); sniffing sidesteps mislabeled
+    rows entirely."""
+    if fmt is None:
+        fmt = sniff_format(data)
+        if fmt not in _DECODERS:
+            raise ValueError(f"cannot sniff a still-image format (got {fmt!r})")
     return _DECODERS[fmt](data)
 
 
@@ -785,3 +793,28 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         raise ValueError(f"unsupported WAV format tag {tag_fmt} / {bits}-bit")
     usable = (len(x) // ch) * ch
     return x[:usable].reshape(-1, ch), rate
+
+
+# --- format sniffing ---------------------------------------------------------
+
+
+def sniff_format(data: bytes) -> str | None:
+    """Magic-based container detection: 'png' / 'bmp' / 'jpeg' (incl. the
+    legacy SOQJ stand-in) / 'gif' / 'avi' / 'wav', or None. In a dirty
+    training corpus the fmt COLUMN lies (renamed files, mislabeled rows);
+    decode paths that trust it blow up on the wrong parser, so
+    ``decode_image(data, None)`` sniffs instead."""
+    if data[:8] == _PNG_SIG:
+        return "png"
+    if data[:2] == b"BM":
+        return "bmp"
+    if data[:3] == b"\xff\xd8\xff" or data[:4] == _SOQJ_MAGIC:
+        return "jpeg"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if data[:4] == b"RIFF":
+        if data[8:12] == b"AVI ":
+            return "avi"
+        if data[8:12] == b"WAVE":
+            return "wav"
+    return None

@@ -456,3 +456,35 @@ def test_codec_corruption_raises_valueerror_only(case):
         except ValueError:
             pass
         buf[i] = old
+
+
+def test_sniff_format_all_containers():
+    px = image_pixels(1)
+    from simple_osm_queries_spark.sources import jpeg as J
+
+    frames = np.stack([px, px])
+    assert codecs.sniff_format(codecs.encode_png(px)) == "png"
+    assert codecs.sniff_format(codecs.encode_bmp(px)) == "bmp"
+    assert codecs.sniff_format(J.encode_jpeg_real(px, 90)) == "jpeg"
+    assert codecs.sniff_format(b"SOQJ....") == "jpeg"
+    assert codecs.sniff_format(
+        codecs.encode_gif(codecs.gif_palette()[np.zeros((2, 4, 4), np.uint8)])
+    ) == "gif"
+    assert codecs.sniff_format(codecs.encode_avi_mjpeg(frames)) == "avi"
+    assert codecs.sniff_format(codecs.encode_wav(np.zeros(16))) == "wav"
+    assert codecs.sniff_format(b"garbage") is None
+
+
+def test_decode_image_sniffs_mislabeled_rows():
+    """fmt=None decodes by magic — the dirty-corpus path where the fmt
+    column lies about the actual container."""
+    px = image_pixels(6)
+    png_bytes = codecs.encode_png(px)
+    assert np.array_equal(codecs.decode_image(png_bytes, None), px)
+    # a mislabeled decode fails loudly; the sniffing path succeeds
+    with pytest.raises(ValueError):
+        codecs.decode_image(png_bytes, "bmp")
+    with pytest.raises(ValueError, match="cannot sniff"):
+        codecs.decode_image(codecs.encode_wav(np.zeros(16)), None)  # audio != still image
+    with pytest.raises(ValueError, match="cannot sniff"):
+        codecs.decode_image(b"not an image", None)
