@@ -98,19 +98,21 @@ _ADAM7_PASSES = (
 )
 
 
-def _png_defilter(raw: bytes, h: int, w: int, nch: int) -> np.ndarray:
-    """Reverse the five PNG scanline filters over h rows of w pixels with
-    nch bytes each -> (h, w*nch) uint8. Sub/Average/Paeth need the left
-    neighbor, so those rows run a per-byte python loop bounded by w."""
-    stride = w * nch + 1
+def _png_defilter(raw: bytes, h: int, rowbytes: int, bpp: int) -> np.ndarray:
+    """Reverse the five PNG scanline filters over h rows of ``rowbytes``
+    filtered bytes with ``bpp`` BYTES per pixel (channels x byte depth —
+    PNG filters operate on bytes regardless of bit depth) -> (h, rowbytes)
+    uint8. Sub/Average/Paeth need the left neighbor, so those rows run a
+    per-byte python loop bounded by rowbytes."""
+    stride = rowbytes + 1
     if len(raw) < h * stride:
         # checked BEFORE allocating: a corrupted IHDR with a huge
         # width/height must fail here, not attempt a 100-GiB np.empty
         raise ValueError(
-            f"PNG data truncated: {len(raw)} bytes for {h}x{w}x{nch}"
+            f"PNG data truncated: {len(raw)} bytes for {h}x{rowbytes}"
         )
-    out = np.empty((h, w * nch), dtype=np.uint8)
-    prev = np.zeros(w * nch, dtype=np.uint8)
+    out = np.empty((h, rowbytes), dtype=np.uint8)
+    prev = np.zeros(rowbytes, dtype=np.uint8)
     for y in range(h):
         row = raw[y * stride : (y + 1) * stride]
         ftype = row[0]
@@ -121,15 +123,14 @@ def _png_defilter(raw: bytes, h: int, w: int, nch: int) -> np.ndarray:
             body = (body.astype(np.int16) + prev).astype(np.uint8)
         elif ftype == 1:  # Sub: recurrence cur[x] = raw[x] + cur[x-bpp]
             # = per-lane cumulative sum — vectorized (external encoders pick
-            # Sub for most rows; the python loop was ~w*nch iterations/row)
+            # Sub for most rows; the python loop was ~rowbytes iterations/row)
             body = (
-                body.reshape(w, nch).astype(np.int64).cumsum(axis=0) & 0xFF
+                body.reshape(rowbytes // bpp, bpp).astype(np.int64).cumsum(axis=0) & 0xFF
             ).astype(np.uint8).reshape(-1)
         elif ftype in (3, 4):
-            bpp = nch
             cur = body.astype(np.int32)
             up = prev.astype(np.int32)
-            for x in range(w * nch):
+            for x in range(rowbytes):
                 a = cur[x - bpp] if x >= bpp else 0
                 b = up[x]
                 if ftype == 3:  # Average
@@ -154,10 +155,12 @@ def decode_png(data: bytes) -> np.ndarray:
 
     Handles ALL five scanline filters (None/Sub/Up/Average/Paeth — external
     encoders such as the JDK's ImageIO default to Sub/Paeth, which the
-    pre-r5 reader rejected), Adam7 interlacing, and the 8-bit color types:
-    grayscale (0), RGB (2), palette (3, via PLTE), gray+alpha (4) and
-    RGBA (6) — alpha is composited over black, matching the fixtures'
-    opaque assumption. 16-bit streams raise with the feature named.
+    pre-r5 reader rejected), Adam7 interlacing, color types grayscale (0),
+    RGB (2), palette (3, via PLTE), gray+alpha (4) and RGBA (6) — alpha is
+    composited over black, matching the fixtures' opaque assumption — and
+    both 8- and 16-bit depths (16-bit samples downconvert to their top
+    byte; PNG filters act on raw bytes, so the shared defilter runs with
+    bpp = channels x byte depth).
     Cross-checked against JDK ImageIO-written PNGs (incl. an Adam7 stream
     forced through PNG metadata) in tests/test_codecs.py / test_jpeg.py.
     """
@@ -172,10 +175,12 @@ def decode_png(data: bytes) -> np.ndarray:
             w, h, bit, ctype, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", payload[:13]
             )
-            if bit != 8:
-                raise ValueError(f"only 8-bit PNG supported (bit depth {bit})")
+            if bit not in (8, 16):
+                raise ValueError(f"only 8/16-bit PNG supported (bit depth {bit})")
             if ctype not in (0, 2, 3, 4, 6):
                 raise ValueError(f"unsupported PNG color type {ctype}")
+            if bit == 16 and ctype == 3:
+                raise ValueError("16-bit palette PNG is not a legal combination")
         elif tag == b"PLTE":
             plte = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
@@ -184,15 +189,17 @@ def decode_png(data: bytes) -> np.ndarray:
             break
         pos += 12 + ln
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    depth = bit // 8  # bytes per sample; PNG filters act on raw BYTES
+    bpp = nch * depth
     raw = zlib.decompress(idat)
     if not interlace:
-        out = _png_defilter(raw, h, w, nch)
+        out = _png_defilter(raw, h, w * bpp, bpp)
     else:
         # Adam7: seven independently-filtered sub-images scattered onto the
         # (x0 + i*dx, y0 + j*dy) grids; empty passes contribute no bytes.
         # Total-length sanity precedes any allocation (corrupt IHDR dims).
         expect = sum(
-            ((h - y0 + dy - 1) // dy) * (((w - x0 + dx - 1) // dx) * nch + 1)
+            ((h - y0 + dy - 1) // dy) * (((w - x0 + dx - 1) // dx) * bpp + 1)
             for x0, y0, dx, dy in _ADAM7_PASSES
             if (w - x0 + dx - 1) // dx > 0 and (h - y0 + dy - 1) // dy > 0
         )
@@ -200,19 +207,25 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError(
                 f"PNG data truncated: {len(raw)} bytes for Adam7 {h}x{w}x{nch}"
             )
-        out = np.empty((h, w * nch), dtype=np.uint8)
-        grid = out.reshape(h, w, nch)
+        out = np.empty((h, w * bpp), dtype=np.uint8)
+        grid = out.reshape(h, w, bpp)
         off = 0
         for x0, y0, dx, dy in _ADAM7_PASSES:
             pw = (w - x0 + dx - 1) // dx
             ph = (h - y0 + dy - 1) // dy
             if pw == 0 or ph == 0:
                 continue
-            sub_len = ph * (pw * nch + 1)
-            sub = _png_defilter(raw[off : off + sub_len], ph, pw, nch)
+            sub_len = ph * (pw * bpp + 1)
+            sub = _png_defilter(raw[off : off + sub_len], ph, pw * bpp, bpp)
             off += sub_len
-            grid[y0::dy, x0::dx, :] = sub.reshape(ph, pw, nch)
-    px = out.reshape(h, w, nch)
+            grid[y0::dy, x0::dx, :] = sub.reshape(ph, pw, bpp)
+    if depth == 2:
+        # 16-bit samples are big-endian; downconvert to 8-bit (top byte)
+        px = (
+            out.reshape(h, w * nch, 2)[:, :, 0].reshape(h, w, nch).copy()
+        )
+    else:
+        px = out.reshape(h, w, nch)
     if ctype == 2:
         return px.copy()
     if ctype == 0:

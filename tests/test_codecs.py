@@ -364,9 +364,12 @@ def test_png_rejects_named_unsupported():
     import struct as _s
 
     sig = b"\x89PNG\r\n\x1a\n"
-    png16 = sig + _png_chunk_t(b"IHDR", _s.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0))
+    png4 = sig + _png_chunk_t(b"IHDR", _s.pack(">IIBBBBB", 4, 4, 4, 2, 0, 0, 0))
     with pytest.raises(ValueError, match="bit depth"):
-        codecs.decode_png(png16)
+        codecs.decode_png(png4)
+    pal16 = sig + _png_chunk_t(b"IHDR", _s.pack(">IIBBBBB", 4, 4, 16, 3, 0, 0, 0))
+    with pytest.raises(ValueError, match="not a legal combination"):
+        codecs.decode_png(pal16)
     bad = sig + _png_chunk_t(b"IHDR", _s.pack(">IIBBBBB", 4, 4, 8, 7, 0, 0, 0))
     with pytest.raises(ValueError, match="color type"):
         codecs.decode_png(bad)
@@ -488,3 +491,49 @@ def test_decode_image_sniffs_mislabeled_rows():
         codecs.decode_image(codecs.encode_wav(np.zeros(16)), None)  # audio != still image
     with pytest.raises(ValueError, match="cannot sniff"):
         codecs.decode_image(b"not an image", None)
+
+
+
+def test_png_16bit_decode():
+    """16-bit RGB and grayscale streams (big-endian samples, byte-level
+    filters) decode with top-byte downconversion — incl. a Sub-filtered
+    row, whose bpp is 6 bytes at 16-bit RGB."""
+    import struct as _s
+    import zlib as _z
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    px = image_pixels(11)
+    h, w, _ = px.shape
+    v16 = (px.astype(np.uint16) << 8) | 0x37  # low byte must be dropped
+    raw = bytearray()
+    for y in range(h):
+        if y % 2 == 0:
+            raw.append(0)
+            raw += v16[y].astype(">u2").tobytes()
+        else:  # Sub filter at bpp=6
+            row = v16[y].astype(">u2").tobytes()
+            b = np.frombuffer(row, np.uint8).astype(np.int32)
+            left = np.concatenate([np.zeros(6, np.int32), b[:-6]])
+            # filter is over reconstructed bytes: recon = raw_bytes here
+            # (encode: enc = b - left of the RECONSTRUCTED row = b - left)
+            enc = (b - left) & 0xFF
+            raw.append(1)
+            raw += bytes(enc.astype(np.uint8))
+    png = (
+        sig
+        + _png_chunk_t(b"IHDR", _s.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0))
+        + _png_chunk_t(b"IDAT", _z.compress(bytes(raw)))
+        + _png_chunk_t(b"IEND", b"")
+    )
+    assert np.array_equal(codecs.decode_png(png), px)
+    # 16-bit grayscale
+    g = (np.arange(5 * 6) % 256).astype(np.uint8).reshape(5, 6)
+    g16 = (g.astype(np.uint16) << 8) | 0xAB
+    raw = b"".join(b"\x00" + g16[y].astype(">u2").tobytes() for y in range(5))
+    png = (
+        sig
+        + _png_chunk_t(b"IHDR", _s.pack(">IIBBBBB", 6, 5, 16, 0, 0, 0, 0))
+        + _png_chunk_t(b"IDAT", _z.compress(raw))
+        + _png_chunk_t(b"IEND", b"")
+    )
+    assert np.array_equal(codecs.decode_png(png), np.repeat(g[..., None], 3, axis=2))
