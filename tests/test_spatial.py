@@ -459,3 +459,83 @@ def test_point_in_polygon_h3_large_catalog(spark, points, points_pd):
         for r in point_in_polygon_h3_join(points, catalog, res=8).select("id", "qid").collect()
     }
     assert h3ed == plain and plain
+
+
+# --- raster tile rendering (r5b: vector -> raster direction) ----------------
+
+
+def test_tile_pixel_bins_matches_python_oracle(spark):
+    """Pixel binning (column math) vs an independent python recompute of
+    the same Web-Mercator fractional projection, point by point."""
+    import math
+
+    from simple_osm_queries_spark.functions import cells as C
+    from simple_osm_queries_spark.operators import tiles as T
+    from simple_osm_queries_spark.sources.datagen import node_lonlat
+
+    ids = np.arange(0, 600)
+    lon, lat = node_lonlat(ids)
+    df = spark.createDataFrame(
+        pd.DataFrame({"lon": lon, "lat": lat}), "lon double, lat double"
+    )
+    zoom, P = 14, 64
+    got = {
+        (r.tile_id, r.px, r.py): r.cnt
+        for r in T.tile_pixel_bins(df, zoom, P).collect()
+    }
+    oracle: dict = {}
+    n = 1 << zoom
+    for lo, la in zip(lon, lat):
+        fx = (lo + 180.0) / 360.0 * n
+        la_c = min(max(la, -C.MAX_MERCATOR_LAT), C.MAX_MERCATOR_LAT)
+        lr = math.radians(la_c)
+        fy = (1.0 - math.log(math.tan(lr) + 1.0 / math.cos(lr)) / math.pi) / 2.0 * n
+        tx = min(max(int(fx), 0), n - 1)
+        ty = min(max(int(fy), 0), n - 1)
+        px = min(max(int((fx - tx) * P), 0), P - 1)
+        py = min(max(int((fy - ty) * P), 0), P - 1)
+        key = (C.tile_id_py(tx, ty, zoom), px, py)
+        oracle[key] = oracle.get(key, 0) + 1
+    assert got == oracle
+
+
+def test_tile_heatmap_renders_decodable_tiles(spark):
+    """Rendered tiles: PNG decodes, intensity is monotone in bin count,
+    nonzero pixels == distinct bins, per-tile point totals add up, and the
+    hot-cell tile is the brightest (fixture skew made visible)."""
+    from simple_osm_queries_spark.operators import tiles as T
+    from simple_osm_queries_spark.sources import codecs
+    from simple_osm_queries_spark.sources.datagen import node_lonlat
+
+    ids = np.arange(0, 2000)
+    lon, lat = node_lonlat(ids)
+    df = spark.createDataFrame(
+        pd.DataFrame({"lon": lon, "lat": lat}), "lon double, lat double"
+    )
+    zoom, P = 12, 64
+    tiles_out = T.tile_heatmap(df, zoom, P).collect()
+    bins = T.tile_pixel_bins(df, zoom, P).collect()
+    by_tile: dict = {}
+    for r in bins:
+        by_tile.setdefault(r.tile_id, {})[(r.px, r.py)] = r.cnt
+    assert len(tiles_out) == len(by_tile)
+    assert sum(r.n_points for r in tiles_out) == len(ids)
+    for r in tiles_out:
+        img = codecs.decode_png(bytes(r.png))
+        assert img.shape == (P, P, 3)
+        gray = img[..., 0]
+        cells = by_tile[r.tile_id]
+        assert int((gray > 0).sum()) == len(cells)
+        # monotone: the max-count bin is the brightest pixel (255)
+        (bx, by), _ = max(cells.items(), key=lambda kv: kv[1])
+        assert gray[by, bx] == 255
+        assert r.zoom == zoom and (r.tile_id >> 58) == zoom
+    # hot cell (ids % 100 == 0 cluster) -> that tile has the highest max
+    from simple_osm_queries_spark.functions import cells as C
+
+    hot_tx, hot_ty = C.tile_xy_py(9.95, 53.55, zoom)
+    hot_id = C.tile_id_py(hot_tx, hot_ty, zoom)
+    assert hot_id in by_tile
+    assert max(by_tile[hot_id].values()) == max(
+        max(v.values()) for v in by_tile.values()
+    )
