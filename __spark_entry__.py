@@ -1010,13 +1010,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # north rule: raster<->vector tile assignment rollup
     def q_tiles(spark, sf_dir):
+        # merged entry (50-entry gate-file cap): slippy tile assignment
+        # UNION ALL raster pixel binning (operators/tiles.py
+        # tile_pixel_bins — the vector->raster rendering aggregation)
+        from simple_osm_queries_spark.operators import tiles as T
+
         pts = _derived_points(spark, sf_dir)
         z = 13
-        return (
-            pts.select(C.tile_x(F.col("lon"), z).alias("tile_x"), C.tile_y(F.col("lat"), z).alias("tile_y"))
-            .groupBy("tile_x", "tile_y")
+        assign = (
+            pts.select(C.tile_of(F.col("lon"), F.col("lat"), z).alias("tile_id"))
+            .groupBy("tile_id")
             .agg(F.count("*").alias("n"))
+            .select(
+                F.lit("assign").alias("kind"),
+                "tile_id",
+                F.lit(-1).cast("long").alias("px"),
+                F.lit(-1).cast("long").alias("py"),
+                "n",
+            )
         )
+        bins = T.tile_pixel_bins(pts, z, 16).select(
+            F.lit("pixel").alias("kind"),
+            "tile_id",
+            F.col("px").cast("long"),
+            F.col("py").cast("long"),
+            F.col("cnt").alias("n"),
+        )
+        return assign.unionByName(bins)
 
     q["tile_assignment"] = q_tiles
 
@@ -1695,10 +1715,33 @@ SELECT id, ((xb >> 0) & 1) * 2 + ((yb >> 0) & 1) * 1 + ((xb >> 1) & 1) * 8 + ((y
         )
     o["knn_h3"] = " UNION ALL ".join(knn_h3_parts)
 
+    # tile_id pack mirrors functions/cells.py tile_id (z<<58 | tx<<29 | ty,
+    # arithmetic form); clamps mirror tile_x/tile_y — identity on the
+    # fixture window but kept for op-order parity
+    _tile_fxy = (
+        "SELECT (lon + 180.0) / 360.0 * 8192.0 AS fx, "
+        "(1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 8192.0 AS fy "
+        f"FROM {pts}"
+    )
+    _tile_txy = (
+        "SELECT fx, fy, "
+        "LEAST(GREATEST(CAST(floor(fx) AS INT), 0), 8191) AS tx, "
+        "LEAST(GREATEST(CAST(floor(fy) AS INT), 0), 8191) AS ty "
+        f"FROM ({_tile_fxy})"
+    )
+    _tile_pack = (
+        "CAST(13 AS BIGINT) * 288230376151711744 + CAST(tx AS BIGINT) * 536870912 "
+        "+ CAST(ty AS BIGINT)"
+    )
     o["tile_assignment"] = (
-        "SELECT CAST(floor((lon + 180.0) / 360.0 * 8192.0) AS INT) AS tile_x, "
-        "CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 8192.0) AS INT) AS tile_y, "
-        f"count(*) AS n FROM {pts} GROUP BY 1, 2"
+        f"SELECT 'assign' AS kind, {_tile_pack} AS tile_id, "
+        "CAST(-1 AS BIGINT) AS px, CAST(-1 AS BIGINT) AS py, count(*) AS n "
+        f"FROM ({_tile_txy}) GROUP BY 1, 2, 3, 4 "
+        "UNION ALL "
+        f"SELECT 'pixel' AS kind, {_tile_pack} AS tile_id, "
+        "CAST(LEAST(GREATEST(CAST(floor((fx - tx) * 16.0) AS INT), 0), 15) AS BIGINT) AS px, "
+        "CAST(LEAST(GREATEST(CAST(floor((fy - ty) * 16.0) AS INT), 0), 15) AS BIGINT) AS py, "
+        f"count(*) AS n FROM ({_tile_txy}) GROUP BY 1, 2, 3, 4"
     )
 
     o["semi_join_exists"] = (
