@@ -1017,10 +1017,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         pts = _derived_points(spark, sf_dir)
         z = 13
+        raw_bins = T.tile_pixel_bins(pts, z, 16)
+        # assign derives from the bins by re-aggregation (integer-exact,
+        # same tile_id by construction — shared C.tile_fxy projection):
+        # one projection pass + one shuffle instead of two of each
         assign = (
-            pts.select(C.tile_of(F.col("lon"), F.col("lat"), z).alias("tile_id"))
-            .groupBy("tile_id")
-            .agg(F.count("*").alias("n"))
+            raw_bins.groupBy("tile_id")
+            .agg(F.sum("cnt").alias("n"))
             .select(
                 F.lit("assign").alias("kind"),
                 "tile_id",
@@ -1029,7 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "n",
             )
         )
-        bins = T.tile_pixel_bins(pts, z, 16).select(
+        bins = raw_bins.select(
             F.lit("pixel").alias("kind"),
             "tile_id",
             F.col("px").cast("long"),
@@ -1718,9 +1721,13 @@ SELECT id, ((xb >> 0) & 1) * 2 + ((yb >> 0) & 1) * 1 + ((xb >> 1) & 1) * 8 + ((y
     # tile_id pack mirrors functions/cells.py tile_id (z<<58 | tx<<29 | ty,
     # arithmetic form); clamps mirror tile_x/tile_y — identity on the
     # fixture window but kept for op-order parity
+    # lat clamp mirrored from cells.tile_fxy (identity on the fixture
+    # window, but kept so the twins cannot drift if the window widens)
     _tile_fxy = (
         "SELECT (lon + 180.0) / 360.0 * 8192.0 AS fx, "
-        "(1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 8192.0 AS fy "
+        "(1.0 - ln(tan(radians(LEAST(GREATEST(lat, -85.05112878), 85.05112878))) "
+        "+ 1.0 / cos(radians(LEAST(GREATEST(lat, -85.05112878), 85.05112878)))) / pi()) "
+        "/ 2.0 * 8192.0 AS fy "
         f"FROM {pts}"
     )
     _tile_txy = (
@@ -1733,15 +1740,17 @@ SELECT id, ((xb >> 0) & 1) * 2 + ((yb >> 0) & 1) * 1 + ((xb >> 1) & 1) * 8 + ((y
         "CAST(13 AS BIGINT) * 288230376151711744 + CAST(tx AS BIGINT) * 536870912 "
         "+ CAST(ty AS BIGINT)"
     )
-    o["tile_assignment"] = (
-        f"SELECT 'assign' AS kind, {_tile_pack} AS tile_id, "
-        "CAST(-1 AS BIGINT) AS px, CAST(-1 AS BIGINT) AS py, count(*) AS n "
-        f"FROM ({_tile_txy}) GROUP BY 1, 2, 3, 4 "
-        "UNION ALL "
-        f"SELECT 'pixel' AS kind, {_tile_pack} AS tile_id, "
+    _tile_bins = (
+        f"SELECT {_tile_pack} AS tile_id, "
         "CAST(LEAST(GREATEST(CAST(floor((fx - tx) * 16.0) AS INT), 0), 15) AS BIGINT) AS px, "
         "CAST(LEAST(GREATEST(CAST(floor((fy - ty) * 16.0) AS INT), 0), 15) AS BIGINT) AS py, "
-        f"count(*) AS n FROM ({_tile_txy}) GROUP BY 1, 2, 3, 4"
+        f"count(*) AS n FROM ({_tile_txy}) GROUP BY 1, 2, 3"
+    )
+    o["tile_assignment"] = (
+        "SELECT 'assign' AS kind, tile_id, CAST(-1 AS BIGINT) AS px, "
+        f"CAST(-1 AS BIGINT) AS py, CAST(SUM(n) AS BIGINT) AS n FROM ({_tile_bins}) GROUP BY 2 "
+        "UNION ALL "
+        f"SELECT 'pixel' AS kind, tile_id, px, py, n FROM ({_tile_bins})"
     )
 
     o["semi_join_exists"] = (

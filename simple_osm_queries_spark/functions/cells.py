@@ -123,21 +123,32 @@ MAX_MERCATOR_LAT = 85.05112878
 
 
 def tile_x(lon: Column, zoom: int) -> Column:
-    n = F.lit(float(1 << zoom))
-    tx = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * n).cast("int")
+    fx, _ = tile_fxy(lon, F.lit(0.0), zoom)
+    tx = F.floor(fx).cast("int")
     # clamp lon=180 edge into the last tile
     return F.least(F.greatest(tx, F.lit(0)), F.lit((1 << zoom) - 1))
 
 
-def tile_y(lat: Column, zoom: int) -> Column:
+def tile_fxy(lon: Column, lat: Column, zoom: int) -> tuple[Column, Column]:
+    """Fractional Web-Mercator tile coordinates (fx, fy) at ``zoom`` — the
+    ONE projection expression tile_x/tile_y floor and tile_pixel_bins
+    subdivides into pixels; keeping a single definition is what guarantees
+    a point's pixel tile_id always equals its assigned tile_id."""
     n = F.lit(float(1 << zoom))
+    fx = (lon + F.lit(180.0)) / F.lit(360.0) * n
     lat_c = F.least(F.greatest(lat, F.lit(-MAX_MERCATOR_LAT)), F.lit(MAX_MERCATOR_LAT))
     lat_rad = F.radians(lat_c)
-    ty = F.floor(
+    fy = (
         (F.lit(1.0) - F.log(F.tan(lat_rad) + F.lit(1.0) / F.cos(lat_rad)) / F.lit(math.pi))
         / F.lit(2.0)
         * n
-    ).cast("int")
+    )
+    return fx, fy
+
+
+def tile_y(lat: Column, zoom: int) -> Column:
+    _, fy = tile_fxy(F.lit(0.0), lat, zoom)
+    ty = F.floor(fy).cast("int")
     return F.least(F.greatest(ty, F.lit(0)), F.lit((1 << zoom) - 1))
 
 

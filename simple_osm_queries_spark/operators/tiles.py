@@ -136,19 +136,7 @@ def tile_pixel_bins(
     the output per tile is bounded by tile_px^2 rows no matter how many
     input points, which is what makes rendering at 10^12 points feasible.
     """
-    n = float(1 << zoom)
-    import math as _math
-
-    fx = (F.col(lon) + F.lit(180.0)) / F.lit(360.0) * F.lit(n)
-    lat_c = F.least(
-        F.greatest(F.col(lat), F.lit(-C.MAX_MERCATOR_LAT)), F.lit(C.MAX_MERCATOR_LAT)
-    )
-    lat_rad = F.radians(lat_c)
-    fy = (
-        (F.lit(1.0) - F.log(F.tan(lat_rad) + F.lit(1.0) / F.cos(lat_rad)) / F.lit(_math.pi))
-        / F.lit(2.0)
-        * F.lit(n)
-    )
+    fx, fy = C.tile_fxy(F.col(lon), F.col(lat), zoom)
     tx = F.least(F.greatest(F.floor(fx).cast("int"), F.lit(0)), F.lit((1 << zoom) - 1))
     ty = F.least(F.greatest(F.floor(fy).cast("int"), F.lit(0)), F.lit((1 << zoom) - 1))
     px = F.least(

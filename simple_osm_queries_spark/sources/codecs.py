@@ -332,7 +332,14 @@ def decode_image(data: bytes, fmt: str | None) -> np.ndarray:
         fmt = sniff_format(data)
         if fmt not in _DECODERS:
             raise ValueError(f"cannot sniff a still-image format (got {fmt!r})")
-    return _DECODERS[fmt](data)
+    dec = _DECODERS.get(fmt)
+    if dec is None:
+        # a dirty fmt COLUMN ('gif', 'webp', ...) must surface as the
+        # boundary's catchable ValueError, not a KeyError in the UDF
+        raise ValueError(
+            f"unknown still-image format label {fmt!r} (sniff with fmt=None)"
+        )
+    return dec(data)
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:

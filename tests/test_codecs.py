@@ -537,3 +537,13 @@ def test_png_16bit_decode():
         + _png_chunk_t(b"IEND", b"")
     )
     assert np.array_equal(codecs.decode_png(png), np.repeat(g[..., None], 3, axis=2))
+
+
+def test_decode_image_unknown_label_raises_valueerror():
+    """Review regression: a dirty fmt label ('gif', 'webp') must surface
+    as the boundary's ValueError, not KeyError inside the UDF."""
+    px = image_pixels(1)
+    data = codecs.encode_png(px)
+    for bad in ("gif", "webp", "tiff"):
+        with pytest.raises(ValueError, match="unknown still-image format"):
+            codecs.decode_image(data, bad)
