@@ -396,6 +396,11 @@ def run_image_block(spark) -> dict:
     wavs = spark.read.parquet(wdir)
     out["n_wavs"] = n_wav
     one("audio_features", lambda: multimodal.audio_features(wavs).count())
+
+    # r5b: vector -> raster rendering over the image-node fixture (binning
+    # is the same one-shuffle shape tile_assignment times at 10M; this row
+    # times the per-tile paint+PNG applyInPandas on top)
+    one("tile_heatmap", lambda: _t.tile_heatmap(imgs, 13, 128).count())
     one(
         "tile_image_rollup",
         lambda: imgs.select(
