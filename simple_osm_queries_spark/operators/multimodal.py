@@ -32,6 +32,11 @@ from pyspark.sql import functions as F
 
 from simple_osm_queries_spark.sources import codecs
 
+
+def _check_on_error(on_error: str) -> None:
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
+
 DECODE_STATS_SCHEMA = (
     "image_id string, fmt string, ok boolean, width int, height int, "
     "mean_r double, mean_g double, mean_b double"
@@ -118,6 +123,7 @@ def resize_images(
     new_h: int,
     out_fmt: str = "png",
     method: str = "nearest",
+    on_error: str = "raise",
 ) -> DataFrame:
     """Resize + re-encode. ``method='nearest'`` (index sampling — fast,
     aliases on downscale) or ``'area'`` (box-mean over the integral image,
@@ -125,12 +131,20 @@ def resize_images(
     nearest-pixel repetition through the same bin logic)."""
     if method not in ("nearest", "area"):
         raise ValueError(f"unknown resize method {method!r}")
+    _check_on_error(on_error)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_bytes = []
-            for data, fmt in zip(pdf["bytes"], pdf["fmt"]):
-                px = codecs.decode_image(bytes(data), fmt)
+            keep = []
+            for image_id, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                try:
+                    px = codecs.decode_image(bytes(data), fmt)
+                except ValueError:
+                    if on_error == "skip":
+                        continue
+                    raise
+                keep.append(image_id)
                 if method == "area":
                     resized = np.stack(
                         [
@@ -147,11 +161,11 @@ def resize_images(
                 out_bytes.append(codecs.encode_image(resized, out_fmt))
             yield pd.DataFrame(
                 {
-                    "image_id": pdf["image_id"],
+                    "image_id": keep,
                     "bytes": out_bytes,
-                    "w": np.full(len(pdf), new_w, dtype=np.int32),
-                    "h": np.full(len(pdf), new_h, dtype=np.int32),
-                    "fmt": [out_fmt] * len(pdf),
+                    "w": np.full(len(keep), new_w, dtype=np.int32),
+                    "h": np.full(len(keep), new_h, dtype=np.int32),
+                    "fmt": [out_fmt] * len(keep),
                 }
             )
 
@@ -185,7 +199,7 @@ def _box_mean_grid(gray: "np.ndarray", gy: int, gx: int) -> "np.ndarray":
     return sums / areas
 
 
-def ahash_images(df: DataFrame, grid: int = 8) -> DataFrame:
+def ahash_images(df: DataFrame, grid: int = 8, on_error: str = "raise") -> DataFrame:
     """Compute a REAL perceptual hash (average hash) from the pixel data:
     downsample the decoded image to grid x grid via box means, threshold at
     the mean of the gray image, pack the bits into an int64.
@@ -194,13 +208,24 @@ def ahash_images(df: DataFrame, grid: int = 8) -> DataFrame:
     operators.dedup.phash_near_dups(id_col='image_id', phash_col='ahash')
     for content-based image near-dup detection — robust to re-encoding and
     small noise (unlike the byte-level fingerprints).
+
+    ``on_error``: 'raise' fails the job on the first undecodable row
+    (default — corruption in a curated table is a bug); 'skip' drops such
+    rows, the dirty-corpus mode (every codec raises ValueError on
+    malformed bytes by the fuzz-pinned boundary contract).
     """
+    _check_on_error(on_error)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for image_id, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
-                px = codecs.decode_image(bytes(data), fmt)
+                try:
+                    px = codecs.decode_image(bytes(data), fmt)
+                except ValueError:
+                    if on_error == "skip":
+                        continue
+                    raise
                 gray = px.astype(np.float64).mean(axis=2)
                 cells = _box_mean_grid(gray, grid, grid)
                 bits = (cells > cells.mean()).flatten()
@@ -273,7 +298,9 @@ from simple_osm_queries_spark.sources.jpeg import dct_matrix as _dct_matrix
 _PHASH_DCT32 = _dct_matrix(32)
 
 
-def dct_phash_images(df: DataFrame, id_col: str = "image_id") -> DataFrame:
+def dct_phash_images(
+    df: DataFrame, id_col: str = "image_id", on_error: str = "raise"
+) -> DataFrame:
     """Classic DCT perceptual hash (pHash): decode -> grayscale -> box-mean
     to 32x32 -> 2D DCT-II -> keep the 8x8 low-frequency block -> threshold
     at the median -> 63-bit hash (the DC coefficient — absolute
@@ -284,14 +311,21 @@ def dct_phash_images(df: DataFrame, id_col: str = "image_id") -> DataFrame:
     structure, not absolute levels). Output (image_id, dct_phash long)
     feeds operators.dedup.phash_near_dups(phash_col='dct_phash') exactly
     like the stored-phash and ahash variants — the bucketed Hamming join
-    machinery is shared, so the scale story is unchanged.
+    machinery is shared, so the scale story is unchanged. ``on_error``:
+    'raise' (default) or 'skip' undecodable rows (dirty-corpus mode).
     """
+    _check_on_error(on_error)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for image_id, data, fmt in zip(pdf[id_col], pdf["bytes"], pdf["fmt"]):
-                px = codecs.decode_image(bytes(data), fmt)
+                try:
+                    px = codecs.decode_image(bytes(data), fmt)
+                except ValueError:
+                    if on_error == "skip":
+                        continue
+                    raise
                 gray = px.astype(np.float64).mean(axis=2)
                 cells = _box_mean_grid(gray, 32, 32)
                 coefs = _PHASH_DCT32 @ cells @ _PHASH_DCT32.T
@@ -322,7 +356,10 @@ AUDIO_FEATURES_SCHEMA = (
 
 
 def audio_features(
-    df: DataFrame, id_col: str = "media_id", bytes_col: str = "bytes"
+    df: DataFrame,
+    id_col: str = "media_id",
+    bytes_col: str = "bytes",
+    on_error: str = "raise",
 ) -> DataFrame:
     """Audio feature extraction over WAV blobs (the third modality —
     image/video/audio all decode through from-scratch stdlib codecs now):
@@ -331,13 +368,20 @@ def audio_features(
     whose RMS is under -40 dBFS (silence). Arrow-batched mapInPandas; the
     binary column never leaves the executor — the standard shape for a
     training-data audio-quality filter (drop silent/clipped/narrowband
-    rows before transcription)."""
+    rows before transcription). ``on_error``: 'raise' (default) or 'skip'
+    undecodable rows (dirty-corpus mode)."""
+    _check_on_error(on_error)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, data in zip(pdf[id_col], pdf[bytes_col]):
-                x, rate = codecs.decode_wav(bytes(data))
+                try:
+                    x, rate = codecs.decode_wav(bytes(data))
+                except ValueError:
+                    if on_error == "skip":
+                        continue
+                    raise
                 nch = x.shape[1]
                 mono = x.mean(axis=1)
                 ns = len(mono)

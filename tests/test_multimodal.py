@@ -406,3 +406,39 @@ def test_resize_area_antialiases(spark):
     assert np.array_equal(near["u"], np.full((8, 8, 3), 77))
     with pytest.raises(ValueError, match="unknown resize method"):
         multimodal.resize_images(df, 8, 8, method="lanczos")
+
+
+def test_on_error_skip_drops_corrupt_rows(spark):
+    """Dirty-corpus mode: one corrupt row among good ones is dropped under
+    on_error='skip' (every codec's failures are catchable ValueErrors per
+    the boundary contract); the default still raises."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from simple_osm_queries_spark.sources.datagen import image_pixels
+
+    rows = [
+        ("good1", codecs.encode_png(image_pixels(1)), "png"),
+        ("bad", b"\x89PNG\r\n\x1a\ngarbage", "png"),
+        ("good2", codecs.encode_png(image_pixels(2)), "png"),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    for op in (
+        lambda d, **kw: multimodal.ahash_images(d, **kw),
+        lambda d, **kw: multimodal.dct_phash_images(d, **kw),
+        lambda d, **kw: multimodal.resize_images(d, 8, 8, **kw),
+    ):
+        got = op(df, on_error="skip").collect()
+        assert {r[0] for r in got} == {"good1", "good2"}
+        with pytest.raises((PythonException, Py4JJavaError)):
+            op(df).collect()
+    adf = spark.createDataFrame(
+        [("g", codecs.encode_wav(np.zeros(64) + 0.1)), ("b", b"RIFFxxxxWAVE")],
+        "media_id string, bytes binary",
+    )
+    got = multimodal.audio_features(adf, on_error="skip").collect()
+    assert [r.media_id for r in got] == ["g"]
+    with pytest.raises((PythonException, Py4JJavaError)):
+        multimodal.audio_features(adf).collect()
+    with pytest.raises(ValueError, match="on_error"):
+        multimodal.ahash_images(df, on_error="ignore")
