@@ -37,6 +37,23 @@ def _check_on_error(on_error: str) -> None:
     if on_error not in ("raise", "skip"):
         raise ValueError(f"on_error must be 'raise' or 'skip', got {on_error!r}")
 
+
+def _decode_or_none(decode_fn, data, on_error: str, catch=(ValueError,)):
+    """The ONE skip-or-raise block all dirty-corpus UDF loops share. NULL
+    binary values count as undecodable (bytes(None) would otherwise raise
+    TypeError past the codec boundary); ``catch`` widens to
+    NotImplementedError for video containers without a built-in codec."""
+    if data is None:
+        if on_error == "skip":
+            return None
+        raise ValueError("NULL bytes value (use on_error='skip' to drop)")
+    try:
+        return decode_fn(bytes(data))
+    except catch:
+        if on_error == "skip":
+            return None
+        raise
+
 DECODE_STATS_SCHEMA = (
     "image_id string, fmt string, ok boolean, width int, height int, "
     "mean_r double, mean_g double, mean_b double"
@@ -138,12 +155,9 @@ def resize_images(
             out_bytes = []
             keep = []
             for image_id, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
-                try:
-                    px = codecs.decode_image(bytes(data), fmt)
-                except ValueError:
-                    if on_error == "skip":
-                        continue
-                    raise
+                px = _decode_or_none(lambda b: codecs.decode_image(b, fmt), data, on_error)
+                if px is None:
+                    continue
                 keep.append(image_id)
                 if method == "area":
                     resized = np.stack(
@@ -220,12 +234,9 @@ def ahash_images(df: DataFrame, grid: int = 8, on_error: str = "raise") -> DataF
         for pdf in batches:
             out = []
             for image_id, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
-                try:
-                    px = codecs.decode_image(bytes(data), fmt)
-                except ValueError:
-                    if on_error == "skip":
-                        continue
-                    raise
+                px = _decode_or_none(lambda b: codecs.decode_image(b, fmt), data, on_error)
+                if px is None:
+                    continue
                 gray = px.astype(np.float64).mean(axis=2)
                 cells = _box_mean_grid(gray, grid, grid)
                 bits = (cells > cells.mean()).flatten()
@@ -268,6 +279,7 @@ def sample_frames(
     decoder: Callable[[bytes], "np.ndarray"] | None = None,
     id_col: str = "media_id",
     bytes_col: str = "bytes",
+    on_error: str = "raise",
 ) -> DataFrame:
     """Video frame sampling: every ``every_n``-th frame of each media blob,
     re-encoded PNG, one output row per sampled frame (Arrow-batched
@@ -277,15 +289,23 @@ def sample_frames(
     by default GIF and MJPEG-in-AVI decode for real via the from-scratch
     stdlib codecs (VERDICT r4 #6 — stub removed, both suggested containers
     shipped); others raise NotImplementedError until a codec-backed decoder
-    is injected.
+    is injected — or are dropped under ``on_error='skip'`` along with
+    corrupt blobs (dirty-corpus mode).
     """
     dec = decoder if decoder is not None else _default_frame_decoder
+    _check_on_error(on_error)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, data in zip(pdf[id_col], pdf[bytes_col]):
-                frames = dec(bytes(data))
+                # unknown container magic (NotImplementedError) is also a
+                # skippable condition in dirty-corpus mode
+                frames = _decode_or_none(
+                    dec, data, on_error, catch=(ValueError, NotImplementedError)
+                )
+                if frames is None:
+                    continue
                 for idx in range(0, len(frames), every_n):
                     rows.append((mid, idx, codecs.encode_png(frames[idx])))
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_png"])
@@ -320,12 +340,9 @@ def dct_phash_images(
         for pdf in batches:
             out = []
             for image_id, data, fmt in zip(pdf[id_col], pdf["bytes"], pdf["fmt"]):
-                try:
-                    px = codecs.decode_image(bytes(data), fmt)
-                except ValueError:
-                    if on_error == "skip":
-                        continue
-                    raise
+                px = _decode_or_none(lambda b: codecs.decode_image(b, fmt), data, on_error)
+                if px is None:
+                    continue
                 gray = px.astype(np.float64).mean(axis=2)
                 cells = _box_mean_grid(gray, 32, 32)
                 coefs = _PHASH_DCT32 @ cells @ _PHASH_DCT32.T
@@ -376,12 +393,10 @@ def audio_features(
         for pdf in batches:
             rows = []
             for mid, data in zip(pdf[id_col], pdf[bytes_col]):
-                try:
-                    x, rate = codecs.decode_wav(bytes(data))
-                except ValueError:
-                    if on_error == "skip":
-                        continue
-                    raise
+                decoded = _decode_or_none(codecs.decode_wav, data, on_error)
+                if decoded is None:
+                    continue
+                x, rate = decoded
                 nch = x.shape[1]
                 mono = x.mean(axis=1)
                 ns = len(mono)

@@ -442,3 +442,34 @@ def test_on_error_skip_drops_corrupt_rows(spark):
         multimodal.audio_features(adf).collect()
     with pytest.raises(ValueError, match="on_error"):
         multimodal.ahash_images(df, on_error="ignore")
+
+
+def test_on_error_skip_null_bytes_and_video(spark):
+    """Review regressions: NULL binary values are skippable (bytes(None)
+    previously leaked TypeError past the boundary) and sample_frames joins
+    the dirty-corpus rollout, skipping corrupt AND unknown containers."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from simple_osm_queries_spark.sources.datagen import image_pixels
+
+    rows = [
+        ("good", codecs.encode_png(image_pixels(4)), "png"),
+        ("nullrow", None, "png"),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    got = multimodal.ahash_images(df, on_error="skip").collect()
+    assert [r.image_id for r in got] == ["good"]
+    with pytest.raises((PythonException, Py4JJavaError), match="NULL bytes"):
+        multimodal.ahash_images(df).collect()
+
+    pal = codecs.gif_palette()
+    gif = codecs.encode_gif(pal[np.zeros((3, 4, 4), np.uint8)])
+    vdf = spark.createDataFrame(
+        [("g", gif), ("corrupt", b"GIF89a\x01trash"), ("mp4", b"\x00\x00\x00 ftypisom"), ("nul", None)],
+        "media_id string, bytes binary",
+    )
+    got = multimodal.sample_frames(vdf, every_n=2, on_error="skip").collect()
+    assert {r.media_id for r in got} == {"g"}
+    with pytest.raises((PythonException, Py4JJavaError)):
+        multimodal.sample_frames(vdf).collect()
