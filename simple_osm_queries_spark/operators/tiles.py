@@ -209,3 +209,86 @@ def tile_heatmap(
         render,
         "tile_id long, zoom int, tx int, ty int, n_points long, png binary",
     )
+
+
+def tile_contact_sheet(
+    df: DataFrame,
+    zoom: int,
+    thumb: int = 32,
+    grid: int = 8,
+    id_col: str = "image_id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Per-tile image contact sheets: the first ``grid^2`` members of each
+    tile (deterministic ``id_col`` order), area-resized to ``thumb`` px and
+    pasted row-major onto a (grid*thumb)^2 canvas, PNG-encoded — the
+    standard corpus-inspection artifact ("what does this map region's
+    training data look like").
+
+    Scale shape: member SELECTION runs on the cheap (tile_id, id) columns
+    only — window row_number, capped at grid^2 — and the heavy ``bytes``
+    column is fetched by a join for the SELECTED rows alone, so at most
+    grid^2 images per tile ever cross the render shuffle no matter how
+    many rows the tile holds (same caps-before-shuffle discipline as the
+    dedup family's max_df/max_bucket).
+
+    Output: (tile_id, zoom, tx, ty, n_members, n_shown, png binary).
+    """
+    import pandas as pd
+    from pyspark.sql import Window
+
+    cap = grid * grid
+    keyed = assign_tiles(df, zoom, lon=lon, lat=lat)
+    slim = keyed.select("tile_id", id_col)
+    w = Window.partitionBy("tile_id").orderBy(id_col)
+    ranked = slim.withColumn("rn", F.row_number().over(w))
+    member_counts = slim.groupBy("tile_id").agg(F.count("*").alias("n_members"))
+    chosen = ranked.filter(F.col("rn") <= cap)
+    # heavy columns only for the chosen rows
+    picked = chosen.join(
+        keyed.select("tile_id", id_col, "bytes", "fmt"), ["tile_id", id_col]
+    ).join(member_counts, "tile_id")
+
+    side = grid * thumb
+
+    def render(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        from simple_osm_queries_spark.operators.multimodal import _box_mean_grid
+        from simple_osm_queries_spark.sources import codecs
+
+        pdf = pdf.sort_values("rn")
+        tid = int(pdf["tile_id"].iloc[0])
+        canvas = np.zeros((side, side, 3), dtype=np.uint8)
+        shown = 0
+        for rn, data, fmt in zip(pdf["rn"], pdf["bytes"], pdf["fmt"]):
+            px = codecs.decode_image(bytes(data), fmt)
+            t = np.stack(
+                [
+                    _box_mean_grid(px[..., c].astype(np.float64), thumb, thumb)
+                    for c in range(3)
+                ],
+                axis=-1,
+            )
+            t = np.clip(t.round(), 0, 255).astype(np.uint8)
+            slot = int(rn) - 1
+            r, c = divmod(slot, grid)
+            canvas[r * thumb : (r + 1) * thumb, c * thumb : (c + 1) * thumb] = t
+            shown += 1
+        return pd.DataFrame(
+            {
+                "tile_id": [tid],
+                "zoom": [tid >> 58],
+                "tx": [(tid >> 29) & ((1 << 29) - 1)],
+                "ty": [tid & ((1 << 29) - 1)],
+                "n_members": [int(pdf["n_members"].iloc[0])],
+                "n_shown": [shown],
+                "png": [codecs.encode_png(canvas)],
+            }
+        )
+
+    return picked.groupBy("tile_id").applyInPandas(
+        render,
+        "tile_id long, zoom int, tx int, ty int, n_members long, n_shown int, png binary",
+    )

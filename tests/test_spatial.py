@@ -539,3 +539,59 @@ def test_tile_heatmap_renders_decodable_tiles(spark):
     assert max(by_tile[hot_id].values()) == max(
         max(v.values()) for v in by_tile.values()
     )
+
+
+def test_tile_contact_sheet(spark):
+    """Deterministic member selection (lowest image_ids), exact thumbnail
+    pasting (area resize, PNG lossless), partial tiles padded black,
+    n_members counts ALL tile rows while n_shown caps at grid^2."""
+    from simple_osm_queries_spark.operators import multimodal, tiles as T
+    from simple_osm_queries_spark.sources import codecs
+    from simple_osm_queries_spark.sources.datagen import image_pixels, node_lonlat
+
+    ids = np.arange(0, 300)
+    lon, lat = node_lonlat(ids)
+    rows = [
+        (f"img{i:04d}", codecs.encode_png(image_pixels(int(i))), "png",
+         float(lon[i]), float(lat[i]))
+        for i in ids
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, fmt string, lon double, lat double"
+    )
+    zoom, thumb, grid = 11, 8, 2  # cap = 4 per tile
+    sheets = {r.tile_id: r for r in
+              T.tile_contact_sheet(df, zoom, thumb=thumb, grid=grid).collect()}
+    # oracle: python-side grouping
+    from simple_osm_queries_spark.functions import cells as C
+
+    groups: dict = {}
+    for i in ids:
+        tx, ty = C.tile_xy_py(float(lon[i]), float(lat[i]), zoom)
+        groups.setdefault(C.tile_id_py(tx, ty, zoom), []).append(f"img{int(i):04d}")
+    assert set(sheets) == set(groups)
+    for tid, members in groups.items():
+        r = sheets[tid]
+        assert r.n_members == len(members)
+        assert r.n_shown == min(len(members), grid * grid)
+        img = codecs.decode_png(bytes(r.png))
+        assert img.shape == (grid * thumb, grid * thumb, 3)
+        chosen = sorted(members)[: grid * grid]
+        for slot, mid in enumerate(chosen):
+            i = int(mid[3:])
+            src = image_pixels(i).astype(np.float64)
+            expect = np.clip(
+                np.stack(
+                    [multimodal._box_mean_grid(src[..., c], thumb, thumb) for c in range(3)],
+                    axis=-1,
+                ).round(),
+                0,
+                255,
+            ).astype(np.uint8)
+            rr, cc = divmod(slot, grid)
+            got = img[rr * thumb : (rr + 1) * thumb, cc * thumb : (cc + 1) * thumb]
+            assert np.array_equal(got, expect)
+        # unfilled slots stay black
+        if len(chosen) < grid * grid:
+            rr, cc = divmod(len(chosen), grid)
+            assert img[rr * thumb : (rr + 1) * thumb, cc * thumb : (cc + 1) * thumb].max() == 0
