@@ -67,3 +67,32 @@ def streaming_h3_counts(stream: DataFrame, res: int = 8) -> DataFrame:
         .groupBy("cell")
         .agg(F.count("*").alias("n"))
     )
+
+
+def streaming_tile_pixel_counts(
+    stream: DataFrame, zoom: int, tile_px: int = 256
+) -> DataFrame:
+    """The raster-rendering aggregation (operators/tiles.py
+    tile_pixel_bins) in streaming form: per-(tile, pixel) running counts
+    over a (lon, lat)-bearing stream — continuously refreshed map-tile
+    state with ``update`` output. Same shared Web-Mercator projection
+    (cells.tile_fxy), same bounded per-tile state (<= tile_px^2 keys per
+    tile); a downstream renderer repaints only tiles whose rows updated."""
+    fx, fy = C.tile_fxy(F.col("lon"), F.col("lat"), zoom)
+    tx = F.least(F.greatest(F.floor(fx).cast("int"), F.lit(0)), F.lit((1 << zoom) - 1))
+    ty = F.least(F.greatest(F.floor(fy).cast("int"), F.lit(0)), F.lit((1 << zoom) - 1))
+    px = F.least(
+        F.greatest(F.floor((fx - tx) * F.lit(float(tile_px))).cast("int"), F.lit(0)),
+        F.lit(tile_px - 1),
+    )
+    py = F.least(
+        F.greatest(F.floor((fy - ty) * F.lit(float(tile_px))).cast("int"), F.lit(0)),
+        F.lit(tile_px - 1),
+    )
+    return (
+        stream.select(
+            C.tile_id(tx, ty, zoom).alias("tile_id"), px.alias("px"), py.alias("py")
+        )
+        .groupBy("tile_id", "px", "py")
+        .agg(F.count("*").alias("cnt"))
+    )

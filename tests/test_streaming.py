@@ -98,3 +98,34 @@ def test_streaming_h3_counts_matches_batch(spark, dataset, tmp_path):
         .collect()
     }
     assert got == expected and got
+
+
+def test_streaming_tile_pixel_counts_matches_batch(spark, dataset, tmp_path):
+    """The raster-binning aggregation in streaming form must agree exactly
+    with the batch operator (same shared tile_fxy projection)."""
+    from simple_osm_queries_spark.operators.tiles import tile_pixel_bins
+    from simple_osm_queries_spark.streaming.cells import streaming_tile_pixel_counts
+
+    src = str(tmp_path / "nodes_tiles_src")
+    dataset.nodes.select("id", "lon", "lat").write.parquet(src)
+    stream = spark.readStream.schema("id long, lon double, lat double").parquet(src)
+    q = (
+        streaming_tile_pixel_counts(stream, zoom=13, tile_px=32)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("tile_px_counts")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.tile_id, r.px, r.py): r.cnt
+        for r in spark.sql("SELECT * FROM tile_px_counts").collect()
+    }
+    expected = {
+        (r.tile_id, r.px, r.py): r.cnt
+        for r in tile_pixel_bins(
+            dataset.nodes.select("lon", "lat"), 13, 32
+        ).collect()
+    }
+    assert got == expected and len(got) > 0
