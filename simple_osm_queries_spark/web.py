@@ -19,6 +19,8 @@ import functools
 import json
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+from pyspark.sql import functions as F
+
 from simple_osm_queries_spark.query.parser import ParseError, parse_query
 from simple_osm_queries_spark.query.planner import PlanError, plan_query
 from simple_osm_queries_spark.sources.dataset import OsmDataset
@@ -60,8 +62,70 @@ def make_handler(
                 self._send(200, _app_html(), "text/html")
             elif self.path.startswith("/cells"):
                 self._get_cells()
+            elif self.path.startswith("/tiles/"):
+                self._get_tile()
             else:
                 self._send(404, b'{"error": "not found"}', "application/json")
+
+        def _get_tile(self) -> None:
+            """GET /tiles/{z}/{x}/{y}.png — an on-demand density heatmap
+            raster for ONE slippy tile (operators/tiles.py tile_heatmap
+            over the tile's bbox-filtered nodes). The reference's UI sends
+            every feature to the browser as GeoJSON; a raster endpoint is
+            what keeps a dense region drawable. Zoom capped like /cells."""
+            import math
+            import re
+
+            from simple_osm_queries_spark.functions import cells as C
+            from simple_osm_queries_spark.operators.tiles import tile_heatmap
+
+            m = re.match(r"^/tiles/(\d+)/(\d+)/(\d+)\.png$", self.path)
+            if not m:
+                self._send(404, b'{"error": "not found"}', "application/json")
+                return
+            z, x, y = (int(g) for g in m.groups())
+            n = 1 << z
+            if not (0 <= z <= 22 and 0 <= x < n and 0 <= y < n):
+                self._send(
+                    400, b'{"error": "tile out of range"}', "application/json"
+                )
+                return
+            try:
+                lon0 = x / n * 360.0 - 180.0
+                lon1 = (x + 1) / n * 360.0 - 180.0
+                lat1 = math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * y / n))))
+                lat0 = math.degrees(
+                    math.atan(math.sinh(math.pi * (1 - 2 * (y + 1) / n)))
+                )
+                pts = dataset.nodes.where(
+                    (F.col("lon") >= lon0)
+                    & (F.col("lon") < lon1)
+                    & (F.col("lat") > lat0)
+                    & (F.col("lat") <= lat1)
+                ).select("lon", "lat")
+                want = C.tile_id_py(x, y, z)
+                rows = [
+                    r
+                    for r in tile_heatmap(pts, z, 256).collect()
+                    if r.tile_id == want
+                ]
+                if rows:
+                    png = bytes(rows[0].png)
+                else:  # empty tile -> blank raster
+                    import numpy as np
+
+                    from simple_osm_queries_spark.sources import codecs as _codecs
+
+                    png = _codecs.encode_png(np.zeros((256, 256, 3), np.uint8))
+                self._send(200, png, "image/png")
+            except Exception as e:  # execution error envelope
+                self._send(
+                    500,
+                    json.dumps(
+                        {"error": "execution error", "message": str(e)}
+                    ).encode(),
+                    "application/json",
+                )
 
         def _get_cells(self) -> None:
             """GET /cells?bbox=minlon,minlat,maxlon,maxlat&res=7 — per-H3-cell

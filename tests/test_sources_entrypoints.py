@@ -420,3 +420,42 @@ def test_merge_tag_index(spark):
     full = tag_index.build_tag_index(a_df, b_df)
     assert merged == full
     assert merged["amenity"] == ["a2", "bench", "cafe"]  # natural order
+
+
+def test_http_tile_endpoint(ref_dataset):
+    """GET /tiles/{z}/{x}/{y}.png serves a decodable 256px heatmap raster
+    for a populated tile, a blank raster for an empty one, and 400/404 for
+    malformed requests (r5b raster endpoint)."""
+    from simple_osm_queries_spark.functions import cells as C
+    from simple_osm_queries_spark.sources import codecs
+    from simple_osm_queries_spark.web import serve
+
+    httpd = serve(ref_dataset, port=18098)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        # a tile that holds fixture nodes (window ~9.9-10.1 lon, 53.5-53.7)
+        tx, ty = C.tile_xy_py(9.95, 53.55, 12)
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:18098/tiles/12/{tx}/{ty}.png"
+        ) as resp:
+            png = resp.read()
+        assert resp.headers["Content-Type"] == "image/png"
+        img = codecs.decode_png(png)
+        assert img.shape == (256, 256, 3)
+        assert img.max() > 0  # populated tile renders something
+        # empty tile -> blank
+        with urllib.request.urlopen(
+            "http://127.0.0.1:18098/tiles/12/0/0.png"
+        ) as resp:
+            blank = codecs.decode_png(resp.read())
+        assert blank.max() == 0
+        # out-of-range / malformed
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen("http://127.0.0.1:18098/tiles/12/999999/0.png")
+        assert e.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen("http://127.0.0.1:18098/tiles/12/0/abc.png")
+        assert e.value.code == 404
+    finally:
+        httpd.shutdown()
