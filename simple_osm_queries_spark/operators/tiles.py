@@ -219,6 +219,7 @@ def tile_contact_sheet(
     id_col: str = "image_id",
     lon: str = "lon",
     lat: str = "lat",
+    on_error: str = "raise",
 ) -> DataFrame:
     """Per-tile image contact sheets: the first ``grid^2`` members of each
     tile (deterministic ``id_col`` order), area-resized to ``thumb`` px and
@@ -233,37 +234,65 @@ def tile_contact_sheet(
     many rows the tile holds (same caps-before-shuffle discipline as the
     dedup family's max_df/max_bucket).
 
+    ``on_error``: 'raise' (default, trusted corpus) re-raises a codec
+    ValueError from any malformed row; 'skip' leaves that slot black and
+    keeps rendering (dirty-corpus mode, same knob as multimodal.py).
+
+    ``id_col`` values SHOULD be unique per tile; if they are not, slots
+    are assigned per DISTINCT id (dense_rank) and the renderer keeps one
+    deterministic representative per slot (smallest bytes) rather than
+    double-painting — duplicates can never break the grid^2 cap.
+
     Output: (tile_id, zoom, tx, ty, n_members, n_shown, png binary).
     """
     import pandas as pd
     from pyspark.sql import Window
 
+    from simple_osm_queries_spark.operators.multimodal import _check_on_error
+
+    _check_on_error(on_error)
     cap = grid * grid
     keyed = assign_tiles(df, zoom, lon=lon, lat=lat)
     slim = keyed.select("tile_id", id_col)
     w = Window.partitionBy("tile_id").orderBy(id_col)
-    ranked = slim.withColumn("rn", F.row_number().over(w))
-    member_counts = slim.groupBy("tile_id").agg(F.count("*").alias("n_members"))
+    # n_members rides the same tile_id exchange the ranking already needs
+    # (unordered count window) — no second aggregation, no join back.
+    wc = Window.partitionBy("tile_id")
+    ranked = slim.withColumn("rn", F.dense_rank().over(w)).withColumn(
+        "n_members", F.count("*").over(wc)
+    )
     chosen = ranked.filter(F.col("rn") <= cap)
     # heavy columns only for the chosen rows
     picked = chosen.join(
         keyed.select("tile_id", id_col, "bytes", "fmt"), ["tile_id", id_col]
-    ).join(member_counts, "tile_id")
+    )
 
     side = grid * thumb
 
     def render(pdf: "pd.DataFrame") -> "pd.DataFrame":
         import numpy as np
 
-        from simple_osm_queries_spark.operators.multimodal import _box_mean_grid
+        from simple_osm_queries_spark.operators.multimodal import (
+            _box_mean_grid,
+            _decode_or_none,
+        )
         from simple_osm_queries_spark.sources import codecs
 
-        pdf = pdf.sort_values("rn")
+        # duplicate-id fan-out from the join back: one deterministic
+        # representative per slot (ties broken by raw bytes, which is
+        # shuffle-order-independent)
+        pdf = pdf.sort_values(["rn", "bytes"], kind="mergesort").drop_duplicates(
+            subset=["rn"], keep="first"
+        )
         tid = int(pdf["tile_id"].iloc[0])
         canvas = np.zeros((side, side, 3), dtype=np.uint8)
         shown = 0
         for rn, data, fmt in zip(pdf["rn"], pdf["bytes"], pdf["fmt"]):
-            px = codecs.decode_image(bytes(data), fmt)
+            px = _decode_or_none(
+                lambda b: codecs.decode_image(b, fmt), data, on_error
+            )
+            if px is None:  # on_error='skip': leave the slot black
+                continue
             t = np.stack(
                 [
                     _box_mean_grid(px[..., c].astype(np.float64), thumb, thumb)

@@ -77,22 +77,11 @@ def streaming_tile_pixel_counts(
     over a (lon, lat)-bearing stream — continuously refreshed map-tile
     state with ``update`` output. Same shared Web-Mercator projection
     (cells.tile_fxy), same bounded per-tile state (<= tile_px^2 keys per
-    tile); a downstream renderer repaints only tiles whose rows updated."""
-    fx, fy = C.tile_fxy(F.col("lon"), F.col("lat"), zoom)
-    tx = F.least(F.greatest(F.floor(fx).cast("int"), F.lit(0)), F.lit((1 << zoom) - 1))
-    ty = F.least(F.greatest(F.floor(fy).cast("int"), F.lit(0)), F.lit((1 << zoom) - 1))
-    px = F.least(
-        F.greatest(F.floor((fx - tx) * F.lit(float(tile_px))).cast("int"), F.lit(0)),
-        F.lit(tile_px - 1),
-    )
-    py = F.least(
-        F.greatest(F.floor((fy - ty) * F.lit(float(tile_px))).cast("int"), F.lit(0)),
-        F.lit(tile_px - 1),
-    )
-    return (
-        stream.select(
-            C.tile_id(tx, ty, zoom).alias("tile_id"), px.alias("px"), py.alias("py")
-        )
-        .groupBy("tile_id", "px", "py")
-        .agg(F.count("*").alias("cnt"))
-    )
+    tile); a downstream renderer repaints only tiles whose rows updated.
+
+    Delegates to the batch operator: tile_pixel_bins is pure column math,
+    so the identical plan runs on a streaming DataFrame — one definition,
+    structurally impossible for batch and streaming rasters to diverge."""
+    from simple_osm_queries_spark.operators.tiles import tile_pixel_bins
+
+    return tile_pixel_bins(stream, zoom, tile_px)

@@ -75,11 +75,14 @@ def make_handler(
             what keeps a dense region drawable. Zoom capped like /cells."""
             import math
             import re
+            from urllib.parse import urlparse
 
             from simple_osm_queries_spark.functions import cells as C
             from simple_osm_queries_spark.operators.tiles import tile_heatmap
 
-            m = re.match(r"^/tiles/(\d+)/(\d+)/(\d+)\.png$", self.path)
+            # slippy-map clients append cache-busting/auth query strings
+            # (.../{z}/{x}/{y}.png?v=2) — match on the path component only
+            m = re.match(r"^/tiles/(\d+)/(\d+)/(\d+)\.png$", urlparse(self.path).path)
             if not m:
                 self._send(404, b'{"error": "not found"}', "application/json")
                 return
@@ -91,19 +94,45 @@ def make_handler(
                 )
                 return
             try:
-                lon0 = x / n * 360.0 - 180.0
-                lon1 = (x + 1) / n * 360.0 - 180.0
-                lat1 = math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * y / n))))
-                lat0 = math.degrees(
-                    math.atan(math.sinh(math.pi * (1 - 2 * (y + 1) / n)))
+                # Membership truth is the ENGINE's projection (tile_of ==
+                # want), not driver-math bbox inequalities: tile_fxy clamps
+                # lat beyond ±85.05° into the edge rows and lon=180 into the
+                # last column, and the driver-side inverse-Mercator bbox is
+                # not guaranteed to be the bit-exact inverse of the Spark
+                # expression. The bbox (widened by ε, unbounded at clamped
+                # edges) remains as a PREFILTER only — it is what reaches
+                # parquet/Iceberg min-max pruning; the exact tile_of
+                # equality on top decides membership.
+                eps = 1e-7
+                lon0 = -180.0 if x == 0 else x / n * 360.0 - 180.0 - eps
+                lon1 = 180.0 if x == n - 1 else (x + 1) / n * 360.0 - 180.0 + eps
+                lat1 = (
+                    90.0
+                    if y == 0
+                    else math.degrees(
+                        math.atan(math.sinh(math.pi * (1 - 2 * y / n)))
+                    )
+                    + eps
                 )
-                pts = dataset.nodes.where(
-                    (F.col("lon") >= lon0)
-                    & (F.col("lon") < lon1)
-                    & (F.col("lat") > lat0)
-                    & (F.col("lat") <= lat1)
-                ).select("lon", "lat")
+                lat0 = (
+                    -90.0
+                    if y == n - 1
+                    else math.degrees(
+                        math.atan(math.sinh(math.pi * (1 - 2 * (y + 1) / n)))
+                    )
+                    - eps
+                )
                 want = C.tile_id_py(x, y, z)
+                pts = (
+                    dataset.nodes.where(
+                        (F.col("lon") >= lon0)
+                        & (F.col("lon") <= lon1)
+                        & (F.col("lat") >= lat0)
+                        & (F.col("lat") <= lat1)
+                    )
+                    .where(C.tile_of(F.col("lon"), F.col("lat"), z) == F.lit(want))
+                    .select("lon", "lat")
+                )
                 rows = [
                     r
                     for r in tile_heatmap(pts, z, 256).collect()
@@ -135,7 +164,6 @@ def make_handler(
             from urllib.parse import parse_qs, urlparse
 
             import numpy as np
-            from pyspark.sql import functions as F
 
             from simple_osm_queries_spark.functions import cells as C
             from simple_osm_queries_spark.sources.geojson import (

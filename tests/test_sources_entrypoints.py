@@ -459,3 +459,50 @@ def test_http_tile_endpoint(ref_dataset):
         assert e.value.code == 404
     finally:
         httpd.shutdown()
+
+
+def test_http_tile_endpoint_clamped_edges(spark, tmp_path):
+    """Round-5 review fixes: (1) a node poleward of the Mercator cutoff
+    (lat 86) is CLAMPED into the top tile row by the engine's projection
+    (functions/cells.py tile_fxy) — the endpoint's membership filter must
+    agree, not drop it with a driver-math bbox; (2) tile URLs with a
+    query string (slippy-map cache busting) still resolve."""
+    from simple_osm_queries_spark.functions import cells as C
+    from simple_osm_queries_spark.sources import codecs
+    from simple_osm_queries_spark.web import serve
+
+    xml = tmp_path / "polar.osm"
+    xml.write_text(
+        '<osm version="0.6">\n'
+        '<node id="1" lat="86.0" lon="9.95"/>\n'
+        '<node id="2" lat="53.55" lon="180.0"/>\n'
+        "</osm>\n"
+    )
+    ds = prepare(*read_osm_xml(spark, str(xml)))
+    httpd = serve(ds, port=18099)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        z = 3
+        # node 1: lat 86 clamps to the y=0 row
+        tx, _ = C.tile_xy_py(9.95, 80.0, z)
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:18099/tiles/{z}/{tx}/0.png"
+        ) as resp:
+            img = codecs.decode_png(resp.read())
+        assert img.max() > 0
+        # node 2: lon 180 clamps into the last tile column
+        n = 1 << z
+        ty = C.tile_xy_py(0.0, 53.55, z)[1]
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:18099/tiles/{z}/{n - 1}/{ty}.png"
+        ) as resp:
+            img = codecs.decode_png(resp.read())
+        assert img.max() > 0
+        # query string must not 404
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:18099/tiles/{z}/{tx}/0.png?v=2&key=abc"
+        ) as resp:
+            assert resp.status == 200
+    finally:
+        httpd.shutdown()

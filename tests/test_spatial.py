@@ -595,3 +595,65 @@ def test_tile_contact_sheet(spark):
         if len(chosen) < grid * grid:
             rr, cc = divmod(len(chosen), grid)
             assert img[rr * thumb : (rr + 1) * thumb, cc * thumb : (cc + 1) * thumb].max() == 0
+
+
+def test_tile_contact_sheet_duplicate_ids_and_skip(spark):
+    """Hardening (round-5 review): (1) duplicate (tile, image_id) rows must
+    not break the grid^2 cap or determinism — the renderer keeps ONE
+    representative per slot (smallest bytes); (2) on_error='skip' leaves a
+    malformed row's slot black instead of failing the job, while the
+    default raises (codec boundary contract)."""
+    from pyspark.sql.utils import PythonException
+
+    from simple_osm_queries_spark.operators import tiles as T
+    from simple_osm_queries_spark.sources import codecs
+    from simple_osm_queries_spark.sources.datagen import image_pixels
+
+    zoom, thumb, grid = 11, 8, 2
+    png_a = codecs.encode_png(image_pixels(1))
+    png_b = codecs.encode_png(image_pixels(2))
+    lo, hi = (png_a, png_b) if png_a < png_b else (png_b, png_a)
+    rows = [
+        ("dup", png_a, "png", 9.95, 53.55),
+        ("dup", png_b, "png", 9.95, 53.55),  # same id, same tile
+        ("solo", codecs.encode_png(image_pixels(3)), "png", 9.95, 53.55),
+    ]
+    schema = "image_id string, bytes binary, fmt string, lon double, lat double"
+    df = spark.createDataFrame(rows, schema)
+    out = T.tile_contact_sheet(df, zoom, thumb=thumb, grid=grid).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_members == 3
+    assert r.n_shown <= grid * grid and r.n_shown == 2  # dup painted once
+    img = codecs.decode_png(bytes(r.png))
+    # slot 0 = 'dup' with the deterministic (smallest-bytes) representative
+    import numpy as np
+
+    from simple_osm_queries_spark.operators import multimodal
+
+    src = codecs.decode_image(lo, "png").astype(np.float64)
+    expect = np.clip(
+        np.stack(
+            [multimodal._box_mean_grid(src[..., c], thumb, thumb) for c in range(3)],
+            axis=-1,
+        ).round(),
+        0,
+        255,
+    ).astype(np.uint8)
+    assert np.array_equal(img[:thumb, :thumb], expect)
+
+    # corrupt row: default raises, on_error='skip' paints black
+    bad = spark.createDataFrame(
+        [
+            ("a", codecs.encode_png(image_pixels(4)), "png", 9.95, 53.55),
+            ("b", b"not a png", "png", 9.95, 53.55),
+        ],
+        schema,
+    )
+    with pytest.raises(PythonException):
+        T.tile_contact_sheet(bad, zoom, thumb=thumb, grid=grid).collect()
+    r = T.tile_contact_sheet(bad, zoom, thumb=thumb, grid=grid, on_error="skip").collect()[0]
+    assert r.n_shown == 1 and r.n_members == 2
+    img = codecs.decode_png(bytes(r.png))
+    assert img[:thumb, :thumb].max() > 0  # 'a' painted at slot 0
+    assert img[:thumb, thumb : 2 * thumb].max() == 0  # 'b' slot black
