@@ -222,7 +222,7 @@ def main(argv: list[str] | None = None) -> None:
         "recursive file listing for a parquet directory)",
     )
 
-    ps = sub.add_parser("server", help="HTTP server: POST /query, GET /app, /cells, /tiles/{z}/{x}/{y}.png")
+    ps = sub.add_parser("server", help="HTTP server: POST /query, GET /app, /cells, /tiles/{z}/{x}/{y}.{png,mvt}")
     ps.add_argument("--port", type=int, default=8080)
     ps.add_argument("--data", default="generate")
     ps.add_argument("--generate", type=int, default=100_000)

@@ -321,3 +321,219 @@ def tile_contact_sheet(
         render,
         "tile_id long, zoom int, tx int, ty int, n_members long, n_shown int, png binary",
     )
+
+
+def tile_vectors(
+    df: DataFrame,
+    zoom: int,
+    extent: int = 4096,
+    cap: int = 65536,
+    layer: str = "nodes",
+    id_col: str = "id",
+    lon: str = "lon",
+    lat: str = "lat",
+    tags_col: str | None = "tags",
+) -> DataFrame:
+    """Vector-tile output for point features: one Mapbox Vector Tile (MVT
+    2.1, sources/mvt.py) per slippy tile at ``zoom``, points carrying
+    their ``tags_col`` map entries as MVT attributes — the other half of
+    the raster<->vector pair next to tile_heatmap (the reference sends
+    raw GeoJSON to the browser, src/web/api.go:117; MVT is what makes a
+    dense region drawable by a standard map client).
+
+    Plan shape mirrors the raster path: tile assignment and the
+    tile-local integer coordinates are PURE COLUMN MATH on the shared
+    tile_fxy projection (a point's MVT position is its tile_heatmap pixel
+    at tile_px=extent), so the only Python is the byte assembly in one
+    applyInPandas over the per-tile groups. ``cap`` bounds features per
+    tile (window rank on the same exchange the render groupBy needs —
+    nothing unbounded crosses the shuffle); n_total still reports the
+    true member count, so a capped tile is detectable (no silent cap).
+
+    Output: (tile_id, zoom, tx, ty, n_features, n_total, mvt binary).
+    """
+    import pandas as pd
+    from pyspark.sql import Window
+
+    fx, fy = C.tile_fxy(F.col(lon), F.col(lat), zoom)
+    tx = F.least(F.greatest(F.floor(fx).cast("int"), F.lit(0)), F.lit((1 << zoom) - 1))
+    ty = F.least(F.greatest(F.floor(fy).cast("int"), F.lit(0)), F.lit((1 << zoom) - 1))
+    ix = F.least(
+        F.greatest(F.floor((fx - tx) * F.lit(float(extent))).cast("int"), F.lit(0)),
+        F.lit(extent - 1),
+    )
+    iy = F.least(
+        F.greatest(F.floor((fy - ty) * F.lit(float(extent))).cast("int"), F.lit(0)),
+        F.lit(extent - 1),
+    )
+    cols = [
+        C.tile_id(tx, ty, zoom).alias("tile_id"),
+        F.col(id_col).alias("fid"),
+        ix.alias("ix"),
+        iy.alias("iy"),
+    ]
+    if tags_col is not None:
+        cols.append(F.col(tags_col).alias("attrs"))
+    slim = df.select(*cols)
+    w = Window.partitionBy("tile_id").orderBy("fid")
+    wc = Window.partitionBy("tile_id")
+    ranked = (
+        slim.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_total", F.count("*").over(wc))
+        .filter(F.col("rn") <= cap)
+    )
+    has_attrs = tags_col is not None
+
+    def render(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        from simple_osm_queries_spark.sources import mvt
+
+        pdf = pdf.sort_values("rn")
+        tid = int(pdf["tile_id"].iloc[0])
+        attrs_seq = pdf["attrs"] if has_attrs else [None] * len(pdf)
+        feats = [
+            {
+                "id": int(fid),
+                "type": mvt.POINT,
+                "rings": [[(int(ix), int(iy))]],
+                "attrs": dict(attrs) if attrs is not None else {},
+            }
+            for fid, ix, iy, attrs in zip(pdf["fid"], pdf["ix"], pdf["iy"], attrs_seq)
+        ]
+        blob = mvt.encode_tile([(layer, feats)], extent=extent)
+        return pd.DataFrame(
+            {
+                "tile_id": [tid],
+                "zoom": [tid >> 58],
+                "tx": [(tid >> 29) & ((1 << 29) - 1)],
+                "ty": [tid & ((1 << 29) - 1)],
+                "n_features": [len(feats)],
+                "n_total": [int(pdf["n_total"].iloc[0])],
+                "mvt": [blob],
+            }
+        )
+
+    return ranked.groupBy("tile_id").applyInPandas(
+        render,
+        "tile_id long, zoom int, tx int, ty int, n_features int, n_total long, mvt binary",
+    )
+
+
+def tile_vectors_ways(
+    ways: DataFrame,
+    zoom: int,
+    extent: int = 4096,
+    cap: int = 16384,
+    max_cover: int = 256,
+    oversize: str = "raise",
+    layer: str = "ways",
+) -> DataFrame:
+    """Vector tiles for way LINESTRINGs (prepared ways table: ``nodes``
+    array<struct<id,lon,lat>> + bbox columns from sources/dataset.py).
+
+    A way lands on every tile its BBOX covers (column-math sequence +
+    explode — an equi-joinable (way, tile) fan-out, no spatial join);
+    vertex coordinates are encoded tile-locally and MAY leave [0, extent)
+    on border tiles, which the MVT spec allows (renderers clip) — that is
+    what makes a no-clipping encoder correct. A way whose bbox covers
+    more than ``max_cover`` tiles at this zoom (a continental motorway at
+    z=15) would fan out explosively; ``oversize='raise'`` (default) fails
+    fast with the count, ``'skip'`` drops those ways — visibly, via the
+    ``n_oversize`` column present on every output row (no silent cap).
+
+    Output: (tile_id, zoom, tx, ty, n_features, n_total, n_oversize, mvt).
+    """
+    import pandas as pd
+    from pyspark.sql import Window
+
+    if oversize not in ("raise", "skip"):
+        raise ValueError(f"oversize must be 'raise' or 'skip', got {oversize!r}")
+    n = 1 << zoom
+    xmin = C.tile_x(F.col("min_lon"), zoom)
+    xmax = C.tile_x(F.col("max_lon"), zoom)
+    ymin = C.tile_y(F.col("max_lat"), zoom)  # y grows DOWN (screen space)
+    ymax = C.tile_y(F.col("min_lat"), zoom)
+    sized = ways.select(
+        F.col("id").alias("fid"),
+        "nodes",
+        xmin.alias("xmin"),
+        xmax.alias("xmax"),
+        ymin.alias("ymin"),
+        ymax.alias("ymax"),
+    ).withColumn(
+        "n_tiles",
+        (F.col("xmax") - F.col("xmin") + 1) * (F.col("ymax") - F.col("ymin") + 1),
+    )
+    oversized = sized.filter(F.col("n_tiles") > max_cover)
+    n_over = oversized.count()  # driver-side scalar, aggregate only
+    if n_over and oversize == "raise":
+        raise ValueError(
+            f"{n_over} ways cover > {max_cover} tiles at z{zoom} "
+            "(raise max_cover, lower zoom, or pass oversize='skip')"
+        )
+    fanned = (
+        sized.filter(F.col("n_tiles") <= max_cover)
+        .withColumn("tx", F.explode(F.sequence("xmin", "xmax")))
+        .withColumn("ty", F.explode(F.sequence("ymin", "ymax")))
+        .select(
+            C.tile_id(F.col("tx"), F.col("ty"), zoom).alias("tile_id"),
+            "fid",
+            "nodes",
+            "tx",
+            "ty",
+        )
+    )
+    w = Window.partitionBy("tile_id").orderBy("fid")
+    wc = Window.partitionBy("tile_id")
+    ranked = (
+        fanned.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_total", F.count("*").over(wc))
+        .filter(F.col("rn") <= cap)
+    )
+
+    def render(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import math
+
+        from simple_osm_queries_spark.functions.cells import MAX_MERCATOR_LAT
+        from simple_osm_queries_spark.sources import mvt
+
+        pdf = pdf.sort_values("rn")
+        tid = int(pdf["tile_id"].iloc[0])
+        feats = []
+        for fid, nodes, tx_r, ty_r in zip(
+            pdf["fid"], pdf["nodes"], pdf["tx"], pdf["ty"]
+        ):
+            tx_, ty_ = int(tx_r), int(ty_r)
+            ring = []
+            for v in nodes:
+                fx = (v["lon"] + 180.0) / 360.0 * n
+                lat_c = min(max(v["lat"], -MAX_MERCATOR_LAT), MAX_MERCATOR_LAT)
+                lr = math.radians(lat_c)
+                fy = (1.0 - math.log(math.tan(lr) + 1.0 / math.cos(lr)) / math.pi) / 2.0 * n
+                ring.append(
+                    (
+                        int(math.floor((fx - tx_) * extent)),
+                        int(math.floor((fy - ty_) * extent)),
+                    )
+                )
+            if len(ring) < 2:
+                continue  # degenerate single-vertex way
+            feats.append({"id": int(fid), "type": mvt.LINESTRING, "rings": [ring]})
+        blob = mvt.encode_tile([(layer, feats)], extent=extent)
+        return pd.DataFrame(
+            {
+                "tile_id": [tid],
+                "zoom": [tid >> 58],
+                "tx": [(tid >> 29) & ((1 << 29) - 1)],
+                "ty": [tid & ((1 << 29) - 1)],
+                "n_features": [len(feats)],
+                "n_total": [int(pdf["n_total"].iloc[0])],
+                "n_oversize": [int(n_over)],
+                "mvt": [blob],
+            }
+        )
+
+    return ranked.groupBy("tile_id").applyInPandas(
+        render,
+        "tile_id long, zoom int, tx int, ty int, n_features int, "
+        "n_total long, n_oversize long, mvt binary",
+    )

@@ -70,23 +70,33 @@ def make_handler(
         def _get_tile(self) -> None:
             """GET /tiles/{z}/{x}/{y}.png — an on-demand density heatmap
             raster for ONE slippy tile (operators/tiles.py tile_heatmap
-            over the tile's bbox-filtered nodes). The reference's UI sends
-            every feature to the browser as GeoJSON; a raster endpoint is
-            what keeps a dense region drawable. Zoom capped like /cells."""
+            over the tile's bbox-filtered nodes), and .mvt — the same
+            tile as a Mapbox Vector Tile (operators/tiles.py tile_vectors
+            over the same filtered points, tags as MVT attributes). The
+            reference's UI sends every feature to the browser as GeoJSON;
+            raster keeps a dense region drawable, MVT keeps it
+            *interactive* in any standard map client. Zoom capped like
+            /cells."""
             import math
             import re
             from urllib.parse import urlparse
 
             from simple_osm_queries_spark.functions import cells as C
-            from simple_osm_queries_spark.operators.tiles import tile_heatmap
+            from simple_osm_queries_spark.operators.tiles import (
+                tile_heatmap,
+                tile_vectors,
+            )
 
             # slippy-map clients append cache-busting/auth query strings
             # (.../{z}/{x}/{y}.png?v=2) — match on the path component only
-            m = re.match(r"^/tiles/(\d+)/(\d+)/(\d+)\.png$", urlparse(self.path).path)
+            m = re.match(
+                r"^/tiles/(\d+)/(\d+)/(\d+)\.(png|mvt)$", urlparse(self.path).path
+            )
             if not m:
                 self._send(404, b'{"error": "not found"}', "application/json")
                 return
-            z, x, y = (int(g) for g in m.groups())
+            z, x, y = (int(g) for g in m.groups()[:3])
+            fmt = m.group(4)
             n = 1 << z
             if not (0 <= z <= 22 and 0 <= x < n and 0 <= y < n):
                 self._send(
@@ -123,16 +133,31 @@ def make_handler(
                     - eps
                 )
                 want = C.tile_id_py(x, y, z)
-                pts = (
-                    dataset.nodes.where(
-                        (F.col("lon") >= lon0)
-                        & (F.col("lon") <= lon1)
-                        & (F.col("lat") >= lat0)
-                        & (F.col("lat") <= lat1)
-                    )
-                    .where(C.tile_of(F.col("lon"), F.col("lat"), z) == F.lit(want))
-                    .select("lon", "lat")
-                )
+                pre = dataset.nodes.where(
+                    (F.col("lon") >= lon0)
+                    & (F.col("lon") <= lon1)
+                    & (F.col("lat") >= lat0)
+                    & (F.col("lat") <= lat1)
+                ).where(C.tile_of(F.col("lon"), F.col("lat"), z) == F.lit(want))
+                if fmt == "mvt":
+                    rows = [
+                        r
+                        for r in tile_vectors(
+                            pre.select("id", "lon", "lat", "tags"),
+                            z,
+                            cap=max_rows,
+                        ).collect()
+                        if r.tile_id == want
+                    ]
+                    if rows:
+                        blob = bytes(rows[0].mvt)
+                    else:  # empty tile -> empty layer, still a valid MVT
+                        from simple_osm_queries_spark.sources import mvt as _mvt
+
+                        blob = _mvt.encode_tile([("nodes", [])])
+                    self._send(200, blob, "application/vnd.mapbox-vector-tile")
+                    return
+                pts = pre.select("lon", "lat")
                 rows = [
                     r
                     for r in tile_heatmap(pts, z, 256).collect()

@@ -1,0 +1,301 @@
+"""Mapbox Vector Tile codec (sources/mvt.py) + tile_vectors operators.
+
+Oracle strategy (CLAUDE.md): the codec is pinned by HAND-COMPUTED wire
+bytes (spec 2.1 layout worked out independently below, not via the
+encoder), an independent minimal protobuf wire parser written here, and
+encode->decode round-trips; the operators are checked against a pure-
+python tile-assignment/projection oracle.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from simple_osm_queries_spark.sources import mvt
+
+
+# ---------------------------------------------------------------------------
+# wire primitives
+# ---------------------------------------------------------------------------
+
+def test_varint_zigzag_anchors():
+    # published protobuf examples: 300 -> AC 02; 1 -> 01
+    assert mvt._varint(300) == b"\xac\x02"
+    assert mvt._varint(1) == b"\x01"
+    assert mvt._varint(0) == b"\x00"
+    # zigzag: 0->0, -1->1, 1->2, -2->3 (protobuf sint encoding table)
+    assert [mvt._zigzag(v) for v in (0, -1, 1, -2, 2)] == [0, 1, 2, 3, 4]
+    for v in (0, 1, -1, 2, -2, 63, -64, 10**12, -(10**12)):
+        assert mvt._unzigzag(mvt._zigzag(v)) == v
+
+
+def test_geometry_command_anchor():
+    """Spec 2.1 worked example: a point at (25,17) encodes to the command
+    stream [9, 50, 34] (MoveTo count=1 => (1 | 1<<3) = 9; zigzag(25)=50,
+    zigzag(17)=34)."""
+    assert mvt.encode_geometry(mvt.POINT, [[(25, 17)]]) == [9, 50, 34]
+    assert mvt.decode_geometry([9, 50, 34]) == [[(25, 17)]]
+
+
+def test_linestring_and_polygon_commands():
+    # spec example: linestring (2,2)->(2,10)->(10,10):
+    # [9, 4, 4, 18, 0, 16, 16, 0]
+    cmds = mvt.encode_geometry(mvt.LINESTRING, [[(2, 2), (2, 10), (10, 10)]])
+    assert cmds == [9, 4, 4, 18, 0, 16, 16, 0]
+    # polygon ring closes implicitly with ClosePath (command 7, count 1 -> 15)
+    ring = [(3, 6), (8, 12), (20, 34)]
+    pcmds = mvt.encode_geometry(mvt.POLYGON, [ring])
+    assert pcmds[-1] == 15
+    assert mvt.decode_geometry(pcmds) == [ring]
+    # explicit closing vertex is dropped, same bytes
+    assert mvt.encode_geometry(mvt.POLYGON, [ring + [ring[0]]]) == pcmds
+
+
+def test_hand_computed_tile_bytes():
+    """Full tile, bytes assembled BY HAND from the spec (independent of the
+    encoder): one layer 'p', one point feature id=7 at (25,17), one
+    attribute name='a'."""
+    feature = bytes(
+        [0x08, 0x07]  # id = 7
+        + [0x12, 0x02, 0x00, 0x00]  # tags packed [0, 0]
+        + [0x18, 0x01]  # type = POINT
+        + [0x22, 0x03, 0x09, 0x32, 0x22]  # geometry packed [9, 50, 34]
+    )
+    value = bytes([0x0A, 0x01, 0x61])  # Value{string_value: "a"}
+    layer = (
+        bytes([0x78, 0x02])  # version = 2 (field 15 varint)
+        + bytes([0x0A, 0x01, 0x70])  # name = "p"
+        + bytes([0x12, len(feature)]) + feature  # features[0]
+        + bytes([0x1A, 0x04]) + b"name"  # keys[0]
+        + bytes([0x22, len(value)]) + value  # values[0]
+        + bytes([0x28, 0x80, 0x20])  # extent = 4096
+    )
+    expected = bytes([0x1A, len(layer)]) + layer
+    got = mvt.encode_tile(
+        [("p", [{"id": 7, "type": mvt.POINT, "rings": [[(25, 17)]],
+                 "attrs": {"name": "a"}}])]
+    )
+    assert got == expected
+
+
+def test_roundtrip_attrs_all_types_and_dedup():
+    feats = [
+        {"id": 1, "type": mvt.POINT, "rings": [[(0, 0)]],
+         "attrs": {"s": "x", "i": -5, "f": 2.5, "b": True}},
+        {"id": 2, "type": mvt.POINT, "rings": [[(4095, 4095)]],
+         "attrs": {"s": "x", "i": 7, "b": False}},  # "s"/"x" shared
+        {"id": 3, "type": mvt.LINESTRING,
+         "rings": [[(0, 0), (100, 50)], [(200, 200), (90, 210)]]},
+    ]
+    data = mvt.encode_tile([("mix", feats)])
+    out = mvt.decode_tile(data)
+    layer = out["mix"]
+    assert layer["version"] == 2 and layer["extent"] == 4096
+    f1, f2, f3 = layer["features"]
+    assert f1["attrs"] == {"s": "x", "i": -5, "f": 2.5, "b": True}
+    assert isinstance(f1["attrs"]["b"], bool) and isinstance(f1["attrs"]["i"], int)
+    assert f2["attrs"] == {"s": "x", "i": 7, "b": False}
+    assert f3["parts"] == [[(0, 0), (100, 50)], [(200, 200), (90, 210)]]
+    assert f3["attrs"] == {}
+    # key/value tables deduplicated: 4 keys, 6 values ("x" shared; bool
+    # False is distinct from int 0, float 2.5 distinct from any int)
+    by_field: dict[int, int] = {}
+    (_, _, layer_bytes), = _walk_independent(data)
+    for f, _, _v in _walk_independent(layer_bytes):
+        by_field[f] = by_field.get(f, 0) + 1
+    assert by_field[3] == 4 and by_field[4] == 6
+
+
+def _walk_independent(data: bytes):
+    """Minimal INDEPENDENT protobuf wire parser (no shared helpers with
+    sources/mvt.py) used to cross-check the encoder's framing."""
+    pos = 0
+    while pos < len(data):
+        tag = 0
+        shift = 0
+        while True:
+            b = data[pos]
+            pos += 1
+            tag |= (b & 0x7F) << shift
+            shift += 7
+            if not b & 0x80:
+                break
+        field, wt = tag >> 3, tag & 7
+        if wt == 0:
+            v = 0
+            shift = 0
+            while True:
+                b = data[pos]
+                pos += 1
+                v |= (b & 0x7F) << shift
+                shift += 7
+                if not b & 0x80:
+                    break
+        elif wt == 2:
+            ln = 0
+            shift = 0
+            while True:
+                b = data[pos]
+                pos += 1
+                ln |= (b & 0x7F) << shift
+                shift += 7
+                if not b & 0x80:
+                    break
+            v = data[pos : pos + ln]
+            pos += ln
+        else:
+            raise AssertionError(f"unexpected wire type {wt}")
+        yield field, wt, v
+
+
+def test_encoder_framing_vs_independent_parser():
+    data = mvt.encode_tile(
+        [("a", [{"id": 9, "type": mvt.POINT, "rings": [[(1, 2)]],
+                 "attrs": {"k": "v", "n": 3}}]),
+         ("b", [])]
+    )
+    tops = list(_walk_independent(data))
+    assert [f for f, _, _ in tops] == [3, 3]  # two Layer fields
+    fields_a = list(_walk_independent(tops[0][2]))
+    by_field: dict[int, list] = {}
+    for f, _, v in fields_a:
+        by_field.setdefault(f, []).append(v)
+    assert by_field[15] == [2]  # version 2
+    assert by_field[1] == [b"a"]
+    assert by_field[3] == [b"k", b"n"]  # keys in insertion order
+    assert len(by_field[4]) == 2  # two distinct values
+    assert by_field[5] == [4096]
+    # empty layer still valid
+    fields_b = {f: v for f, _, v in _walk_independent(tops[1][2])}
+    assert fields_b[1] == b"b" and fields_b[15] == 2
+
+
+def test_malformed_bytes_raise_valueerror():
+    good = mvt.encode_tile(
+        [("p", [{"id": 1, "type": mvt.POINT, "rings": [[(3, 4)]]}])]
+    )
+    for bad in (good[:-1], good[:3], b"\xff" * 8, b"\x1a\x7f" + b"\x00"):
+        with pytest.raises(ValueError):
+            mvt.decode_tile(bad)
+    # unsupported attr type fails at encode time
+    with pytest.raises(ValueError):
+        mvt.encode_value([1, 2])
+
+
+# ---------------------------------------------------------------------------
+# Spark operators
+# ---------------------------------------------------------------------------
+
+def test_tile_vectors_points(spark):
+    """Every generated node lands in exactly one tile's MVT with the
+    pure-python projection oracle's coordinates and its tags as
+    attributes; per-tile feature order is id order."""
+    from simple_osm_queries_spark.functions import cells as C
+    from simple_osm_queries_spark.operators.tiles import tile_vectors
+    from simple_osm_queries_spark.sources.dataset import from_generator
+
+    ds = from_generator(spark, n_nodes=400, n_ways=0, n_relations=0)
+    zoom, extent = 12, 4096
+    rows = ds.nodes.select("id", "lon", "lat", "tags").collect()
+    out = {r.tile_id: r for r in tile_vectors(ds.nodes, zoom, extent=extent).collect()}
+
+    oracle: dict[int, list] = {}
+    n = 1 << zoom
+    for r in rows:
+        tx, ty = C.tile_xy_py(r.lon, r.lat, zoom)
+        fx = (r.lon + 180.0) / 360.0 * n
+        lr = math.radians(min(max(r.lat, -85.05112878), 85.05112878))
+        fy = (1.0 - math.log(math.tan(lr) + 1.0 / math.cos(lr)) / math.pi) / 2.0 * n
+        ix = min(max(int(math.floor((fx - tx) * extent)), 0), extent - 1)
+        iy = min(max(int(math.floor((fy - ty) * extent)), 0), extent - 1)
+        oracle.setdefault(C.tile_id_py(tx, ty, zoom), []).append(
+            (r.id, ix, iy, dict(r.tags))
+        )
+    assert set(out) == set(oracle)
+    for tid, members in oracle.items():
+        row = out[tid]
+        members.sort()
+        layer = mvt.decode_tile(bytes(row.mvt))["nodes"]
+        assert layer["extent"] == extent
+        assert row.n_features == row.n_total == len(members)
+        got = [
+            (f["id"], f["parts"][0][0][0], f["parts"][0][0][1], f["attrs"])
+            for f in layer["features"]
+        ]
+        assert got == [(i, x, y, t) for i, x, y, t in members]
+
+
+def test_tile_vectors_cap_is_visible(spark):
+    from simple_osm_queries_spark.operators.tiles import tile_vectors
+
+    pts = spark.createDataFrame(
+        [(i, 9.95, 53.55, {"k": "v"}) for i in range(30)],
+        "id long, lon double, lat double, tags map<string,string>",
+    )
+    r = tile_vectors(pts, 11, cap=10).collect()[0]
+    assert r.n_features == 10 and r.n_total == 30  # capped but not silent
+    layer = mvt.decode_tile(bytes(r.mvt))["nodes"]
+    assert [f["id"] for f in layer["features"]] == list(range(10))
+
+
+def test_tile_vectors_ways(spark):
+    """A way whose bbox spans two tiles appears in BOTH tiles' MVTs, with
+    tile-local coordinates that reconstruct the same absolute positions
+    (coords may leave [0, extent) on the neighbor tile — spec buffer
+    convention); oversize ways raise by default and are visibly skipped
+    with oversize='skip'."""
+    from simple_osm_queries_spark.functions import cells as C
+    from simple_osm_queries_spark.operators.tiles import tile_vectors_ways
+    from simple_osm_queries_spark.sources.dataset import from_generator, prepare
+
+    ds = from_generator(spark, n_nodes=300, n_ways=60, n_relations=0)
+    zoom, extent = 13, 4096
+    ways = ds.ways
+    out = list(tile_vectors_ways(ways, zoom, extent=extent).collect())
+    assert out, "expected at least one way tile"
+    wrows = {r.id: r for r in ways.select("id", "nodes").collect()}
+    n = 1 << zoom
+    seen: dict[int, set] = {}
+    for r in out:
+        layer = mvt.decode_tile(bytes(r.mvt))["ways"]
+        assert r.n_oversize == 0
+        for f in layer["features"]:
+            seen.setdefault(f["id"], set()).add((r.tx, r.ty))
+            # absolute reconstruction: tile origin + local/extent == proj
+            pts = f["parts"][0]
+            nodes = wrows[f["id"]].nodes
+            assert len(pts) == len(nodes)
+            for (ix, iy), v in zip(pts, nodes):
+                fx = (v.lon + 180.0) / 360.0 * n
+                lr = math.radians(min(max(v.lat, -85.05112878), 85.05112878))
+                fy = (1.0 - math.log(math.tan(lr) + 1.0 / math.cos(lr)) / math.pi) / 2.0 * n
+                assert abs((r.tx + ix / extent) - fx) <= 1.5 / extent
+                assert abs((r.ty + iy / extent) - fy) <= 1.5 / extent
+    # coverage: every way with >=2 resolved nodes appears on every bbox tile
+    for wid, row in wrows.items():
+        if len(row.nodes) < 2:
+            continue
+        lons = [v.lon for v in row.nodes]
+        lats = [v.lat for v in row.nodes]
+        x0, _ = C.tile_xy_py(min(lons), 0.0, zoom)
+        x1, _ = C.tile_xy_py(max(lons), 0.0, zoom)
+        _, y0 = C.tile_xy_py(0.0, max(lats), zoom)
+        _, y1 = C.tile_xy_py(0.0, min(lats), zoom)
+        want = {(tx, ty) for tx in range(x0, x1 + 1) for ty in range(y0, y1 + 1)}
+        assert seen.get(wid) == want
+
+    # oversize handling: a hemisphere-wide way at z13
+    big = spark.createDataFrame(
+        [(999, [{"id": 1, "lon": -60.0, "lat": 10.0},
+                {"id": 2, "lon": 60.0, "lat": 11.0}],
+          -60.0, 10.0, 60.0, 11.0)],
+        "id long, nodes array<struct<id:long,lon:double,lat:double>>, "
+        "min_lon double, min_lat double, max_lon double, max_lat double",
+    )
+    with pytest.raises(ValueError, match="cover"):
+        tile_vectors_ways(big, zoom).collect()
+    skipped = tile_vectors_ways(big, zoom, oversize="skip").collect()
+    assert skipped == []  # nothing renderable left, and no exception

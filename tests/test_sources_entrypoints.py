@@ -461,6 +461,44 @@ def test_http_tile_endpoint(ref_dataset):
         httpd.shutdown()
 
 
+def test_http_mvt_tile_endpoint(ref_dataset):
+    """GET /tiles/{z}/{x}/{y}.mvt serves a decodable Mapbox Vector Tile
+    carrying the tile's nodes with their tags as attributes, and an empty
+    (but valid) tile for an unpopulated slot."""
+    from simple_osm_queries_spark.functions import cells as C
+    from simple_osm_queries_spark.sources import mvt
+    from simple_osm_queries_spark.web import serve
+
+    httpd = serve(ref_dataset, port=18097)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        tx, ty = C.tile_xy_py(9.95, 53.55, 12)
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:18097/tiles/12/{tx}/{ty}.mvt"
+        ) as resp:
+            blob = resp.read()
+        assert resp.headers["Content-Type"] == "application/vnd.mapbox-vector-tile"
+        layers = mvt.decode_tile(blob)
+        feats = layers["nodes"]["features"]
+        assert len(feats) == 3  # all three fixture nodes share this tile
+        by_id = {f["id"]: f for f in feats}
+        assert by_id[2]["attrs"]["amenity"] == "bench"
+        assert all(f["type"] == mvt.POINT for f in feats)
+        # every position inside [0, extent)
+        for f in feats:
+            (x_, y_), = f["parts"][0]
+            assert 0 <= x_ < 4096 and 0 <= y_ < 4096
+        # empty tile: still a valid MVT with an empty layer
+        with urllib.request.urlopen(
+            "http://127.0.0.1:18097/tiles/12/0/0.mvt"
+        ) as resp:
+            empty = mvt.decode_tile(resp.read())
+        assert empty["nodes"]["features"] == []
+    finally:
+        httpd.shutdown()
+
+
 def test_http_tile_endpoint_clamped_edges(spark, tmp_path):
     """Round-5 review fixes: (1) a node poleward of the Mercator cutoff
     (lat 86) is CLAMPED into the top tile row by the engine's projection
