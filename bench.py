@@ -401,6 +401,9 @@ def run_image_block(spark) -> dict:
     # is the same one-shuffle shape tile_assignment times at 10M; this row
     # times the per-tile paint+PNG applyInPandas on top)
     one("tile_heatmap", lambda: _t.tile_heatmap(imgs, 13, 128).count())
+    # r5c: the vector half of the pair — per-tile MVT assembly (same
+    # tile_fxy column math + one applyInPandas byte-encode per tile)
+    one("tile_mvt", lambda: _t.tile_vectors(imgs, 13).count())
     one(
         "tile_image_rollup",
         lambda: imgs.select(

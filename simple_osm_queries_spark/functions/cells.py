@@ -165,12 +165,22 @@ def tile_of(lon: Column, lat: Column, zoom: int) -> Column:
     return tile_id(tile_x(lon, zoom), tile_y(lat, zoom), zoom)
 
 
-def tile_xy_py(lon: float, lat: float, zoom: int) -> tuple[int, int]:
+def tile_fxy_py(lon: float, lat: float, zoom: int) -> tuple[float, float]:
+    """Driver/UDF-side twin of tile_fxy — SAME formula term-for-term, so a
+    Python-projected pixel always lands in the tile the column expression
+    assigned the point to."""
     n = 1 << zoom
-    tx = int(math.floor((lon + 180.0) / 360.0 * n))
+    fx = (lon + 180.0) / 360.0 * n
     lat_c = min(max(lat, -MAX_MERCATOR_LAT), MAX_MERCATOR_LAT)
     lat_rad = math.radians(lat_c)
-    ty = int(math.floor((1.0 - math.log(math.tan(lat_rad) + 1.0 / math.cos(lat_rad)) / math.pi) / 2.0 * n))
+    fy = (1.0 - math.log(math.tan(lat_rad) + 1.0 / math.cos(lat_rad)) / math.pi) / 2.0 * n
+    return fx, fy
+
+
+def tile_xy_py(lon: float, lat: float, zoom: int) -> tuple[int, int]:
+    n = 1 << zoom
+    fx, fy = tile_fxy_py(lon, lat, zoom)
+    tx, ty = int(math.floor(fx)), int(math.floor(fy))
     return min(max(tx, 0), n - 1), min(max(ty, 0), n - 1)
 
 

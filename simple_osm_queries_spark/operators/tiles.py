@@ -445,16 +445,81 @@ def tile_vectors_ways(
     import pandas as pd
     from pyspark.sql import Window
 
+    ranked, n_over = _bbox_tile_fanout(
+        ways, zoom, cap, max_cover, oversize, ["nodes"], "ways"
+    )
+
+    def render(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import math
+
+        from simple_osm_queries_spark.functions.cells import tile_fxy_py
+        from simple_osm_queries_spark.sources import mvt
+
+        pdf = pdf.sort_values("rn")
+        tid = int(pdf["tile_id"].iloc[0])
+        feats = []
+        for fid, nodes, tx_r, ty_r in zip(
+            pdf["fid"], pdf["nodes"], pdf["tx"], pdf["ty"]
+        ):
+            tx_, ty_ = int(tx_r), int(ty_r)
+            ring = []
+            for v in nodes:
+                fx, fy = tile_fxy_py(v["lon"], v["lat"], zoom)
+                ring.append(
+                    (
+                        int(math.floor((fx - tx_) * extent)),
+                        int(math.floor((fy - ty_) * extent)),
+                    )
+                )
+            if len(ring) < 2:
+                continue  # degenerate single-vertex way
+            feats.append({"id": int(fid), "type": mvt.LINESTRING, "rings": [ring]})
+        blob = mvt.encode_tile([(layer, feats)], extent=extent)
+        return pd.DataFrame(
+            {
+                "tile_id": [tid],
+                "zoom": [tid >> 58],
+                "tx": [(tid >> 29) & ((1 << 29) - 1)],
+                "ty": [tid & ((1 << 29) - 1)],
+                "n_features": [len(feats)],
+                "n_total": [int(pdf["n_total"].iloc[0])],
+                "n_oversize": [int(n_over)],
+                "mvt": [blob],
+            }
+        )
+
+    return ranked.groupBy("tile_id").applyInPandas(
+        render,
+        "tile_id long, zoom int, tx int, ty int, n_features int, "
+        "n_total long, n_oversize long, mvt binary",
+    )
+
+
+def _bbox_tile_fanout(
+    df: DataFrame,
+    zoom: int,
+    cap: int,
+    max_cover: int,
+    oversize: str,
+    payload_cols: list[str],
+    what: str,
+) -> tuple[DataFrame, int]:
+    """(feature -> covered tiles) fan-out shared by the linestring and
+    polygon MVT paths: bbox columns -> tile index ranges (column math) ->
+    sequence+explode -> per-tile window rank to ``cap``. Returns the
+    ranked (tile_id, fid, payload..., tx, ty, rn, n_total) frame and the
+    count of oversize-dropped features (raise/skip per ``oversize``)."""
+    from pyspark.sql import Window
+
     if oversize not in ("raise", "skip"):
         raise ValueError(f"oversize must be 'raise' or 'skip', got {oversize!r}")
-    n = 1 << zoom
     xmin = C.tile_x(F.col("min_lon"), zoom)
     xmax = C.tile_x(F.col("max_lon"), zoom)
     ymin = C.tile_y(F.col("max_lat"), zoom)  # y grows DOWN (screen space)
     ymax = C.tile_y(F.col("min_lat"), zoom)
-    sized = ways.select(
+    sized = df.select(
         F.col("id").alias("fid"),
-        "nodes",
+        *payload_cols,
         xmin.alias("xmin"),
         xmax.alias("xmax"),
         ymin.alias("ymin"),
@@ -467,7 +532,7 @@ def tile_vectors_ways(
     n_over = oversized.count()  # driver-side scalar, aggregate only
     if n_over and oversize == "raise":
         raise ValueError(
-            f"{n_over} ways cover > {max_cover} tiles at z{zoom} "
+            f"{n_over} {what} cover > {max_cover} tiles at z{zoom} "
             "(raise max_cover, lower zoom, or pass oversize='skip')"
         )
     fanned = (
@@ -477,7 +542,7 @@ def tile_vectors_ways(
         .select(
             C.tile_id(F.col("tx"), F.col("ty"), zoom).alias("tile_id"),
             "fid",
-            "nodes",
+            *payload_cols,
             "tx",
             "ty",
         )
@@ -489,35 +554,79 @@ def tile_vectors_ways(
         .withColumn("n_total", F.count("*").over(wc))
         .filter(F.col("rn") <= cap)
     )
+    return ranked, n_over
+
+
+def tile_vectors_relations(
+    relations: DataFrame,
+    zoom: int,
+    extent: int = 4096,
+    cap: int = 16384,
+    max_cover: int = 256,
+    oversize: str = "raise",
+    layer: str = "relations",
+    tags_col: str | None = "tags",
+) -> DataFrame:
+    """Vector tiles for relation BBOX POLYGONS — the geometry the
+    reference outputs for relations (grid_reader.go:513-517 emits the
+    relation's bounding box as a polygon ring; sources/geojson.py:33-45
+    mirrors it), completing the POINT/LINESTRING/POLYGON triple over the
+    prepared tables. Same bbox fan-out as tile_vectors_ways; each tile
+    renders the rectangle tile-locally (corners may leave [0, extent) on
+    border tiles — renderers clip). The exterior ring is wound positive
+    under the shoelace formula in screen space (y down), as MVT 2.1
+    requires for an exterior ring.
+
+    Output: (tile_id, zoom, tx, ty, n_features, n_total, n_oversize, mvt).
+    """
+    import pandas as pd
+
+    payload = ["min_lon", "min_lat", "max_lon", "max_lat"]
+    if tags_col is not None:
+        payload.append(tags_col)
+    ranked, n_over = _bbox_tile_fanout(
+        relations, zoom, cap, max_cover, oversize, payload, "relations"
+    )
+    has_attrs = tags_col is not None
 
     def render(pdf: "pd.DataFrame") -> "pd.DataFrame":
         import math
 
-        from simple_osm_queries_spark.functions.cells import MAX_MERCATOR_LAT
+        from simple_osm_queries_spark.functions.cells import tile_fxy_py
         from simple_osm_queries_spark.sources import mvt
 
         pdf = pdf.sort_values("rn")
         tid = int(pdf["tile_id"].iloc[0])
+        attrs_seq = pdf[tags_col] if has_attrs else [None] * len(pdf)
         feats = []
-        for fid, nodes, tx_r, ty_r in zip(
-            pdf["fid"], pdf["nodes"], pdf["tx"], pdf["ty"]
+        for fid, x1, y1, x2, y2, tx_r, ty_r, attrs in zip(
+            pdf["fid"],
+            pdf["min_lon"],
+            pdf["min_lat"],
+            pdf["max_lon"],
+            pdf["max_lat"],
+            pdf["tx"],
+            pdf["ty"],
+            attrs_seq,
         ):
             tx_, ty_ = int(tx_r), int(ty_r)
-            ring = []
-            for v in nodes:
-                fx = (v["lon"] + 180.0) / 360.0 * n
-                lat_c = min(max(v["lat"], -MAX_MERCATOR_LAT), MAX_MERCATOR_LAT)
-                lr = math.radians(lat_c)
-                fy = (1.0 - math.log(math.tan(lr) + 1.0 / math.cos(lr)) / math.pi) / 2.0 * n
-                ring.append(
-                    (
-                        int(math.floor((fx - tx_) * extent)),
-                        int(math.floor((fy - ty_) * extent)),
-                    )
-                )
-            if len(ring) < 2:
-                continue  # degenerate single-vertex way
-            feats.append({"id": int(fid), "type": mvt.LINESTRING, "rings": [ring]})
+            # top-left = (min_lon, max_lat): screen y grows DOWN
+            fx0, fy0 = tile_fxy_py(float(x1), float(y2), zoom)
+            fx1, fy1 = tile_fxy_py(float(x2), float(y1), zoom)
+            px0 = int(math.floor((fx0 - tx_) * extent))
+            py0 = int(math.floor((fy0 - ty_) * extent))
+            px1 = int(math.floor((fx1 - tx_) * extent))
+            py1 = int(math.floor((fy1 - ty_) * extent))
+            # CW on screen (positive shoelace with y down) => exterior
+            ring = [(px0, py0), (px1, py0), (px1, py1), (px0, py1)]
+            feats.append(
+                {
+                    "id": int(fid),
+                    "type": mvt.POLYGON,
+                    "rings": [ring],
+                    "attrs": dict(attrs) if attrs is not None else {},
+                }
+            )
         blob = mvt.encode_tile([(layer, feats)], extent=extent)
         return pd.DataFrame(
             {

@@ -299,3 +299,74 @@ def test_tile_vectors_ways(spark):
         tile_vectors_ways(big, zoom).collect()
     skipped = tile_vectors_ways(big, zoom, oversize="skip").collect()
     assert skipped == []  # nothing renderable left, and no exception
+
+
+def test_tile_vectors_relations(spark):
+    """Relations render as their BBOX POLYGON (the reference's relation
+    output geometry, grid_reader.go:513-517): one exterior ring per tile
+    the bbox covers, wound positive under the screen-space shoelace (MVT
+    2.1 exterior convention), corners reconstructing the projected bbox,
+    tags carried as attributes."""
+    from simple_osm_queries_spark.functions import cells as C
+    from simple_osm_queries_spark.operators.tiles import tile_vectors_relations
+    from simple_osm_queries_spark.sources.dataset import from_generator
+
+    ds = from_generator(spark, n_nodes=300, n_ways=60, n_relations=20)
+    zoom, extent = 13, 4096
+    rels = ds.relations
+    rrows = {r.id: r for r in
+             rels.select("id", "min_lon", "min_lat", "max_lon", "max_lat", "tags").collect()}
+    out = list(tile_vectors_relations(rels, zoom, extent=extent).collect())
+    assert out, "expected at least one relation tile"
+    seen: dict[int, set] = {}
+    for r in out:
+        layer = mvt.decode_tile(bytes(r.mvt))["relations"]
+        assert r.n_oversize == 0
+        for f in layer["features"]:
+            seen.setdefault(f["id"], set()).add((r.tx, r.ty))
+            ring = f["parts"][0]
+            src = rrows[f["id"]]
+            # expected corners via the SAME projection + floor math
+            # (top-left from (min_lon, max_lat): screen y grows down)
+            fx0, fy0 = C.tile_fxy_py(src.min_lon, src.max_lat, zoom)
+            fx1, fy1 = C.tile_fxy_py(src.max_lon, src.min_lat, zoom)
+            px0 = math.floor((fx0 - r.tx) * extent)
+            py0 = math.floor((fy0 - r.ty) * extent)
+            px1 = math.floor((fx1 - r.tx) * extent)
+            py1 = math.floor((fy1 - r.ty) * extent)
+            want_ring = [(px0, py0), (px1, py0), (px1, py1), (px0, py1)]
+            if want_ring[-1] == want_ring[0]:
+                # encoder drops a closing vertex equal to the first
+                # (ClosePath implies it) — a pixel-thin degenerate box
+                want_ring = want_ring[:-1]
+            assert ring == want_ring
+            # positive shoelace in screen space => exterior ring (only
+            # asserted when the box spans >= 2 pixels both ways; thinner
+            # ones legitimately floor to zero area)
+            k = len(ring)
+            area2 = sum(
+                ring[i][0] * ring[(i + 1) % k][1] - ring[(i + 1) % k][0] * ring[i][1]
+                for i in range(k)
+            )
+            if (fx1 - fx0) * extent >= 2.0 and (fy1 - fy0) * extent >= 2.0:
+                assert area2 > 0
+            # attrs mirror the tags map
+            assert f["attrs"] == dict(src.tags or {})
+    # coverage: every relation appears on exactly its bbox-cover tiles
+    for rid, src in rrows.items():
+        x0, _ = C.tile_xy_py(src.min_lon, 0.0, zoom)
+        x1, _ = C.tile_xy_py(src.max_lon, 0.0, zoom)
+        _, y0 = C.tile_xy_py(0.0, src.max_lat, zoom)
+        _, y1 = C.tile_xy_py(0.0, src.min_lat, zoom)
+        want = {(tx, ty) for tx in range(x0, x1 + 1) for ty in range(y0, y1 + 1)}
+        assert seen.get(rid) == want
+
+    # oversize relation raises / skips visibly, like ways
+    big = spark.createDataFrame(
+        [(999, -60.0, 10.0, 60.0, 11.0, {"type": "route"})],
+        "id long, min_lon double, min_lat double, max_lon double, "
+        "max_lat double, tags map<string,string>",
+    )
+    with pytest.raises(ValueError, match="cover"):
+        tile_vectors_relations(big, zoom).collect()
+    assert tile_vectors_relations(big, zoom, oversize="skip").collect() == []
