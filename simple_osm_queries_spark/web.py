@@ -140,6 +140,16 @@ def make_handler(
                     & (F.col("lat") <= lat1)
                 ).where(C.tile_of(F.col("lon"), F.col("lat"), z) == F.lit(want))
                 if fmt == "mvt":
+                    from simple_osm_queries_spark.operators.tiles import (
+                        tile_vectors_relations,
+                        tile_vectors_ways,
+                    )
+                    from simple_osm_queries_spark.sources import mvt as _mvt
+
+                    # a tile message is just repeated Layer fields, so the
+                    # three per-type operators' blobs CONCATENATE into one
+                    # valid multi-layer tile (no re-encode)
+                    parts: list[bytes] = []
                     rows = [
                         r
                         for r in tile_vectors(
@@ -150,12 +160,33 @@ def make_handler(
                         if r.tile_id == want
                     ]
                     if rows:
-                        blob = bytes(rows[0].mvt)
-                    else:  # empty tile -> empty layer, still a valid MVT
-                        from simple_osm_queries_spark.sources import mvt as _mvt
-
-                        blob = _mvt.encode_tile([("nodes", [])])
-                    self._send(200, blob, "application/vnd.mapbox-vector-tile")
+                        parts.append(bytes(rows[0].mvt))
+                    # ways/relations: bbox-overlap prefilter (their bbox
+                    # columns reach parquet min-max pruning), fan-out
+                    # membership decides; skip-not-raise — one continental
+                    # feature must not 500 the tile
+                    for frame, op in (
+                        (dataset.ways, tile_vectors_ways),
+                        (dataset.relations, tile_vectors_relations),
+                    ):
+                        cand = frame.where(
+                            (F.col("min_lon") <= lon1)
+                            & (F.col("max_lon") >= lon0)
+                            & (F.col("min_lat") <= lat1)
+                            & (F.col("max_lat") >= lat0)
+                        )
+                        parts.extend(
+                            bytes(r.mvt)
+                            for r in op(
+                                cand, z, cap=max_rows, oversize="skip"
+                            ).collect()
+                            if r.tile_id == want
+                        )
+                    if not parts:  # empty but valid MVT
+                        parts.append(_mvt.encode_tile([("nodes", [])]))
+                    self._send(
+                        200, b"".join(parts), "application/vnd.mapbox-vector-tile"
+                    )
                     return
                 pts = pre.select("lon", "lat")
                 rows = [

@@ -370,3 +370,61 @@ def test_tile_vectors_relations(spark):
     with pytest.raises(ValueError, match="cover"):
         tile_vectors_relations(big, zoom).collect()
     assert tile_vectors_relations(big, zoom, oversize="skip").collect() == []
+
+
+def test_http_mvt_multilayer(spark):
+    """The .mvt endpoint composes nodes + ways + relations layers into ONE
+    tile by concatenating the per-type operators' blobs (an MVT tile is
+    repeated Layer fields); every layer present decodes, and the way/
+    relation features on the tile match the operators run directly."""
+    import threading
+    import urllib.request
+
+    from simple_osm_queries_spark.functions import cells as C
+    from simple_osm_queries_spark.operators.tiles import (
+        tile_vectors_relations,
+        tile_vectors_ways,
+    )
+    from simple_osm_queries_spark.sources.dataset import from_generator
+    from simple_osm_queries_spark.web import serve
+
+    ds = from_generator(spark, n_nodes=400, n_ways=80, n_relations=20).cache()
+    zoom = 12
+    # pick a tile that certainly has a way on it
+    wrow = tile_vectors_ways(ds.ways, zoom).collect()[0]
+    tx, ty, want = wrow.tx, wrow.ty, wrow.tile_id
+    httpd = serve(ds, port=18095)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:18095/tiles/{zoom}/{tx}/{ty}.mvt"
+        ) as resp:
+            layers = mvt.decode_tile(resp.read())
+    finally:
+        httpd.shutdown()
+    assert "ways" in layers
+    got_way_ids = sorted(f["id"] for f in layers["ways"]["features"])
+    want_way_ids = sorted(
+        f["id"]
+        for r in tile_vectors_ways(ds.ways, zoom).collect()
+        if r.tile_id == want
+        for f in mvt.decode_tile(bytes(r.mvt))["ways"]["features"]
+    )
+    assert got_way_ids == want_way_ids
+    if "relations" in layers:
+        want_rel_ids = sorted(
+            f["id"]
+            for r in tile_vectors_relations(ds.relations, zoom).collect()
+            if r.tile_id == want
+            for f in mvt.decode_tile(bytes(r.mvt))["relations"]["features"]
+        )
+        assert sorted(f["id"] for f in layers["relations"]["features"]) == want_rel_ids
+    # node layer present whenever the tile holds nodes
+    from pyspark.sql import functions as F
+
+    n_nodes_here = ds.nodes.where(
+        C.tile_of(F.col("lon"), F.col("lat"), zoom) == want
+    ).count()
+    if n_nodes_here:
+        assert len(layers["nodes"]["features"]) == n_nodes_here
