@@ -175,12 +175,14 @@ def make_handler(
                             & (F.col("min_lat") <= lat1)
                             & (F.col("max_lat") >= lat0)
                         )
+                        # tile_id filter runs IN Spark: a candidate's bbox
+                        # fans out to up to max_cover tiles and only one is
+                        # wanted — don't ship the other blobs to the driver
                         parts.extend(
                             bytes(r.mvt)
-                            for r in op(
-                                cand, z, cap=max_rows, oversize="skip"
-                            ).collect()
-                            if r.tile_id == want
+                            for r in op(cand, z, cap=max_rows, oversize="skip")
+                            .where(F.col("tile_id") == F.lit(want))
+                            .collect()
                         )
                     if not parts:  # empty but valid MVT
                         parts.append(_mvt.encode_tile([("nodes", [])]))
