@@ -437,3 +437,95 @@ def audio_features(
     return df.select(
         F.col(id_col).cast("string").alias(id_col), bytes_col
     ).mapInPandas(run, AUDIO_FEATURES_SCHEMA.replace("media_id", id_col, 1))
+
+
+# ---------------------------------------------------------------------------
+# EXIF metadata: the image -> spatial-point bridge + the privacy scrub
+# ---------------------------------------------------------------------------
+
+EXIF_SCHEMA = "image_id string, exif_lat double, exif_lon double, exif_orientation int"
+
+
+def extract_exif(df: DataFrame, on_error: str = "raise") -> DataFrame:
+    """Pull GPS position + orientation out of each JPEG's Exif APP1
+    segment (sources/exif.py — from-scratch TIFF/IFD parser, both byte
+    orders): one output row per input row, ``(image_id, exif_lat,
+    exif_lon, exif_orientation)``, Nones where the container carries no
+    metadata. Non-JPEG rows (sniffed by magic, not trusted ``fmt``)
+    yield Nones — PNG/BMP/GIF have no Exif here.
+
+    This is the bridge from the image payload to the whole spatial
+    engine: ``geotag_points`` filters to the located rows and the result
+    feeds tile assignment / H3 rollups / bbox queries exactly like a
+    node table (the reference's node queries, filter.go:103-128).
+    """
+    _check_on_error(on_error)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from simple_osm_queries_spark.sources import exif as X
+
+        for pdf in batches:
+            rows = []
+            for image_id, data in zip(pdf["image_id"], pdf["bytes"]):
+                if data is None:
+                    _decode_or_none(bytes, data, on_error)  # raise-or-drop
+                    continue
+                if codecs.sniff_format(bytes(data)) != "jpeg":
+                    # valid non-JPEG content: no Exif is DATA, not an error
+                    rows.append((image_id, None, None, None))
+                    continue
+                meta = _decode_or_none(X.parse_exif, data, on_error)
+                if meta is None:
+                    continue
+                rows.append((image_id, meta["lat"], meta["lon"], meta["orientation"]))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "exif_lat", "exif_lon", "exif_orientation"]
+            )
+
+    return df.select("image_id", "bytes").mapInPandas(run, EXIF_SCHEMA)
+
+
+def geotag_points(df: DataFrame, on_error: str = "raise") -> DataFrame:
+    """Geotagged images as a spatial point table: ``(image_id, lon, lat,
+    orientation)`` for exactly the rows whose JPEG bytes carry a GPS
+    position. Compose with functions.cells.tile_of / h3_encode or any
+    planner bbox query — the image corpus becomes queryable geography."""
+    e = extract_exif(df, on_error=on_error)
+    return e.filter(
+        F.col("exif_lat").isNotNull() & F.col("exif_lon").isNotNull()
+    ).select(
+        "image_id",
+        F.col("exif_lon").alias("lon"),
+        F.col("exif_lat").alias("lat"),
+        F.col("exif_orientation").alias("orientation"),
+    )
+
+
+def strip_exif(df: DataFrame, on_error: str = "raise") -> DataFrame:
+    """Pre-publication metadata scrub: ``(image_id, bytes)`` with every
+    APP1..APP15 + COM segment removed from JPEG rows (GPS/Exif is the
+    canonical location-PII leak in an image corpus); the entropy-coded
+    image data passes through byte-identical, non-JPEG rows pass through
+    untouched. Join back on image_id to rebuild a full table."""
+    _check_on_error(on_error)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from simple_osm_queries_spark.sources import exif as X
+
+        for pdf in batches:
+            rows = []
+            for image_id, data in zip(pdf["image_id"], pdf["bytes"]):
+                if data is not None and codecs.sniff_format(bytes(data)) == "jpeg":
+                    clean = _decode_or_none(X.strip_metadata, data, on_error)
+                    if clean is None:
+                        continue
+                elif data is None and on_error == "raise":
+                    raise ValueError("NULL bytes value (use on_error='skip' to drop)")
+                elif data is None:
+                    continue
+                else:
+                    clean = bytes(data)
+                rows.append((image_id, clean))
+            yield pd.DataFrame(rows, columns=["image_id", "bytes"])
+
+    return df.select("image_id", "bytes").mapInPandas(run, "image_id string, bytes binary")
