@@ -127,7 +127,7 @@ def make_tile_catalog(spark, zoom: int, min_lon: float, min_lat: float, max_lon:
 
 def tile_pixel_bins(
     points: DataFrame, zoom: int, tile_px: int = 256,
-    lon: str = "lon", lat: str = "lat",
+    lon: str = "lon", lat: str = "lat", weight: str | None = None,
 ) -> DataFrame:
     """Bin points to raster pixels: (tile_id, px, py, cnt) at ``zoom`` with
     ``tile_px``-pixel tiles. Pure column math (the fractional part of the
@@ -135,6 +135,10 @@ def tile_pixel_bins(
     aggregation is ONE hash groupBy with map-side partial aggregation —
     the output per tile is bounded by tile_px^2 rows no matter how many
     input points, which is what makes rendering at 10^12 points feasible.
+
+    ``weight``: optional long column summed instead of counting rows —
+    re-binning already-aggregated bins (e.g. the pixel_bins_to_points
+    round trip) must weight each row by its original count.
     """
     fx, fy = C.tile_fxy(F.col(lon), F.col(lat), zoom)
     tx = F.least(F.greatest(F.floor(fx).cast("int"), F.lit(0)), F.lit((1 << zoom) - 1))
@@ -147,15 +151,18 @@ def tile_pixel_bins(
         F.greatest(F.floor((fy - ty) * F.lit(float(tile_px))).cast("int"), F.lit(0)),
         F.lit(tile_px - 1),
     )
+    cols = [
+        C.tile_id(tx, ty, zoom).alias("tile_id"),
+        px.alias("px"),
+        py.alias("py"),
+    ]
+    if weight is not None:
+        cols.append(F.col(weight).alias("_w"))
+    agg = F.count("*") if weight is None else F.sum("_w")
     return (
-        points.select(
-            C.tile_id(tx, ty, zoom).alias("tile_id"),
-            px.alias("px"),
-            py.alias("py"),
-        )
+        points.select(*cols)
         .groupBy("tile_id", "px", "py")
-        .count()
-        .withColumnRenamed("count", "cnt")
+        .agg(agg.cast("long").alias("cnt"))
     )
 
 
@@ -645,4 +652,106 @@ def tile_vectors_relations(
         render,
         "tile_id long, zoom int, tx int, ty int, n_features int, "
         "n_total long, n_oversize long, mvt binary",
+    )
+
+
+# ---------------------------------------------------------------------------
+# raster -> vector: the inverse direction of the tile bridge
+# ---------------------------------------------------------------------------
+
+def pixel_bins_to_points(
+    bins: DataFrame, tile_px: int = 256, value_col: str | None = "cnt"
+) -> DataFrame:
+    """Inverse of ``tile_pixel_bins`` — the raster->vector direction of the
+    north rule's bridge: each (tile_id, px, py) raster pixel becomes the
+    lon/lat POINT at its center (inverse Web-Mercator,
+    ``lat = atan(sinh(pi*(1 - 2*fy/n)))``), with ``value_col`` passed
+    through. Pure column math end-to-end — no UDF, no shuffle; zoom is
+    decoded from the packed tile_id so one frame may mix zooms.
+
+    Round-trip guarantee: a pixel center re-bins (``tile_pixel_bins`` at
+    the same zoom/tile_px, ``weight=value_col``) to exactly the bins it
+    came from — the center sits 0.5 px from every floor boundary, ~1e5
+    times the double-precision projection error, so the integer keys
+    cannot flip (tested exactly in tests/test_raster_vector.py).
+
+    Output: (lon double, lat double[, value_col]).
+    """
+    import math
+
+    mask = F.lit((1 << 29) - 1)
+    z = F.shiftright(F.col("tile_id"), 58).cast("double")
+    tx = F.shiftright(F.col("tile_id"), 29).bitwiseAND(mask).cast("double")
+    ty = F.col("tile_id").bitwiseAND(mask).cast("double")
+    n = F.pow(F.lit(2.0), z)
+    fx = tx + (F.col("px").cast("double") + F.lit(0.5)) / F.lit(float(tile_px))
+    fy = ty + (F.col("py").cast("double") + F.lit(0.5)) / F.lit(float(tile_px))
+    lon = fx / n * F.lit(360.0) - F.lit(180.0)
+    lat = F.degrees(F.atan(F.sinh(F.lit(math.pi) * (F.lit(1.0) - F.lit(2.0) * fy / n))))
+    cols = [lon.alias("lon"), lat.alias("lat")]
+    if value_col is not None:
+        cols.append(F.col(value_col))
+    return bins.select(*cols)
+
+
+def raster_to_bins(
+    rasters: DataFrame, tile_px: int = 256, png_col: str = "png",
+    on_error: str = "raise",
+) -> DataFrame:
+    """Vectorize raster tiles: decode each PNG (any of the engine's image
+    formats, sniffed by magic) and emit one row per NONZERO pixel —
+    ``(tile_id, px, py, intensity)`` with intensity the 0-255 gray value.
+    The structural inverse of ``tile_heatmap`` (per-tile normalization is
+    not invertible, so intensity is brightness, not the original count;
+    key-set equality with ``tile_pixel_bins`` IS exact and tested).
+    Compose with ``pixel_bins_to_points(value_col='intensity')`` for the
+    full raster-tiles-in, lon/lat-points-out path. Arrow-batched
+    mapInPandas; ``on_error`` follows the multimodal raise/skip contract.
+    """
+    import pandas as pd
+
+    from simple_osm_queries_spark.operators.multimodal import (
+        _check_on_error,
+        _decode_or_none,
+    )
+
+    _check_on_error(on_error)
+
+    def run(batches):
+        import numpy as np
+
+        from simple_osm_queries_spark.sources import codecs
+
+        for pdf in batches:
+            out_tid, out_px, out_py, out_val = [], [], [], []
+            for tid, data in zip(pdf["tile_id"], pdf[png_col]):
+                px_img = _decode_or_none(
+                    lambda b: codecs.decode_image(b, None), data, on_error
+                )
+                if px_img is None:
+                    continue
+                if px_img.shape[0] != tile_px or px_img.shape[1] != tile_px:
+                    if on_error == "skip":
+                        continue
+                    raise ValueError(
+                        f"raster tile is {px_img.shape[1]}x{px_img.shape[0]}, "
+                        f"expected {tile_px}x{tile_px}"
+                    )
+                gray = px_img.astype(np.uint16).sum(axis=2) // 3
+                ys, xs = np.nonzero(gray)
+                out_tid.extend([int(tid)] * len(xs))
+                out_px.extend(xs.tolist())
+                out_py.extend(ys.tolist())
+                out_val.extend(gray[ys, xs].astype(int).tolist())
+            yield pd.DataFrame(
+                {
+                    "tile_id": pd.Series(out_tid, dtype="int64"),
+                    "px": pd.Series(out_px, dtype="int32"),
+                    "py": pd.Series(out_py, dtype="int32"),
+                    "intensity": pd.Series(out_val, dtype="int64"),
+                }
+            )
+
+    return rasters.select("tile_id", png_col).mapInPandas(
+        run, "tile_id long, px int, py int, intensity long"
     )
