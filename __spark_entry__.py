@@ -926,27 +926,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bbox_join"] = q_bbox_join
 
     # north rule: point-in-polygon (ray casting + bbox prefilter)
+    # merged entry (50-cap): broadcast ray-cast PIP AND the north-star
+    # wording verbatim — ray-casting PIP after a broadcast H3 cell-prefilter
+    # join (polyfill cover -> equi-join on the cell id -> exact refine).
+    # Both methods must match the same exact SQL oracle (the prefilter must
+    # not change the answer); merged with a method tag to free a slot for
+    # geodesy_measures (round-5 session 3).
     def q_pip(spark, sf_dir):
         pts = _derived_points(spark, sf_dir)
         polys = spark.createDataFrame(
             [(0, [{"lon": x, "lat": y} for x, y in PENTAGON])],
             "qid long, ring array<struct<lon:double,lat:double>>",
         )
-        return spatial_join.point_in_polygon_join(pts, polys).select("id")
+        bcast = (
+            spatial_join.point_in_polygon_join(pts, polys)
+            .select("id")
+            .withColumn("method", F.lit("bcast"))
+        )
+        h3m = (
+            spatial_join.point_in_polygon_h3_join(pts, [(0, PENTAGON)], res=8)
+            .select("id")
+            .withColumn("method", F.lit("h3"))
+        )
+        return bcast.unionByName(h3m)
 
     q["point_in_polygon"] = q_pip
 
-    # north-star wording verbatim: ray-casting PIP after a broadcast H3
-    # cell-prefilter join (polyfill cover -> equi-join on the cell id ->
-    # exact refine). SAME oracle as point_in_polygon — the prefilter must
-    # not change the answer.
-    def q_pip_h3(spark, sf_dir):
-        pts = _derived_points(spark, sf_dir)
-        return spatial_join.point_in_polygon_h3_join(
-            pts, [(0, PENTAGON)], res=8
-        ).select("id")
+    # geodesic measures (operators/geodesy.py): haversine way length and
+    # Chamberlain-Duquette spherical ring area over the derived ways'
+    # ordered geometry. Values are quantized to integers (cm / m^2) because
+    # JVM and DuckDB libm differ at the ulp level in sin/cos/asin (measured:
+    # ~5e-16 relative ⇒ ~1e-9 m on km-scale lengths, ~5e-8 m^2 on 1e8 m^2
+    # areas — 6+ orders of magnitude inside the quantization margin, so the
+    # rounding cannot flip); everything BEFORE the libm calls is mirrored
+    # op-for-op like every other twin.
+    def q_geodesy(spark, sf_dir):
+        from simple_osm_queries_spark.operators import geodesy as G
 
-    q["point_in_polygon_h3"] = q_pip_h3
+        ds = _derived_dataset(spark, sf_dir)
+        w = ds.ways.select("id", "nodes")
+        length = G.way_length_m(w).select(
+            F.lit("len").alias("kind"),
+            "id",
+            F.floor(F.col("length_m") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("v"),
+        )
+        area = G.ring_area_m2(w).select(
+            F.lit("area").alias("kind"),
+            "id",
+            F.floor(F.col("area_m2") + F.lit(0.5)).cast("long").alias("v"),
+        )
+        return length.unionByName(area)
+
+    q["geodesy_measures"] = q_geodesy
 
     # north rule: kNN — brute baseline and the k-ring scale path, SAME oracle
     def _knn_queries_df(spark):
@@ -1624,10 +1657,63 @@ ORDER BY a.id
         f"ON p.lon >= b.min_lon AND p.lon <= b.max_lon AND p.lat >= b.min_lat AND p.lat <= b.max_lat"
     )
 
+    _pip_sql = f"SELECT id FROM {pts} WHERE " + _sql_pip("lon", "lat", PENTAGON)
     o["point_in_polygon"] = (
-        f"SELECT id FROM {pts} WHERE " + _sql_pip("lon", "lat", PENTAGON)
+        f"SELECT id, 'bcast' AS method FROM ({_pip_sql}) "
+        f"UNION ALL SELECT id, 'h3' AS method FROM ({_pip_sql})"
     )
-    o["point_in_polygon_h3"] = o["point_in_polygon"]
+
+    # geodesy_measures: haversine length + Chamberlain-Duquette ring area of
+    # the derived 3-node ways, mirrored op-for-op (same expression trees as
+    # operators/geodesy.py incl. the in-order left folds), quantized to
+    # integers to absorb JVM-vs-DuckDB libm ulps (see q_geodesy comment).
+    def _lon_of(e: str) -> str:
+        return SQL_LON.replace("doc_id", f"({e})")
+
+    def _lat_of(e: str) -> str:
+        return SQL_LAT.replace("doc_id", f"({e})")
+
+    def _hav_sql(x1: str, y1: str, x2: str, y2: str) -> str:
+        sp = f"sin(radians({y2} - {y1}) / CAST(2.0 AS DOUBLE))"
+        sl = f"sin(radians({x2} - {x1}) / CAST(2.0 AS DOUBLE))"
+        a = f"({sp} * {sp} + cos(radians({y1})) * cos(radians({y2})) * {sl} * {sl})"
+        return (
+            f"(CAST({2.0 * knn.EARTH_RADIUS_M!r} AS DOUBLE) * "
+            f"asin(sqrt(least({a}, CAST(1.0 AS DOUBLE)))))"
+        )
+
+    def _cd_term_sql(ax: str, ay: str, bx: str, by: str) -> str:
+        return (
+            f"(radians({bx} - {ax}) * (CAST(2.0 AS DOUBLE) + "
+            f"sin(radians({ay})) + sin(radians({by}))))"
+        )
+
+    _rr2 = knn.EARTH_RADIUS_M * knn.EARTH_RADIUS_M / 2.0
+    _s1 = _hav_sql("x1", "y1", "x2", "y2")
+    _s2 = _hav_sql("x2", "y2", "x3", "y3")
+    _t1 = _cd_term_sql("x1", "y1", "x2", "y2")
+    _t2 = _cd_term_sql("x2", "y2", "x3", "y3")
+    _t3 = _cd_term_sql("x3", "y3", "x1", "y1")
+    o["geodesy_measures"] = f"""
+WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+w AS (SELECT doc_id AS d, {WAY_ID_BASE} + doc_id // 20 AS id
+      FROM documents, mx WHERE doc_id % 20 = 0 AND doc_id + 8 <= mx.m),
+c AS (SELECT id,
+        {_lon_of("d")} AS x1, {_lat_of("d")} AS y1,
+        {_lon_of("d + 4")} AS x2, {_lat_of("d + 4")} AS y2,
+        {_lon_of("d + 8")} AS x3, {_lat_of("d + 8")} AS y3
+      FROM w),
+m2 AS (SELECT id, ({_s1} + {_s2}) AS len_m,
+              (({_t1} + {_t2}) + {_t3}) AS tot
+       FROM c)
+SELECT 'len' AS kind, id,
+       CAST(floor(len_m * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS v
+FROM m2
+UNION ALL
+SELECT 'area' AS kind, id,
+       CAST(floor(abs(tot) * CAST({_rr2!r} AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS v
+FROM m2
+"""
 
     _u_gate = "(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || '{salt}'), 1, 13) AS BIGINT) AS DOUBLE) / 4503599627370496.0)".replace("{salt}", "gate")
     o["deterministic_sample"] = (
