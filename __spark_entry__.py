@@ -631,26 +631,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # partial bbox (cell pruning + refine)
     q["osm_bbox_partial"] = _osm("bbox(9.95, 53.55, 9.99, 53.62).nodes{ amenity=* }")
     # this.buffer(D) — the reference's documented-but-unimplemented proximity
-    # operator (README.md:154-181), implemented as a distance semi join
-    q["osm_buffer"] = _osm(
-        "bbox(9.90, 53.50, 10.10, 53.70).nodes{ amenity=* AND this.buffer(2km).nodes{ seats=* } }"
-    )
-
-    # way<->way buffer: segment-pair min distance (crossing => 0), the last
-    # unsupported geometry pair of the reference's documented proximity form
-    def q_buffer_ways(spark, sf_dir):
+    # operator (README.md:154-181), implemented as a distance semi join.
+    # MERGED entry (50-cap, round-5 session 4): the node<->node pair AND the
+    # way<->way segment-pair form (crossing => 0) under a `pair` tag — same
+    # family, same distance model; frees a slot for nearest_way_join.
+    def q_buffer(spark, sf_dir):
         ds = _derived_dataset(spark, sf_dir)
-        return (
+        nn = (
+            run_query(
+                "bbox(9.90, 53.50, 10.10, 53.70).nodes"
+                "{ amenity=* AND this.buffer(2km).nodes{ seats=* } }",
+                ds,
+            )
+            .select("id")
+            .withColumn("pair", F.lit("node_node"))
+        )
+        ww = (
             run_query(
                 "bbox(9.90, 53.50, 10.10, 53.70).ways"
                 "{ building=yes AND this.buffer(100m).ways{ highway=primary } }",
                 ds,
             )
             .select("id")
-            .orderBy("id")
+            .withColumn("pair", F.lit("way_way"))
+        )
+        return nn.unionByName(ww)
+
+    q["osm_buffer"] = q_buffer
+
+    # nearest_way_join (operators/nearest_way.py): ranked k-nearest-ways
+    # within a radius — the map-matching primitive. Gate pins the BUCKETED
+    # (100x-scale) path; broadcast parity is pytest-pinned
+    # (test_nearest_way.py). Distances quantized to cm like geodesy_measures
+    # (libm cos ulps ~1e-13 m, 11 orders inside the margin).
+    def q_nearest_way(spark, sf_dir):
+        from simple_osm_queries_spark.operators.nearest_way import nearest_way_join
+
+        ds = _derived_dataset(spark, sf_dir)
+        pts = ds.nodes.filter(
+            (F.col("lon") >= 9.98)
+            & (F.col("lon") <= 10.02)
+            & (F.col("lat") >= 53.58)
+            & (F.col("lat") <= 53.62)
+        ).select("id", "lon", "lat")
+        res = nearest_way_join(
+            pts,
+            ds.ways.select(
+                "id", "nodes", "min_lon", "min_lat", "max_lon", "max_lat"
+            ),
+            2000.0,
+            k=2,
+            strategy="bucketed",
+        )
+        return res.select(
+            "id",
+            "way_id",
+            F.floor(F.col("dist_m") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("v"),
+            "rank",
         )
 
-    q["osm_buffer_way_way"] = q_buffer_ways
+    q["nearest_way_join"] = q_nearest_way
 
     # relation branch of the planner through the gate: member semi join
     # (J1 on relations) and child_relations (the reference's fourth
@@ -1552,7 +1594,7 @@ FROM u
     _o2 = _ccw_sql("oalon", "oalat", "oblon", "oblat", "iblon", "iblat")
     _o3 = _ccw_sql("ialon", "ialat", "iblon", "iblat", "oalon", "oalat")
     _o4 = _ccw_sql("ialon", "ialat", "iblon", "iblat", "oblon", "oblat")
-    o["osm_buffer_way_way"] = f"""
+    _buffer_ww_sql = f"""
 WITH pts AS (SELECT doc_id AS id, {SQL_LON} AS lon, {SQL_LAT} AS lat FROM documents),
 wdef AS (
   SELECT CAST({WAY_ID_BASE} + doc_id // 20 AS BIGINT) AS wid,
@@ -1632,17 +1674,77 @@ SELECT DISTINCT wid AS id FROM scored WHERE d2 <= {_dbl('10000.0')} ORDER BY id
     )
     # buffer: EXISTS a seats-bearing point within 2km (same equirectangular
     # meter model as operators/buffer.py, self excluded)
-    o["osm_buffer"] = f"""
+    # merged twin: node<->node EXISTS form tagged 'node_node' UNION the
+    # way<->way segment-pair form tagged 'way_way' (same merge as queries())
+    _buffer_nn_sql = f"""
 WITH p AS (SELECT doc_id AS id, {SQL_LON} AS lon, {SQL_LAT} AS lat,
                   {SQL_HAS_AMENITY} AS has_amenity, {SQL_HAS_SEATS} AS has_seats
            FROM documents)
-SELECT a.id, a.lon, a.lat FROM p a
+SELECT a.id FROM p a
 WHERE a.has_amenity AND EXISTS (
   SELECT 1 FROM p b WHERE b.has_seats AND b.id != a.id
   AND (  ((a.lon - b.lon) * (111320.0 * cos(radians(a.lat)))) * ((a.lon - b.lon) * (111320.0 * cos(radians(a.lat))))
        + ((a.lat - b.lat) * 111320.0) * ((a.lat - b.lat) * 111320.0) ) <= 4000000.0
 )
-ORDER BY a.id
+"""
+    o["osm_buffer"] = (
+        f"SELECT id, 'node_node' AS pair FROM ({_buffer_nn_sql}) "
+        f"UNION ALL SELECT id, 'way_way' AS pair FROM ({_buffer_ww_sql})"
+    )
+
+    # nearest_way_join: full mirror of operators/nearest_way.py — per-segment
+    # point-to-segment distance exactly as buffer.point_to_way_dist2_m builds
+    # it (point translated to the origin: passing px=py=0 into the shared
+    # segment helper is IEEE-exact — (0-x) == -x, (-a)*d + (-b)*e ==
+    # -(a*d + b*e), x - 0.0 == x), min over the way's 2 segments, rank by
+    # (d2, wid), distances quantized to cm. The degree-bbox prefilter in
+    # `cand` is a strict superset of the 2000 m disk at every data latitude
+    # (0.02 deg lat >= 0.01797, 0.035 deg lon >= 0.03034 at lat 53.7) and is
+    # conjoined with the exact d2 test, so it only cuts DuckDB's join cost,
+    # never the result — the Spark side's grid-cell cover has the same
+    # superset property by construction.
+    def _nw_seg_d2(lon_a: str, lat_a: str, lon_b: str, lat_b: str) -> str:
+        ax = f"((({lon_a}) - plon) * kx)"
+        ay = f"((({lat_a}) - plat) * {_dbl('111320.0')})"
+        bx = f"((({lon_b}) - plon) * kx)"
+        by = f"((({lat_b}) - plat) * {_dbl('111320.0')})"
+        return _pt_seg_d2_sql(_dbl("0.0"), _dbl("0.0"), ax, ay, bx, by)
+
+    _nw_s1 = _nw_seg_d2("lon1", "lat1", "lon2", "lat2")
+    _nw_s2 = _nw_seg_d2("lon2", "lat2", "lon3", "lat3")
+    o["nearest_way_join"] = f"""
+WITH pts AS (SELECT doc_id AS id, {SQL_LON} AS lon, {SQL_LAT} AS lat FROM documents),
+q AS (SELECT id, lon AS plon, lat AS plat,
+             ({_dbl('111320.0')} * cos(radians(lat))) AS kx
+      FROM pts
+      WHERE lon >= {_dbl('9.98')} AND lon <= {_dbl('10.02')}
+        AND lat >= {_dbl('53.58')} AND lat <= {_dbl('53.62')}),
+wdef AS (SELECT CAST({WAY_ID_BASE} + doc_id // 20 AS BIGINT) AS wid,
+                doc_id AS n1, doc_id + 4 AS n2, doc_id + 8 AS n3
+         FROM documents WHERE doc_id % 20 = 0
+           AND doc_id + 8 <= (SELECT max(doc_id) FROM documents)),
+wgeo AS (SELECT w.wid, p1.lon AS lon1, p1.lat AS lat1,
+                p2.lon AS lon2, p2.lat AS lat2, p3.lon AS lon3, p3.lat AS lat3
+         FROM wdef w JOIN pts p1 ON p1.id = w.n1
+                     JOIN pts p2 ON p2.id = w.n2
+                     JOIN pts p3 ON p3.id = w.n3),
+cand AS (SELECT q.id, q.plon, q.plat, q.kx,
+                w.wid, w.lon1, w.lat1, w.lon2, w.lat2, w.lon3, w.lat3
+         FROM q JOIN wgeo w
+           ON q.plon >= least(w.lon1, w.lon2, w.lon3) - {_dbl('0.035')}
+          AND q.plon <= greatest(w.lon1, w.lon2, w.lon3) + {_dbl('0.035')}
+          AND q.plat >= least(w.lat1, w.lat2, w.lat3) - {_dbl('0.02')}
+          AND q.plat <= greatest(w.lat1, w.lat2, w.lat3) + {_dbl('0.02')}),
+hit AS (SELECT id, wid, d2 FROM
+          (SELECT id, wid, LEAST({_nw_s1}, {_nw_s2}) AS d2 FROM cand)
+        WHERE d2 <= {_dbl('4000000.0')}),
+rk AS (SELECT id, wid, d2,
+              row_number() OVER (PARTITION BY id ORDER BY d2, wid) AS rank
+       FROM hit)
+SELECT id, wid AS way_id,
+       CAST(floor(sqrt(d2) * {_dbl('100.0')} + {_dbl('0.5')}) AS BIGINT) AS v,
+       rank
+FROM rk WHERE rank <= 2
 """
 
     o["cell_count"] = (

@@ -1,0 +1,197 @@
+"""Point -> k-nearest-ways join within a radius (map-matching primitive).
+
+The reference stores way geometry as ordered node polylines
+(/root/reference/src/index/grid_reader.go:80-142 materializes them) and can
+answer "which ways are near this point" only through its documented-but-
+unimplemented buffer operator (README.md:154-181) — and even that is a
+boolean semi join. Real pipelines (map matching, reverse geocoding,
+"snap photo GPS to the nearest road") need the *ranked* form: for every
+point, the k nearest ways within R meters plus the distance itself. This
+module provides it as a first-class distributed join:
+
+    nearest_way_join(points, ways, radius_m, k=1)
+      -> (id, way_id, dist_m, rank)
+
+Distance model: the buffer family's local equirectangular meters
+(`operators/buffer.py::point_to_way_dist2_m` — exact point-to-segment
+projection, min over the way's segments, meters scaled by cos(lat) of the
+query point). Deterministic ties: (dist², way_id) lexicographic, so equal
+distances rank by way id.
+
+Physical shapes (mirrors `within_buffer_node_way`, PLANS.md §16):
+* broadcast — small (filtered) way side: points scan once against the
+  broadcast ways with an R-expanded bbox candidate predicate, exact refine,
+  then per-point top-k. No shuffle of the point side beyond the top-k agg.
+* bucketed — big way side: ways explode to the grid cells of their
+  R-expanded bbox, points to their own cell, equi-join on the packed cell
+  key, per-point top-k. The candidate shuffle carries (point id, way id,
+  d²) only; grid sizing guarantees the cell cover is a superset of the
+  radius-R disk, so the prefilter can never drop a true neighbor.
+* top-k: k == 1 is a single `min(struct(d2, way_id))` hash aggregate —
+  map-side partial combine, ONE exchange, no sort. k > 1 takes the
+  two-phase window (per-partition rank prune to k, then final rank) so a
+  hot point never sorts its full candidate list in one task.
+
+Scale shape: everything is codegen column math; the only shuffles are the
+cell equi-join (bucketed path) and the top-k aggregate. Skewed cells
+(urban density) split under AQE; the cell grid floor (`cell_deg`) bounds
+per-way fan-out exactly as in the buffer family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from simple_osm_queries_spark.operators.buffer import (
+    M_PER_DEG,
+    _bbox_cells_col,
+    _grid_sizes,
+    _resolve_strategy,
+    point_to_way_dist2_m,
+)
+from simple_osm_queries_spark.functions import cells as C
+
+
+def _topk(cand: DataFrame, k: int) -> DataFrame:
+    """(nid, wid, d2) -> k best rows per nid, deterministic (d2, wid) order.
+
+    k == 1: one hash aggregate (partial combine, single exchange, no sort).
+    k > 1: two-phase window — rank inside each shuffle partition first and
+    keep only k, so the final per-point sort sees <= k*partitions rows even
+    for a pathologically hot point.
+    """
+    if k == 1:
+        best = cand.groupBy("nid").agg(
+            F.min(F.struct("d2", "wid")).alias("best")
+        )
+        return best.select(
+            "nid",
+            F.col("best.wid").alias("wid"),
+            F.col("best.d2").alias("d2"),
+            F.lit(1).alias("rank"),
+        )
+    order = [F.col("d2").asc(), F.col("wid").asc()]
+    local = Window.partitionBy(F.spark_partition_id(), "nid").orderBy(*order)
+    pruned = cand.withColumn("_lr", F.row_number().over(local)).filter(
+        F.col("_lr") <= k
+    )
+    final = Window.partitionBy("nid").orderBy(*order)
+    return (
+        pruned.withColumn("rank", F.row_number().over(final))
+        .filter(F.col("rank") <= k)
+        .select("nid", "wid", "d2", "rank")
+    )
+
+
+def nearest_way_join(
+    points: DataFrame,
+    ways: DataFrame,
+    radius_m: float,
+    k: int = 1,
+    strategy: str = "auto",
+    broadcast_threshold: int = 100_000,
+    ref_lat: float = 70.0,
+    cell_deg: float | None = None,
+) -> DataFrame:
+    """For every point, the ``k`` nearest ways within ``radius_m`` meters.
+
+    ``points``: (id, lon, lat). ``ways``: (id, nodes, min_lon, min_lat,
+    max_lon, max_lat) as produced by ``sources/dataset.py::prepare``.
+    Returns (id, way_id, dist_m, rank) — points with no way inside the
+    radius emit no row (left-join semantics belong to the caller, one
+    ``points.join(result, "id", "left")`` away).
+
+    ``strategy``: 'auto' counts the way side against ``broadcast_threshold``
+    and picks 'broadcast' (small dim) or 'bucketed' (the 100x-scale path);
+    both produce identical rows (pinned in tests). ``ref_lat`` bounds the
+    data's |latitude| for grid sizing; ``cell_deg`` floors the bucket size
+    (fan-out control), both exactly as in the buffer family.
+    """
+    if radius_m <= 0:
+        raise ValueError(f"radius_m must be > 0, got {radius_m}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    w = ways.select(
+        F.col("id").alias("wid"),
+        F.col("nodes").alias("wnodes"),
+        "min_lon",
+        "min_lat",
+        "max_lon",
+        "max_lat",
+    )
+    pt = points.select(F.col("id").alias("nid"), "lon", "lat")
+    d2_expr = point_to_way_dist2_m(F.col("lon"), F.col("lat"), F.col("wnodes"))
+    r2 = float(radius_m) ** 2
+    d_lat = radius_m / M_PER_DEG
+
+    if _resolve_strategy(w, strategy, broadcast_threshold) == "broadcast":
+        d_lon = F.lit(radius_m) / (
+            F.lit(M_PER_DEG) * F.cos(F.radians(F.col("lat")))
+        )
+        cand_pred = (
+            (F.col("lon") >= F.col("min_lon") - d_lon)
+            & (F.col("lon") <= F.col("max_lon") + d_lon)
+            & (F.col("lat") >= F.col("min_lat") - F.lit(d_lat))
+            & (F.col("lat") <= F.col("max_lat") + F.lit(d_lat))
+        )
+        cand = (
+            pt.join(F.broadcast(w), cand_pred, "inner")
+            .withColumn("d2", d2_expr)
+            .filter(F.col("d2") <= F.lit(r2))
+            .select("nid", "wid", "d2")
+        )
+    else:
+        s_lon, s_lat = _grid_sizes(radius_m, ref_lat, cell_deg)
+        d_lon_w = F.lit(radius_m) / (
+            F.lit(M_PER_DEG)
+            * F.cos(
+                F.radians(
+                    F.greatest(F.abs(F.col("min_lat")), F.abs(F.col("max_lat")))
+                )
+            )
+        )
+        w_cells = w.select(
+            "wid",
+            F.explode(
+                _bbox_cells_col(
+                    F.col("min_lon"),
+                    F.col("min_lat"),
+                    F.col("max_lon"),
+                    F.col("max_lat"),
+                    s_lon,
+                    s_lat,
+                    pad_lon=d_lon_w,
+                    pad_lat=F.lit(d_lat),
+                )
+            ).alias("cell"),
+        )
+        n_cells = pt.select(
+            "nid",
+            "lon",
+            "lat",
+            C.pack_cell(
+                C.cell_x(F.col("lon"), s_lon), C.cell_y(F.col("lat"), s_lat)
+            ).alias("cell"),
+        )
+        # candidate ids only through the shuffle; geometry joins back for
+        # the refine (a way's node array crosses the wire once per way,
+        # not once per touched cell)
+        cand_ids = n_cells.select("nid", "cell").join(w_cells, "cell").select(
+            "nid", "wid"
+        ).distinct()
+        cand = (
+            cand_ids.join(pt, "nid")
+            .join(w.select("wid", "wnodes"), "wid")
+            .withColumn("d2", d2_expr)
+            .filter(F.col("d2") <= F.lit(r2))
+            .select("nid", "wid", "d2")
+        )
+
+    return _topk(cand, k).select(
+        F.col("nid").alias("id"),
+        F.col("wid").alias("way_id"),
+        F.sqrt(F.col("d2")).alias("dist_m"),
+        "rank",
+    )
