@@ -662,6 +662,71 @@ def run_h3_block(spark, points_dir: str) -> dict:
     return out
 
 
+def run_nearest_way_block(spark, points_dir: str) -> dict:
+    """nearest_way_join at bench scale (r5e): every 100th bench point
+    (~BENCH_N/100 query points) against BENCH_N/100 synthetic SHORT ways
+    (~250 m 3-node polylines — way extents model roads; the gate fixture's
+    window-spanning ways would make radius-bounded candidate density
+    meaningless at this N). Bucketed (scale) path, cold + warm timed like
+    the substatement block. Ways materialized once per N so the timed runs
+    measure join compute + scan, not datagen."""
+    from simple_osm_queries_spark.operators.nearest_way import nearest_way_join
+
+    n_ways = max(BENCH_N // 100, 1000)
+    wdir = os.path.join(points_dir, "short_ways")
+    if not os.path.exists(os.path.join(wdir, "_SUCCESS")):
+        i = F.col("id")
+        # multipliers decorrelated from the point fixture's PHI/PSI pair
+        # (1/rho and 1/rho^2 of the plastic number): way bases must not
+        # sit exactly on point coordinates or every distance is 0
+        p1, p2 = 0.7548776662466927, 0.5698402909980532
+        blon = F.lit(9.90) + F.lit(0.194) * (i * F.lit(p1) - F.floor(i * F.lit(p1)))
+        blat = F.lit(53.50) + F.lit(0.197) * (i * F.lit(p2) - F.floor(i * F.lit(p2)))
+
+        def nd(dlon: float, dlat: float):
+            return F.struct(
+                (blon + F.lit(dlon)).alias("lon"), (blat + F.lit(dlat)).alias("lat")
+            )
+
+        (
+            spark.range(n_ways)
+            .select(
+                "id",
+                F.array(nd(0.0, 0.0), nd(0.0015, 0.0008), nd(0.003, -0.0005)).alias("nodes"),
+                blon.alias("min_lon"),
+                (blat - F.lit(0.0005)).alias("min_lat"),
+                (blon + F.lit(0.003)).alias("max_lon"),
+                (blat + F.lit(0.0008)).alias("max_lat"),
+            )
+            .write.mode("overwrite")
+            .parquet(wdir)
+        )
+    ways = spark.read.parquet(wdir)
+    qpts = (
+        spark.read.parquet(os.path.join(points_dir, "slim"))
+        .filter(F.col("id") % 100 == 0)
+    )
+    out: dict[str, float] = {"n_query_points": BENCH_N // 100, "n_ways": n_ways}
+
+    def one(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        out[name + "_cold"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        fn()
+        out[name] = round(time.time() - t0, 3)
+        print(f"[nearest_way] {name}: {out[name]}s (cold {out[name + '_cold']}s)",
+              file=sys.stderr, flush=True)
+
+    one(
+        "nearest_way_bucketed",
+        lambda: nearest_way_join(
+            qpts, ways, 100.0, k=1, strategy="bucketed", ref_lat=54.0, cell_deg=0.002
+        ).count(),
+    )
+    return out
+
+
 def main() -> None:
     # maxPartitionBytes sized to the input: at the default 128MB the ~200MB
     # bench table packs into ~4 file splits, capping every scan stage at
@@ -743,6 +808,10 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_UPSERT_BLOCK", "1") != "0":
         upsert_block = run_upsert_block(spark, POINTS_DIR)
 
+    nearest_way_block = None
+    if os.environ.get("SPARK_GRAFT_NW_BLOCK", "1") != "0":
+        nearest_way_block = run_nearest_way_block(spark, POINTS_DIR)
+
     print(
         json.dumps(
             {
@@ -762,6 +831,7 @@ def main() -> None:
                 "h3_ops": h3_ops,
                 "osm_substatement": osm_substatement,
                 "upsert_block": upsert_block,
+                "nearest_way_block": nearest_way_block,
             }
         )
     )
@@ -791,6 +861,7 @@ def scaling_main() -> None:
             SPARK_GRAFT_H3_BLOCK="0",
             SPARK_GRAFT_SUB_BLOCK="0",
             SPARK_GRAFT_UPSERT_BLOCK="0",
+            SPARK_GRAFT_NW_BLOCK="0",
         )
         out = subprocess.run(
             [sys.executable, __file__], env=env, capture_output=True, text=True, check=True

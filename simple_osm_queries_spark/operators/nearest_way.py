@@ -18,24 +18,36 @@ projection, min over the way's segments, meters scaled by cos(lat) of the
 query point). Deterministic ties: (dist², way_id) lexicographic, so equal
 distances rank by way id.
 
-Physical shapes (mirrors `within_buffer_node_way`, PLANS.md §16):
-* broadcast — small (filtered) way side: points scan once against the
-  broadcast ways with an R-expanded bbox candidate predicate, exact refine,
-  then per-point top-k. No shuffle of the point side beyond the top-k agg.
-* bucketed — big way side: ways explode to the grid cells of their
-  R-expanded bbox, points to their own cell, equi-join on the packed cell
-  key, per-point top-k. The candidate shuffle carries (point id, way id,
-  d²) only; grid sizing guarantees the cell cover is a superset of the
-  radius-R disk, so the prefilter can never drop a true neighbor.
-* top-k: k == 1 is a single `min(struct(d2, way_id))` hash aggregate —
-  map-side partial combine, ONE exchange, no sort. k > 1 takes the
-  two-phase window (per-partition rank prune to k, then final rank) so a
-  hot point never sorts its full candidate list in one task.
+Physical shapes (mirrors `within_buffer_node_way`; audit: PLANS.md §16):
+* candidate generation — broadcast (small way side: R-expanded bbox
+  predicate against the broadcast bbox-only way relation) or bucketed
+  (big way side: ways explode to the grid cells of their R-expanded bbox,
+  points to their own cell, equi-join on the packed cell key). Grid
+  sizing guarantees the cell cover is a superset of the radius-R disk,
+  so the prefilter can never drop a true neighbor.
+* exact refine — candidate (point, way) ids join the way's SEGMENT
+  relation (one `explode(segments)` per way, not per pair) and the
+  point-to-segment projection runs as scalar codegen column math per
+  (pair, segment) row. This deliberately avoids evaluating the
+  array-lambda form (`zip_with`+`aggregate` over the node array) once
+  per candidate pair: Spark executes higher-order lambdas interpreted,
+  measured ~10 µs/pair — 5x the whole join at bench scale (BENCH.md
+  r5e); the exploded scalar form stays inside whole-stage codegen.
+* top-k: k == 1 folds the per-way segment min INTO the final aggregate —
+  a single `min(struct(d2, way_id))` per point over segment rows
+  (min over segments of the winning way IS the way distance), map-side
+  partial combine, ONE exchange, no sort. k > 1 first reduces segments
+  to per-way distance (`groupBy(point, way).min(d2)`, partial-agg
+  combinable), then the two-phase window (per-partition rank prune to
+  k, then final rank) so a hot point never sorts its full candidate
+  list in one task.
 
 Scale shape: everything is codegen column math; the only shuffles are the
-cell equi-join (bucketed path) and the top-k aggregate. Skewed cells
+cell equi-join (bucketed path) and the top-k aggregate(s). Skewed cells
 (urban density) split under AQE; the cell grid floor (`cell_deg`) bounds
-per-way fan-out exactly as in the buffer family.
+per-way fan-out exactly as in the buffer family. Segment fan-out (a
+2000-node way contributes 1999 rows per candidate pair) streams through
+map-side combine — the aggregate state is one struct per (point[, way]).
 """
 
 from __future__ import annotations
@@ -48,21 +60,67 @@ from simple_osm_queries_spark.operators.buffer import (
     _bbox_cells_col,
     _grid_sizes,
     _resolve_strategy,
-    point_to_way_dist2_m,
+    segments_col,
 )
 from simple_osm_queries_spark.functions import cells as C
 
 
-def _topk(cand: DataFrame, k: int) -> DataFrame:
-    """(nid, wid, d2) -> k best rows per nid, deterministic (d2, wid) order.
+def _seg_d2_scalar() -> "F.Column":
+    """Squared meter distance from (lon, lat) to segment (alon, alat)->
+    (blon, blat): the exact expression tree of
+    `buffer.point_to_way_dist2_m`'s per-segment lambda, restated over
+    scalar columns so it compiles into whole-stage codegen (the array
+    lambda runs interpreted — module docstring). Expects columns
+    lon/lat/alon/alat/blon/blat; kx/ky inlined per row."""
+    kx = F.lit(M_PER_DEG) * F.cos(F.radians(F.col("lat")))
+    ky = F.lit(M_PER_DEG)
+    ax = (F.col("alon") - F.col("lon")) * kx
+    ay = (F.col("alat") - F.col("lat")) * ky
+    bx = (F.col("blon") - F.col("lon")) * kx
+    by = (F.col("blat") - F.col("lat")) * ky
+    dx = bx - ax
+    dy = by - ay
+    len2 = dx * dx + dy * dy
+    t_raw = F.when(len2 > 0, -(ax * dx + ay * dy) / len2).otherwise(F.lit(0.0))
+    t = F.least(F.greatest(t_raw, F.lit(0.0)), F.lit(1.0))
+    cx = ax + t * dx
+    cy = ay + t * dy
+    return cx * cx + cy * cy
 
-    k == 1: one hash aggregate (partial combine, single exchange, no sort).
-    k > 1: two-phase window — rank inside each shuffle partition first and
-    keep only k, so the final per-point sort sees <= k*partitions rows even
-    for a pathologically hot point.
+
+def _way_segments(w: DataFrame) -> DataFrame:
+    """(wid, alon, alat, blon, blat) — one row per consecutive-node segment
+    (single-node ways produce one degenerate a==b segment, matching
+    `point_to_way_dist2_m`'s single-point fallback). The interpreted
+    segment construction runs once per WAY, not per candidate pair."""
+    return w.select(
+        "wid", F.explode(segments_col(F.col("wnodes"))).alias("s")
+    ).select(
+        "wid",
+        F.col("s.a.lon").alias("alon"),
+        F.col("s.a.lat").alias("alat"),
+        F.col("s.b.lon").alias("blon"),
+        F.col("s.b.lat").alias("blat"),
+    )
+
+
+def _topk_from_segments(cand_seg: DataFrame, r2: float, k: int) -> DataFrame:
+    """(nid, wid, d2-per-segment rows) -> k best ways per nid, deterministic
+    (d2, wid) order.
+
+    k == 1: ONE hash aggregate — min(struct(d2, wid)) over segment rows
+    directly (the global min row is the nearest way's nearest segment);
+    partial combine, single exchange, no sort.
+    k > 1: reduce segments to per-way distance first (partial-agg
+    combinable), then a two-phase window — rank inside each shuffle
+    partition and keep only k, so the final per-point sort sees
+    <= k*partitions rows even for a pathologically hot point.
     """
+    scored = cand_seg.withColumn("d2", _seg_d2_scalar()).filter(
+        F.col("d2") <= F.lit(r2)
+    )
     if k == 1:
-        best = cand.groupBy("nid").agg(
+        best = scored.groupBy("nid").agg(
             F.min(F.struct("d2", "wid")).alias("best")
         )
         return best.select(
@@ -71,9 +129,10 @@ def _topk(cand: DataFrame, k: int) -> DataFrame:
             F.col("best.d2").alias("d2"),
             F.lit(1).alias("rank"),
         )
+    per_way = scored.groupBy("nid", "wid").agg(F.min("d2").alias("d2"))
     order = [F.col("d2").asc(), F.col("wid").asc()]
     local = Window.partitionBy(F.spark_partition_id(), "nid").orderBy(*order)
-    pruned = cand.withColumn("_lr", F.row_number().over(local)).filter(
+    pruned = per_way.withColumn("_lr", F.row_number().over(local)).filter(
         F.col("_lr") <= k
     )
     final = Window.partitionBy("nid").orderBy(*order)
@@ -122,11 +181,11 @@ def nearest_way_join(
         "max_lat",
     )
     pt = points.select(F.col("id").alias("nid"), "lon", "lat")
-    d2_expr = point_to_way_dist2_m(F.col("lon"), F.col("lat"), F.col("wnodes"))
     r2 = float(radius_m) ** 2
     d_lat = radius_m / M_PER_DEG
 
-    if _resolve_strategy(w, strategy, broadcast_threshold) == "broadcast":
+    small_ways = _resolve_strategy(w, strategy, broadcast_threshold) == "broadcast"
+    if small_ways:
         d_lon = F.lit(radius_m) / (
             F.lit(M_PER_DEG) * F.cos(F.radians(F.col("lat")))
         )
@@ -136,12 +195,11 @@ def nearest_way_join(
             & (F.col("lat") >= F.col("min_lat") - F.lit(d_lat))
             & (F.col("lat") <= F.col("max_lat") + F.lit(d_lat))
         )
-        cand = (
-            pt.join(F.broadcast(w), cand_pred, "inner")
-            .withColumn("d2", d2_expr)
-            .filter(F.col("d2") <= F.lit(r2))
-            .select("nid", "wid", "d2")
-        )
+        cand_ids = pt.join(
+            F.broadcast(w.select("wid", "min_lon", "min_lat", "max_lon", "max_lat")),
+            cand_pred,
+            "inner",
+        ).select("nid", "wid")
     else:
         s_lon, s_lat = _grid_sizes(radius_m, ref_lat, cell_deg)
         d_lon_w = F.lit(radius_m) / (
@@ -176,20 +234,22 @@ def nearest_way_join(
             ).alias("cell"),
         )
         # candidate ids only through the shuffle; geometry joins back for
-        # the refine (a way's node array crosses the wire once per way,
-        # not once per touched cell)
+        # the refine (a way's segments cross the wire once per way, not
+        # once per touched cell). No distinct: a way emits each cover cell
+        # exactly once and a point lives in exactly one cell, so (nid, wid)
+        # pairs are already unique — and the downstream min-aggregates are
+        # duplicate-insensitive regardless (the buffer semi joins need
+        # their distinct because they OUTPUT the ids; this operator
+        # aggregates them)
         cand_ids = n_cells.select("nid", "cell").join(w_cells, "cell").select(
             "nid", "wid"
-        ).distinct()
-        cand = (
-            cand_ids.join(pt, "nid")
-            .join(w.select("wid", "wnodes"), "wid")
-            .withColumn("d2", d2_expr)
-            .filter(F.col("d2") <= F.lit(r2))
-            .select("nid", "wid", "d2")
         )
 
-    return _topk(cand, k).select(
+    segs = _way_segments(w)
+    if small_ways:
+        segs = F.broadcast(segs)
+    cand_seg = cand_ids.join(pt, "nid").join(segs, "wid")
+    return _topk_from_segments(cand_seg, r2, k).select(
         F.col("nid").alias("id"),
         F.col("wid").alias("way_id"),
         F.sqrt(F.col("d2")).alias("dist_m"),
