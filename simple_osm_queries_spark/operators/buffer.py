@@ -203,47 +203,61 @@ def within_buffer_node_way(
     )
     pt = nodes.select(F.col("id").alias("nid"), "lon", "lat")
     out_col = "nid" if output == "node" else "wid"
-    exact = point_to_way_dist2_m(F.col("lon"), F.col("lat"), F.col("wnodes")) <= F.lit(
-        float(buffer_m) ** 2
-    )
+    r2 = float(buffer_m) ** 2
 
-    if _resolve_strategy(w, strategy, broadcast_threshold) == "broadcast":
+    small_ways = _resolve_strategy(w, strategy, broadcast_threshold) == "broadcast"
+    if small_ways:
         d_lon = F.lit(buffer_m) / (F.lit(M_PER_DEG) * F.cos(F.radians(F.col("lat"))))
-        cand = (
+        cand_pred = (
             (F.col("lon") >= F.col("min_lon") - d_lon)
             & (F.col("lon") <= F.col("max_lon") + d_lon)
             & (F.col("lat") >= F.col("min_lat") - F.lit(d_lat))
             & (F.col("lat") <= F.col("max_lat") + F.lit(d_lat))
         )
-        matched = pt.join(F.broadcast(w), cand & exact, "inner")
-        return matched.select(F.col(out_col).alias("id")).distinct()
+        cand = pt.join(
+            F.broadcast(w.select("wid", "min_lon", "min_lat", "max_lon", "max_lat")),
+            cand_pred,
+            "inner",
+        ).select("nid", "lon", "lat", "wid")
+    else:
+        # bucketed: equi-join on a D-sized grid key; the candidate shuffle
+        # carries (nid, lon, lat, wid) — two extra doubles beat a whole
+        # join-back shuffle of the (big) point side
+        s_lon, s_lat = _grid_sizes(buffer_m, ref_lat, cell_deg)
+        d_lon_w = F.lit(buffer_m) / (
+            F.lit(M_PER_DEG)
+            * F.cos(F.radians(F.greatest(F.abs(F.col("min_lat")), F.abs(F.col("max_lat")))))
+        )
+        w_cells = w.select(
+            "wid",
+            F.explode(
+                _bbox_cells_col(
+                    F.col("min_lon"), F.col("min_lat"),
+                    F.col("max_lon"), F.col("max_lat"),
+                    s_lon, s_lat,
+                    pad_lon=d_lon_w, pad_lat=F.lit(d_lat),
+                )
+            ).alias("cell"),
+        )
+        n_cells = pt.select(
+            "nid", "lon", "lat",
+            C.pack_cell(C.cell_x(F.col("lon"), s_lon), C.cell_y(F.col("lat"), s_lat)).alias("cell"),
+        )
+        cand = n_cells.join(w_cells, "cell").select("nid", "lon", "lat", "wid")
 
-    # bucketed: equi-join on a D-sized grid key; candidate shuffle carries
-    # only (nid, wid, cell) — geometry joins back for the refine
-    s_lon, s_lat = _grid_sizes(buffer_m, ref_lat, cell_deg)
-    d_lon_w = F.lit(buffer_m) / (
-        F.lit(M_PER_DEG)
-        * F.cos(F.radians(F.greatest(F.abs(F.col("min_lat")), F.abs(F.col("max_lat")))))
-    )
-    w_cells = w.select(
-        "wid",
-        F.explode(
-            _bbox_cells_col(
-                F.col("min_lon"), F.col("min_lat"),
-                F.col("max_lon"), F.col("max_lat"),
-                s_lon, s_lat,
-                pad_lon=d_lon_w, pad_lat=F.lit(d_lat),
-            )
-        ).alias("cell"),
-    )
-    n_cells = pt.select(
-        "nid", C.pack_cell(C.cell_x(F.col("lon"), s_lon), C.cell_y(F.col("lat"), s_lat)).alias("cell")
-    )
-    cand_ids = n_cells.join(w_cells, "cell").select("nid", "wid").distinct()
-    matched = (
-        cand_ids.join(pt, "nid")
-        .join(w.select("wid", "wnodes"), "wid")
-        .filter(exact)
+    # exact refine on segment ROWS (scalar codegen) — never the array
+    # lambda per pair (interpreted; see way_segments docstring). EXISTS
+    # semantics = any segment row within r2; output distinct absorbs
+    # candidate multiplicity.
+    segs = way_segments(w, "wid", "wnodes")
+    if small_ways:
+        segs = F.broadcast(segs)
+    matched = cand.join(segs, "wid").filter(
+        pt_seg_d2_m_scalar(
+            F.col("lon"), F.col("lat"),
+            F.col("alon"), F.col("alat"), F.col("blon"), F.col("blat"),
+        )
+        <= F.lit(r2)
     )
     return matched.select(F.col(out_col).alias("id")).distinct()
 
@@ -262,6 +276,48 @@ def segments_col(nodes: Column) -> Column:
     )
     single = F.array(F.struct(nodes[0].alias("a"), nodes[0].alias("b")))
     return F.when(n >= 2, segs).otherwise(single)
+
+
+def way_segments(
+    ways: DataFrame, id_col: str, nodes_col: str, prefix: str = ""
+) -> DataFrame:
+    """(id, {p}alon, {p}alat, {p}blon, {p}blat) — one row per consecutive-
+    node segment. The interpreted `segments_col` lambda runs once per WAY;
+    everything downstream of the explode is scalar codegen. This is the
+    refine-side representation for all buffer/nearest joins: evaluating the
+    array-lambda distance (`point_to_way_dist2_m` / `way_pair_within_m`)
+    once per candidate PAIR runs interpreted at ~10 µs/pair — measured 5-20x
+    the rest of the join (BENCH.md r5e)."""
+    s = ways.select(id_col, F.explode(segments_col(F.col(nodes_col))).alias("_s"))
+    return s.select(
+        id_col,
+        F.col("_s.a.lon").alias(prefix + "alon"),
+        F.col("_s.a.lat").alias(prefix + "alat"),
+        F.col("_s.b.lon").alias(prefix + "blon"),
+        F.col("_s.b.lat").alias(prefix + "blat"),
+    )
+
+
+def pt_seg_d2_m_scalar(
+    lon: Column, lat: Column, alon: Column, alat: Column, blon: Column, blat: Column
+) -> Column:
+    """Squared meter distance from point to segment — the exact expression
+    tree of `point_to_way_dist2_m`'s per-segment lambda restated over
+    scalar columns (whole-stage codegen; IEEE-identical values, so DuckDB
+    twins written for the array form hold)."""
+    kx, ky = _meters_k(lat)
+    ax = (alon - lon) * kx
+    ay = (alat - lat) * ky
+    bx = (blon - lon) * kx
+    by = (blat - lat) * ky
+    dx = bx - ax
+    dy = by - ay
+    len2 = dx * dx + dy * dy
+    t_raw = F.when(len2 > 0, -(ax * dx + ay * dy) / len2).otherwise(F.lit(0.0))
+    t = F.least(F.greatest(t_raw, F.lit(0.0)), F.lit(1.0))
+    cx = ax + t * dx
+    cy = ay + t * dy
+    return cx * cx + cy * cy
 
 
 def _pt_seg_d2(px: Column, py: Column, ax: Column, ay: Column, bx: Column, by: Column) -> Column:
@@ -311,13 +367,46 @@ def seg_pair_dist2_m(sa: Column, sb: Column) -> Column:
 
 
 def way_pair_within_m(nodes_a: Column, nodes_b: Column, buffer_m: float) -> Column:
-    """True iff min segment-pair distance between two polylines <= buffer_m."""
+    """True iff min segment-pair distance between two polylines <= buffer_m.
+
+    Column form over node arrays — Spark evaluates the nested exists
+    INTERPRETED per pair; the joins below use the exploded scalar form
+    (`way_segments` + `seg_pair_d2_m_scalar`) instead. Kept as the
+    reference semantics / for ad-hoc use on small frames."""
     d2 = F.lit(float(buffer_m) ** 2)
     segs_b = segments_col(nodes_b)
     return F.exists(
         segments_col(nodes_a),
         lambda sa: F.exists(segs_b, lambda sb: seg_pair_dist2_m(sa, sb) <= d2),
     )
+
+
+def seg_pair_d2_m_scalar(
+    oalon: Column, oalat: Column, oblon: Column, oblat: Column,
+    ialon: Column, ialat: Column, iblon: Column, iblat: Column,
+) -> Column:
+    """`seg_pair_dist2_m`'s exact expression tree over scalar columns
+    (outer segment a=(oalon,oalat) b=(oblon,oblat), inner likewise) —
+    whole-stage codegen, IEEE-identical to the struct form so the
+    `osm_buffer_way_way` DuckDB twin keeps holding."""
+    kx = F.lit(M_PER_DEG) * F.cos(F.radians(oalat))
+    ky = F.lit(M_PER_DEG)
+    a1x, a1y = oalon * kx, oalat * ky
+    a2x, a2y = oblon * kx, oblat * ky
+    b1x, b1y = ialon * kx, ialat * ky
+    b2x, b2y = iblon * kx, iblat * ky
+    d = F.least(
+        _pt_seg_d2(a1x, a1y, b1x, b1y, b2x, b2y),
+        _pt_seg_d2(a2x, a2y, b1x, b1y, b2x, b2y),
+        _pt_seg_d2(b1x, b1y, a1x, a1y, a2x, a2y),
+        _pt_seg_d2(b2x, b2y, a1x, a1y, a2x, a2y),
+    )
+    o1 = _ccw(oalon, oalat, oblon, oblat, ialon, ialat)
+    o2 = _ccw(oalon, oalat, oblon, oblat, iblon, iblat)
+    o3 = _ccw(ialon, ialat, iblon, iblat, oalon, oalat)
+    o4 = _ccw(ialon, ialat, iblon, iblat, oblon, oblat)
+    crossing = (o1 * o2 < 0) & (o3 * o4 < 0)
+    return F.when(crossing, F.lit(0.0)).otherwise(d)
 
 
 def within_buffer_way_way(
@@ -371,13 +460,35 @@ def within_buffer_way_way(
         & (F.col("o_max_lat") + F.lit(d_lat) >= F.col("i_min_lat"))
     )
 
+    r2 = float(buffer_m) ** 2
+    osegs = way_segments(o, "id", "onodes", prefix="o")
+    isegs = way_segments(i, "iid", "inodes", prefix="i")
+    seg_hit = (
+        seg_pair_d2_m_scalar(
+            F.col("oalon"), F.col("oalat"), F.col("oblon"), F.col("oblat"),
+            F.col("ialon"), F.col("ialat"), F.col("iblon"), F.col("iblat"),
+        )
+        <= F.lit(r2)
+    )
+
     if _resolve_strategy(i, strategy, broadcast_threshold) == "broadcast":
+        # candidate pairs stay a BNLJ on the broadcast bbox-only inner dim;
+        # the refine joins segment ROWS (scalar codegen) instead of running
+        # the nested-exists array lambda per pair (interpreted — measured
+        # 20x the join at 10k x 10k, BENCH.md r5e)
+        pairs = o.select(
+            "id", "o_min_lon", "o_min_lat", "o_max_lon", "o_max_lat"
+        ).join(
+            F.broadcast(
+                i.select("iid", "i_min_lon", "i_min_lat", "i_max_lon", "i_max_lat")
+            ),
+            cand & (F.col("id") != F.col("iid")),
+            "inner",
+        ).select("id", "iid")
         return (
-            o.join(F.broadcast(i), cand, "inner")
-            .filter(
-                (F.col("id") != F.col("iid"))
-                & way_pair_within_m(F.col("onodes"), F.col("inodes"), buffer_m)
-            )
+            pairs.join(osegs, "id")
+            .join(F.broadcast(isegs), "iid")
+            .filter(seg_hit)
             .select("id")
             .distinct()
         )
@@ -418,9 +529,9 @@ def within_buffer_way_way(
         .distinct()
     )
     return (
-        cand_ids.join(o.select("id", "onodes"), "id")
-        .join(i.select("iid", "inodes"), "iid")
-        .filter(way_pair_within_m(F.col("onodes"), F.col("inodes"), buffer_m))
+        cand_ids.join(osegs, "id")
+        .join(isegs, "iid")
+        .filter(seg_hit)
         .select("id")
         .distinct()
     )

@@ -60,47 +60,18 @@ from simple_osm_queries_spark.operators.buffer import (
     _bbox_cells_col,
     _grid_sizes,
     _resolve_strategy,
-    segments_col,
+    pt_seg_d2_m_scalar,
+    way_segments,
 )
 from simple_osm_queries_spark.functions import cells as C
 
 
 def _seg_d2_scalar() -> "F.Column":
-    """Squared meter distance from (lon, lat) to segment (alon, alat)->
-    (blon, blat): the exact expression tree of
-    `buffer.point_to_way_dist2_m`'s per-segment lambda, restated over
-    scalar columns so it compiles into whole-stage codegen (the array
-    lambda runs interpreted — module docstring). Expects columns
-    lon/lat/alon/alat/blon/blat; kx/ky inlined per row."""
-    kx = F.lit(M_PER_DEG) * F.cos(F.radians(F.col("lat")))
-    ky = F.lit(M_PER_DEG)
-    ax = (F.col("alon") - F.col("lon")) * kx
-    ay = (F.col("alat") - F.col("lat")) * ky
-    bx = (F.col("blon") - F.col("lon")) * kx
-    by = (F.col("blat") - F.col("lat")) * ky
-    dx = bx - ax
-    dy = by - ay
-    len2 = dx * dx + dy * dy
-    t_raw = F.when(len2 > 0, -(ax * dx + ay * dy) / len2).otherwise(F.lit(0.0))
-    t = F.least(F.greatest(t_raw, F.lit(0.0)), F.lit(1.0))
-    cx = ax + t * dx
-    cy = ay + t * dy
-    return cx * cx + cy * cy
-
-
-def _way_segments(w: DataFrame) -> DataFrame:
-    """(wid, alon, alat, blon, blat) — one row per consecutive-node segment
-    (single-node ways produce one degenerate a==b segment, matching
-    `point_to_way_dist2_m`'s single-point fallback). The interpreted
-    segment construction runs once per WAY, not per candidate pair."""
-    return w.select(
-        "wid", F.explode(segments_col(F.col("wnodes"))).alias("s")
-    ).select(
-        "wid",
-        F.col("s.a.lon").alias("alon"),
-        F.col("s.a.lat").alias("alat"),
-        F.col("s.b.lon").alias("blon"),
-        F.col("s.b.lat").alias("blat"),
+    """Point-to-segment squared meters over the joined refine row — the
+    shared scalar codegen tree (`buffer.pt_seg_d2_m_scalar`)."""
+    return pt_seg_d2_m_scalar(
+        F.col("lon"), F.col("lat"),
+        F.col("alon"), F.col("alat"), F.col("blon"), F.col("blat"),
     )
 
 
@@ -245,7 +216,7 @@ def nearest_way_join(
             "nid", "wid"
         )
 
-    segs = _way_segments(w)
+    segs = way_segments(w, "wid", "wnodes")
     if small_ways:
         segs = F.broadcast(segs)
     cand_seg = cand_ids.join(pt, "nid").join(segs, "wid")
