@@ -754,7 +754,32 @@ def norm_col(a: Column) -> Column:
 
 
 def cosine_col(a: Column, b: Column) -> Column:
+    """Column-form cosine (interpreted F.aggregate folds — fine per-row
+    against a literal query vector; for candidate-PAIR verification at
+    volume use :func:`pairwise_cosine_udf` instead, BENCH.md r5e)."""
     return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def pairwise_cosine_udf() -> "F.Column":
+    """Arrow-batched pairwise cosine: one numpy pass per batch (row-wise
+    einsum dot + norms) instead of three interpreted F.aggregate folds per
+    pair. On the gate's dyadic-rational fixture every sum is exact in
+    float64 regardless of accumulation order, so this is bit-identical to
+    the fold form there (and to the DuckDB twin); on arbitrary floats it
+    differs only in summation order."""
+
+    @F.pandas_udf(T.DoubleType())
+    def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if not len(va):
+            return pd.Series([], dtype="float64")
+        a = np.asarray([np.asarray(v, dtype=np.float64) for v in va])
+        b = np.asarray([np.asarray(v, dtype=np.float64) for v in vb])
+        dots = np.einsum("ij,ij->i", a, b)
+        na = np.sqrt(np.einsum("ij,ij->i", a, a))
+        nb = np.sqrt(np.einsum("ij,ij->i", b, b))
+        return pd.Series(dots / (na * nb))
+
+    return _cos
 
 
 def hyperplane_signature_col(vec: Column, dim: int, bits: int = 32, seed: int = 42) -> Column:
@@ -851,7 +876,7 @@ def embedding_near_dups(
     return (
         pairs.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cosine", cosine_col(F.col("vec_a"), F.col("vec_b")))
+        .withColumn("cosine", pairwise_cosine_udf()(F.col("vec_a"), F.col("vec_b")))
         .filter(F.col("cosine") >= F.lit(threshold))
         .select("id_a", "id_b", "cosine")
     )
