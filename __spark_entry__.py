@@ -1355,13 +1355,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.embedding_near_dups(d, threshold=0.9, sig_bits=32, chunks=4)
 
     def q_phash(spark, sf_dir):
-        # synthetic perceptual hashes: doc groups of 8 share all high bits,
-        # exercising the chunk-band + popcount machinery (input_hint phash)
+        # MERGED entry (50-cap, round-5 session 4): three kinds over one
+        # image+caption fixture —
+        #   'pair'     phash near-dup pairs (the original entry: groups of
+        #              8 share all high bits; chunk-band + popcount)
+        #   'conflict' crossmodal.image_caption_conflicts — near-identical
+        #              images whose captions' word-3-gram jaccard <= 0.5
+        #              (caption of doc i := text of i - i%2, so even/odd
+        #              twins AGREE and everything else conflicts)
+        #   'stock'    crossmodal.stock_captions — caption fingerprints on
+        #              >= 2 distinct images (every 25th doc shares one
+        #              planted stock caption; phash := doc_id, all distinct)
+        # Unified columns (kind, a, b, h, j): pair/conflict use a=id_a,
+        # b=id_b, h=hamming, j=jaccard|NULL; stock uses a=example_id,
+        # b=n_rows, h=n_images, j=NULL.
+        from simple_osm_queries_spark.operators import crossmodal
+
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        base = docs.select(
             F.col("doc_id").alias("id"),
             (F.floor(F.col("doc_id") / 8).cast("long") * 1024 + F.col("doc_id") % 8).alias("ph"),
+            (F.col("doc_id") - F.col("doc_id") % 2).alias("cap_src"),
         )
-        return dedup.phash_near_dups(docs, id_col="id", phash_col="ph", max_hamming=3)
+        caps = docs.select(
+            F.col("doc_id").alias("cap_src"), F.col("text").alias("caption")
+        )
+        tbl = base.join(caps, "cap_src").select("id", "ph", "caption")
+
+        nul_j = F.lit(None).cast("double")
+        pairs = dedup.phash_near_dups(
+            tbl, id_col="id", phash_col="ph", max_hamming=3
+        ).select(
+            F.lit("pair").alias("kind"),
+            F.col("id_a").alias("a"),
+            F.col("id_b").alias("b"),
+            F.col("hamming").cast("long").alias("h"),
+            nul_j.alias("j"),
+        )
+        conf = crossmodal.image_caption_conflicts(
+            tbl,
+            id_col="id",
+            phash_col="ph",
+            caption_col="caption",
+            max_hamming=3,
+            max_caption_jaccard=0.5,
+        ).select(
+            F.lit("conflict").alias("kind"),
+            F.col("id_a").alias("a"),
+            F.col("id_b").alias("b"),
+            F.col("hamming").cast("long").alias("h"),
+            F.col("caption_jaccard").alias("j"),
+        )
+        stock_tbl = tbl.select(
+            "id",
+            F.col("id").alias("ph2"),
+            F.when(
+                F.col("id") % 25 == 0, F.lit("stock caption image unavailable")
+            )
+            .otherwise(F.col("caption"))
+            .alias("caption2"),
+        )
+        stock = crossmodal.stock_captions(
+            stock_tbl, id_col="id", phash_col="ph2", caption_col="caption2",
+            min_images=2,
+        ).select(
+            F.lit("stock").alias("kind"),
+            F.col("example_id").alias("a"),
+            F.col("n_rows").alias("b"),
+            F.col("n_images").cast("long").alias("h"),
+            nul_j.alias("j"),
+        )
+        return pairs.unionByName(conf).unionByName(stock)
 
     q["dedup_phash"] = q_phash
 
@@ -2041,11 +2107,53 @@ WHERE session_id < mx
 
     # candidate generation is pigeonhole-complete for hamming <= chunks-1,
     # so exhaustive pairwise hamming is an exact oracle
+    # merged twin (pair + crossmodal conflict + stock; see q_phash comment).
+    # Set sizes via list_filter+list_contains (inputs are distinct lists, so
+    # the filter result is exactly |A∩B| — DuckDB's list_intersect makes no
+    # distinctness promise) and list_distinct(list_concat) for |A∪B|; the
+    # jaccard division is int/int in double on both engines (identical).
     o["dedup_phash"] = """
-WITH p AS (SELECT doc_id AS id, (doc_id // 8) * 1024 + doc_id % 8 AS ph FROM documents)
-SELECT a.id AS id_a, b.id AS id_b, bit_count(xor(a.ph, b.ph)) AS hamming
-FROM p a JOIN p b ON a.id < b.id
-WHERE bit_count(xor(a.ph, b.ph)) <= 3
+WITH cap AS (
+  SELECT d.doc_id AS id, (d.doc_id // 8) * 1024 + d.doc_id % 8 AS ph,
+         c.text AS caption
+  FROM documents d JOIN documents c ON c.doc_id = d.doc_id - d.doc_id % 2
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, bit_count(xor(a.ph, b.ph)) AS hamming
+  FROM cap a JOIN cap b ON a.id < b.id
+  WHERE bit_count(xor(a.ph, b.ph)) <= 3
+),
+sh AS (
+  SELECT id, list_distinct(list_transform(range(0, greatest(len(w) - 3, 0) + 1),
+                             i -> array_to_string(w[i+1 : i+3], ' '))) AS s
+  FROM (SELECT id, string_split_regex(trim(lower(caption)), '\\s+') AS w FROM cap)
+),
+conf AS (
+  SELECT p.id_a, p.id_b, p.hamming,
+         CAST(len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE) AS j
+  FROM pairs p JOIN sh sa ON sa.id = p.id_a JOIN sh sb ON sb.id = p.id_b
+),
+stock_src AS (
+  SELECT id, id AS ph2,
+         CASE WHEN id % 25 = 0 THEN 'stock caption image unavailable'
+              ELSE caption END AS caption2
+  FROM cap
+),
+stock AS (
+  SELECT count(*) AS n_rows, count(DISTINCT ph2) AS n_images,
+         min(id) AS example_id
+  FROM stock_src GROUP BY md5(caption2) HAVING count(DISTINCT ph2) >= 2
+)
+SELECT 'pair' AS kind, id_a AS a, id_b AS b, CAST(hamming AS BIGINT) AS h,
+       CAST(NULL AS DOUBLE) AS j
+FROM pairs
+UNION ALL
+SELECT 'conflict', id_a, id_b, CAST(hamming AS BIGINT), j
+FROM conf WHERE j <= CAST(0.5 AS DOUBLE)
+UNION ALL
+SELECT 'stock', example_id, n_rows, CAST(n_images AS BIGINT), CAST(NULL AS DOUBLE)
+FROM stock
 """
 
     o["dedup_exact"] = (
