@@ -165,6 +165,38 @@ def cmd_upsert(spark, args) -> None:
         )
 
 
+def cmd_compact(spark, args) -> None:
+    """Compact small-file partitions of a grid index in place — crash-safe
+    version-bumping rewrite of only the offending directories
+    (index/compact.py)."""
+    from simple_osm_queries_spark.index.compact import compact_index
+
+    report = compact_index(
+        spark,
+        args.index,
+        partition_col=args.partition_col,
+        target_file_bytes=args.target_file_mb * 1024 * 1024,
+        min_files=args.min_files,
+        max_partitions=args.max_partitions,
+        dry_run=args.dry_run,
+    )
+    if report["dry_run"]:
+        print(
+            f"would compact {report['partitions']} partitions "
+            f"({report['files_before']} files -> {report['files_target']}, "
+            f"{report['bytes'] / 1e6:.1f} MB)"
+        )
+    elif report["partitions"] == 0:
+        print("nothing to compact")
+    else:
+        print(
+            f"compacted {report['partitions']} partitions "
+            f"({report['files_before']} files -> {report['files_target']}, "
+            f"{report['rows_written']} rows) in {report['t_sec']:.1f}s "
+            f"-> version {report['version']}"
+        )
+
+
 def cmd_query(spark, args) -> None:
     from simple_osm_queries_spark.query.planner import run_query
     from simple_osm_queries_spark.sources.geojson import write_geojson_file
@@ -222,6 +254,16 @@ def main(argv: list[str] | None = None) -> None:
         "recursive file listing for a parquet directory)",
     )
 
+    pk = sub.add_parser(
+        "compact", help="compact small-file index partitions (crash-safe, versioned)"
+    )
+    pk.add_argument("--index", default="soq-index/grid-index")
+    pk.add_argument("--partition-col", default="cell_x", dest="partition_col")
+    pk.add_argument("--target-file-mb", type=int, default=128, dest="target_file_mb")
+    pk.add_argument("--min-files", type=int, default=2, dest="min_files")
+    pk.add_argument("--max-partitions", type=int, default=None, dest="max_partitions")
+    pk.add_argument("--dry-run", action="store_true", dest="dry_run")
+
     ps = sub.add_parser("server", help="HTTP server: POST /query, GET /app, /cells, /tiles/{z}/{x}/{y}.{png,mvt}")
     ps.add_argument("--port", type=int, default=8080)
     ps.add_argument("--data", default="generate")
@@ -239,6 +281,7 @@ def main(argv: list[str] | None = None) -> None:
             "server": cmd_server,
             "cells": cmd_cells,
             "upsert": cmd_upsert,
+            "compact": cmd_compact,
         }[args.cmd](spark, args)
     finally:
         if args.cmd != "server":

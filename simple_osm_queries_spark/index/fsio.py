@@ -60,6 +60,20 @@ def fs_listdir(spark: SparkSession, path: str) -> list[str]:
     return [st.getPath().getName() for st in fs.listStatus(p)]
 
 
+def fs_list_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """(name, bytes) for the plain FILES directly under ``path`` (no
+    directories); [] if absent. One Hadoop listStatus — the compaction
+    planner's cost is one such call per partition directory."""
+    fs, p = _jfs(spark, path)
+    if not fs.exists(p):
+        return []
+    return [
+        (st.getPath().getName(), st.getLen())
+        for st in fs.listStatus(p)
+        if st.isFile()
+    ]
+
+
 def fs_read_text(spark: SparkSession, path: str) -> str:
     # py4j cannot read back a Java-side-mutated byte[] buffer; commons-io
     # (on every Spark classpath) drains the stream JVM-side in one call
