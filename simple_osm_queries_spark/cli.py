@@ -264,7 +264,7 @@ def main(argv: list[str] | None = None) -> None:
     pk.add_argument("--max-partitions", type=int, default=None, dest="max_partitions")
     pk.add_argument("--dry-run", action="store_true", dest="dry_run")
 
-    ps = sub.add_parser("server", help="HTTP server: POST /query, GET /app, /cells, /tiles/{z}/{x}/{y}.{png,mvt}")
+    ps = sub.add_parser("server", help="HTTP server: POST /query, GET /app, /cells, /nearest, /tiles/{z}/{x}/{y}.{png,mvt}")
     ps.add_argument("--port", type=int, default=8080)
     ps.add_argument("--data", default="generate")
     ps.add_argument("--generate", type=int, default=100_000)

@@ -64,8 +64,81 @@ def make_handler(
                 self._get_cells()
             elif self.path.startswith("/tiles/"):
                 self._get_tile()
+            elif self.path.startswith("/nearest"):
+                self._get_nearest()
             else:
                 self._send(404, b'{"error": "not found"}', "application/json")
+
+        def _get_nearest(self) -> None:
+            """GET /nearest?lon=..&lat=..&k=1&radius=500 — the k nearest
+            ways within radius meters of the point, as JSON
+            {way_id, dist_m, rank} rows (operators/nearest_way.py as a
+            user surface: reverse geocoding / GPS-snap). The way side is
+            bbox-prefiltered around the point before the broadcast join,
+            so a single lookup never scans the full way table's geometry."""
+            import math
+            from urllib.parse import parse_qs, urlparse
+
+            from simple_osm_queries_spark.operators.buffer import M_PER_DEG
+            from simple_osm_queries_spark.operators.nearest_way import (
+                nearest_way_join,
+            )
+
+            try:
+                qs = parse_qs(urlparse(self.path).query)
+                lon = float(qs["lon"][0])
+                lat = float(qs["lat"][0])
+                k = int(qs.get("k", ["1"])[0])
+                radius = float(qs.get("radius", ["500"])[0])
+                if not (-180.0 <= lon <= 180.0 and -90.0 <= lat <= 90.0):
+                    raise ValueError("lon/lat out of range")
+                if not 1 <= k <= 100:
+                    raise ValueError("k must be in [1, 100]")
+                if not 0.0 < radius <= 100_000.0:
+                    raise ValueError("radius must be in (0, 100km]")
+            except (KeyError, ValueError) as e:
+                self._send(
+                    400,
+                    json.dumps({"error": "bad request", "message": str(e)}).encode(),
+                    "application/json",
+                )
+                return
+            try:
+                d_lat = radius / M_PER_DEG
+                d_lon = radius / (
+                    M_PER_DEG * math.cos(math.radians(min(abs(lat), 89.0)))
+                )
+                cand = dataset.ways.filter(
+                    (F.col("min_lon") <= lon + d_lon)
+                    & (F.col("max_lon") >= lon - d_lon)
+                    & (F.col("min_lat") <= lat + d_lat)
+                    & (F.col("max_lat") >= lat - d_lat)
+                ).select(
+                    "id", "nodes", "min_lon", "min_lat", "max_lon", "max_lat"
+                )
+                spark = dataset.nodes.sparkSession
+                pt = spark.createDataFrame(
+                    [(0, lon, lat)], "id long, lon double, lat double"
+                )
+                rows = (
+                    nearest_way_join(pt, cand, radius, k=k, strategy="broadcast")
+                    .orderBy("rank")
+                    .collect()
+                )
+                payload = {
+                    "query": {"lon": lon, "lat": lat, "k": k, "radius_m": radius},
+                    "results": [
+                        {"way_id": r.way_id, "dist_m": r.dist_m, "rank": r.rank}
+                        for r in rows
+                    ],
+                }
+                self._send(200, json.dumps(payload).encode(), "application/json")
+            except Exception as e:  # execution error envelope
+                self._send(
+                    500,
+                    json.dumps({"error": "execution error", "message": str(e)}).encode(),
+                    "application/json",
+                )
 
         def _get_tile(self) -> None:
             """GET /tiles/{z}/{x}/{y}.png — an on-demand density heatmap

@@ -138,6 +138,45 @@ def test_validation(frames):
         nearest_way_join(pts, ways, 100.0, k=0)
 
 
+def test_http_nearest_endpoint(dataset, frames, oracle):
+    import json
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from simple_osm_queries_spark.web import serve
+
+    httpd = serve(dataset, port=18103)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        pts, _ = frames
+        p = pts.orderBy("id").first()
+        url = (
+            f"http://127.0.0.1:18103/nearest?lon={p.lon}&lat={p.lat}"
+            f"&k=2&radius=2000"
+        )
+        with urllib.request.urlopen(url) as resp:
+            body = json.loads(resp.read())
+        assert resp.status == 200
+        want = oracle(2000.0, 2).get(p.id, [])
+        got = body["results"]
+        assert [r["way_id"] for r in got] == [w for _, w in want]
+        assert [r["rank"] for r in got] == list(range(1, len(want) + 1))
+        for g, (d, _) in zip(got, want):
+            assert abs(g["dist_m"] - d) < 1e-6
+        # validation envelope
+        for bad in ("/nearest?lon=999&lat=0", "/nearest?lon=1", "/nearest?lon=1&lat=1&k=0"):
+            try:
+                urllib.request.urlopen(f"http://127.0.0.1:18103{bad}")
+                raise AssertionError(f"{bad} should 400")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+                assert json.loads(e.read())["error"] == "bad request"
+    finally:
+        httpd.shutdown()
+
+
 def test_bucketed_plan_no_bnlj(frames):
     pts, ways = frames
     bk = nearest_way_join(pts, ways, 500.0, k=1, strategy="bucketed")
