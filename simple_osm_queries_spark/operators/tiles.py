@@ -433,6 +433,7 @@ def tile_vectors_ways(
     max_cover: int = 256,
     oversize: str = "raise",
     layer: str = "ways",
+    simplify_tol: float = 0.0,
 ) -> DataFrame:
     """Vector tiles for way LINESTRINGs (prepared ways table: ``nodes``
     array<struct<id,lon,lat>> + bbox columns from sources/dataset.py).
@@ -447,6 +448,15 @@ def tile_vectors_ways(
     fast with the count, ``'skip'`` drops those ways — visibly, via the
     ``n_oversize`` column present on every output row (no silent cap).
 
+    ``simplify_tol`` > 0 runs Douglas–Peucker per feature in TILE
+    COORDINATE UNITS (the [0, extent) grid — extent/256 units ≈ one
+    on-screen pixel) on the already-projected integer vertices, inside
+    the same per-tile Arrow stage (geodesy's iterative numpy stack, zero
+    extra passes). Endpoints always survive; max deviation from the
+    original projected polyline <= simplify_tol. This is what makes a
+    low-zoom planet render feasible: a 10k-vertex river at z4 is a few
+    dozen MVT vertices.
+
     Output: (tile_id, zoom, tx, ty, n_features, n_total, n_oversize, mvt).
     """
     import pandas as pd
@@ -459,7 +469,10 @@ def tile_vectors_ways(
     def render(pdf: "pd.DataFrame") -> "pd.DataFrame":
         import math
 
+        import numpy as np
+
         from simple_osm_queries_spark.functions.cells import tile_fxy_py
+        from simple_osm_queries_spark.operators.geodesy import _dp_mask
         from simple_osm_queries_spark.sources import mvt
 
         pdf = pdf.sort_values("rn")
@@ -480,6 +493,11 @@ def tile_vectors_ways(
                 )
             if len(ring) < 2:
                 continue  # degenerate single-vertex way
+            if simplify_tol > 0.0 and len(ring) > 2:
+                xs = np.array([p[0] for p in ring], dtype=np.float64)
+                ys = np.array([p[1] for p in ring], dtype=np.float64)
+                keep = _dp_mask(xs, ys, float(simplify_tol))
+                ring = [ring[i] for i in np.flatnonzero(keep)]
             feats.append({"id": int(fid), "type": mvt.LINESTRING, "rings": [ring]})
         blob = mvt.encode_tile([(layer, feats)], extent=extent)
         return pd.DataFrame(

@@ -168,6 +168,21 @@ def make_handler(
             if not m:
                 self._send(404, b'{"error": "not found"}', "application/json")
                 return
+            from urllib.parse import parse_qs
+
+            try:  # ?simplify=<tol in tile units> — DP-thins the ways layer
+                simplify = float(
+                    parse_qs(urlparse(self.path).query).get("simplify", ["0"])[0]
+                )
+                if not 0.0 <= simplify <= 4096.0:
+                    raise ValueError("simplify must be in [0, 4096]")
+            except ValueError as e:
+                self._send(
+                    400,
+                    json.dumps({"error": "bad request", "message": str(e)}).encode(),
+                    "application/json",
+                )
+                return
             z, x, y = (int(g) for g in m.groups()[:3])
             fmt = m.group(4)
             n = 1 << z
@@ -251,9 +266,14 @@ def make_handler(
                         # tile_id filter runs IN Spark: a candidate's bbox
                         # fans out to up to max_cover tiles and only one is
                         # wanted — don't ship the other blobs to the driver
+                        kw = (
+                            {"simplify_tol": simplify}
+                            if op is tile_vectors_ways and simplify > 0.0
+                            else {}
+                        )
                         parts.extend(
                             bytes(r.mvt)
-                            for r in op(cand, z, cap=max_rows, oversize="skip")
+                            for r in op(cand, z, cap=max_rows, oversize="skip", **kw)
                             .where(F.col("tile_id") == F.lit(want))
                             .collect()
                         )

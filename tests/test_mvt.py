@@ -401,6 +401,26 @@ def test_http_mvt_multilayer(spark):
             f"http://127.0.0.1:18095/tiles/{zoom}/{tx}/{ty}.mvt"
         ) as resp:
             layers = mvt.decode_tile(resp.read())
+        # ?simplify thins the ways layer but keeps the same features
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:18095/tiles/{zoom}/{tx}/{ty}.mvt?simplify=64"
+        ) as resp:
+            thin = mvt.decode_tile(resp.read())
+        assert sorted(f["id"] for f in thin["ways"]["features"]) == sorted(
+            f["id"] for f in layers["ways"]["features"]
+        )
+        assert sum(
+            len(f["parts"][0]) for f in thin["ways"]["features"]
+        ) <= sum(len(f["parts"][0]) for f in layers["ways"]["features"])
+        import urllib.error
+
+        try:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:18095/tiles/{zoom}/{tx}/{ty}.mvt?simplify=-1"
+            )
+            raise AssertionError("negative simplify should 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
     finally:
         httpd.shutdown()
     assert "ways" in layers
@@ -428,3 +448,73 @@ def test_http_mvt_multilayer(spark):
     ).count()
     if n_nodes_here:
         assert len(layers["nodes"]["features"]) == n_nodes_here
+
+
+def test_tile_vectors_ways_simplify(spark):
+    """simplify_tol runs DP on the projected tile coords: vertex count
+    drops, endpoints and the sharp corner survive, every dropped vertex is
+    within tol of the simplified polyline, and tol=0 is the identity."""
+    import numpy as np
+
+    from simple_osm_queries_spark.operators.tiles import tile_vectors_ways
+
+    zoom, extent = 10, 4096
+    # one way inside a single z10 tile: a long near-straight run with tiny
+    # jitter plus one sharp corner in the middle
+    n_pts = 41
+    lon0, lat0 = 9.95, 53.55
+    nodes = []
+    for i in range(n_pts):
+        t = i / (n_pts - 1)
+        jitter = 1e-6 * ((i * 7) % 3 - 1)
+        lat = lat0 + (0.01 if i == 20 else jitter)  # corner at i=20
+        nodes.append({"id": i, "lon": lon0 + t * 0.02, "lat": lat})
+    lons = [v["lon"] for v in nodes]
+    lats = [v["lat"] for v in nodes]
+    way = spark.createDataFrame(
+        [(7, nodes, min(lons), min(lats), max(lons), max(lats))],
+        "id long, nodes array<struct<id:long,lon:double,lat:double>>, "
+        "min_lon double, min_lat double, max_lon double, max_lat double",
+    )
+
+    def decode_pts(rows):
+        per_tile = {}
+        for r in rows:
+            layer = mvt.decode_tile(bytes(r.mvt))["ways"]
+            for f in layer["features"]:
+                per_tile[(r.tx, r.ty)] = f["parts"][0]
+        return per_tile
+
+    full = decode_pts(tile_vectors_ways(way, zoom, extent=extent).collect())
+    simp = decode_pts(
+        tile_vectors_ways(way, zoom, extent=extent, simplify_tol=8.0).collect()
+    )
+    assert set(full) == set(simp)
+    for key, fpts in full.items():
+        spts = simp[key]
+        assert len(fpts) == n_pts
+        assert 2 < len(spts) < len(fpts), "expected real reduction"
+        assert spts[0] == fpts[0] and spts[-1] == fpts[-1]
+        # the sharp corner survives (highest latitude = smallest mercator y)
+        corner = min(fpts, key=lambda p: p[1])
+        assert corner in spts
+        # subsequence property + deviation bound: each original vertex is
+        # within tol of the simplified polyline (numpy point-segment check)
+        sx = np.array([p[0] for p in spts], float)
+        sy = np.array([p[1] for p in spts], float)
+        for px, py in fpts:
+            ax, ay, bx, by = sx[:-1], sy[:-1], sx[1:], sy[1:]
+            dx, dy = bx - ax, by - ay
+            ln = np.maximum(dx * dx + dy * dy, 1e-12)
+            t = np.clip(((px - ax) * dx + (py - ay) * dy) / ln, 0, 1)
+            d = np.sqrt((ax + t * dx - px) ** 2 + (ay + t * dy - py) ** 2)
+            assert d.min() <= 8.0 + 1e-9
+        # ordered-subsequence property
+        it = iter(fpts)
+        assert all(p in it for p in spts)
+
+    # tol=0 is the identity
+    zero = decode_pts(
+        tile_vectors_ways(way, zoom, extent=extent, simplify_tol=0.0).collect()
+    )
+    assert zero == full
