@@ -682,7 +682,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             2000.0,
             k=2,
             strategy="bucketed",
+            snap=True,
         )
+        # snap point (the map-matching output) quantized to 1e-7 deg —
+        # the cos ulp largely cancels inside t (kx^2/kx^2); margin ~1e11
         return res.select(
             "id",
             "way_id",
@@ -690,6 +693,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .cast("long")
             .alias("v"),
             "rank",
+            F.floor(F.col("snap_lon") * F.lit(1e7) + F.lit(0.5))
+            .cast("long")
+            .alias("sx"),
+            F.floor(F.col("snap_lat") * F.lit(1e7) + F.lit(0.5))
+            .cast("long")
+            .alias("sy"),
         )
 
     q["nearest_way_join"] = q_nearest_way
@@ -1776,8 +1785,25 @@ WHERE a.has_amenity AND EXISTS (
         by = f"((({lat_b}) - plat) * {_dbl('111320.0')})"
         return _pt_seg_d2_sql(_dbl("0.0"), _dbl("0.0"), ax, ay, bx, by)
 
+    def _nw_seg_t(lon_a: str, lat_a: str, lon_b: str, lat_b: str) -> str:
+        # the clamped projection parameter — mirrors _seg_t_scalar's tree
+        ax = f"((({lon_a}) - plon) * kx)"
+        ay = f"((({lat_a}) - plat) * {_dbl('111320.0')})"
+        bx = f"((({lon_b}) - plon) * kx)"
+        by = f"((({lat_b}) - plat) * {_dbl('111320.0')})"
+        dx = f"(({bx}) - ({ax}))"
+        dy = f"(({by}) - ({ay}))"
+        len2 = f"({dx}*{dx} + {dy}*{dy})"
+        t_raw = f"(-(({ax})*{dx} + ({ay})*{dy}) / {len2})"
+        return (
+            f"(CASE WHEN {len2} > 0 THEN LEAST(GREATEST({t_raw}, "
+            f"{_dbl('0.0')}), {_dbl('1.0')}) ELSE {_dbl('0.0')} END)"
+        )
+
     _nw_s1 = _nw_seg_d2("lon1", "lat1", "lon2", "lat2")
     _nw_s2 = _nw_seg_d2("lon2", "lat2", "lon3", "lat3")
+    _nw_t1 = _nw_seg_t("lon1", "lat1", "lon2", "lat2")
+    _nw_t2 = _nw_seg_t("lon2", "lat2", "lon3", "lat3")
     o["nearest_way_join"] = f"""
 WITH pts AS (SELECT doc_id AS id, {SQL_LON} AS lon, {SQL_LAT} AS lat FROM documents),
 q AS (SELECT id, lon AS plon, lat AS plat,
@@ -1801,15 +1827,30 @@ cand AS (SELECT q.id, q.plon, q.plat, q.kx,
           AND q.plon <= greatest(w.lon1, w.lon2, w.lon3) + {_dbl('0.035')}
           AND q.plat >= least(w.lat1, w.lat2, w.lat3) - {_dbl('0.02')}
           AND q.plat <= greatest(w.lat1, w.lat2, w.lat3) + {_dbl('0.02')}),
-hit AS (SELECT id, wid, d2 FROM
-          (SELECT id, wid, LEAST({_nw_s1}, {_nw_s2}) AS d2 FROM cand)
-        WHERE d2 <= {_dbl('4000000.0')}),
-rk AS (SELECT id, wid, d2,
+seg AS (
+  SELECT id, wid, {_nw_s1} AS d2,
+         (lon1 + {_nw_t1} * (lon2 - lon1)) AS sl,
+         (lat1 + {_nw_t1} * (lat2 - lat1)) AS sp
+  FROM cand
+  UNION ALL
+  SELECT id, wid, {_nw_s2},
+         (lon2 + {_nw_t2} * (lon3 - lon2)),
+         (lat2 + {_nw_t2} * (lat3 - lat2))
+  FROM cand
+),
+pw AS (SELECT id, wid, d2, sl, sp,
+              row_number() OVER (PARTITION BY id, wid ORDER BY d2, sl, sp) AS sr
+       FROM seg),
+hit AS (SELECT id, wid, d2, sl, sp FROM pw
+        WHERE sr = 1 AND d2 <= {_dbl('4000000.0')}),
+rk AS (SELECT id, wid, d2, sl, sp,
               row_number() OVER (PARTITION BY id ORDER BY d2, wid) AS rank
        FROM hit)
 SELECT id, wid AS way_id,
        CAST(floor(sqrt(d2) * {_dbl('100.0')} + {_dbl('0.5')}) AS BIGINT) AS v,
-       rank
+       rank,
+       CAST(floor(sl * {_dbl('10000000.0')} + {_dbl('0.5')}) AS BIGINT) AS sx,
+       CAST(floor(sp * {_dbl('10000000.0')} + {_dbl('0.5')}) AS BIGINT) AS sy
 FROM rk WHERE rank <= 2
 """
 

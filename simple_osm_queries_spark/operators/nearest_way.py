@@ -75,32 +75,73 @@ def _seg_d2_scalar() -> "F.Column":
     )
 
 
-def _topk_from_segments(cand_seg: DataFrame, r2: float, k: int) -> DataFrame:
+def _seg_t_scalar() -> "F.Column":
+    """The clamped projection parameter t of the refine row — the same
+    expression tree as inside `pt_seg_d2_m_scalar` (meter space is a
+    per-axis affine image of degree space, so t along the meter segment
+    IS t along the degree segment)."""
+    kx = F.lit(M_PER_DEG) * F.cos(F.radians(F.col("lat")))
+    ky = F.lit(M_PER_DEG)
+    ax = (F.col("alon") - F.col("lon")) * kx
+    ay = (F.col("alat") - F.col("lat")) * ky
+    bx = (F.col("blon") - F.col("lon")) * kx
+    by = (F.col("blat") - F.col("lat")) * ky
+    dx = bx - ax
+    dy = by - ay
+    len2 = dx * dx + dy * dy
+    t_raw = F.when(len2 > 0, -(ax * dx + ay * dy) / len2).otherwise(F.lit(0.0))
+    return F.least(F.greatest(t_raw, F.lit(0.0)), F.lit(1.0))
+
+
+def _topk_from_segments(
+    cand_seg: DataFrame, r2: float, k: int, snap: bool = False
+) -> DataFrame:
     """(nid, wid, d2-per-segment rows) -> k best ways per nid, deterministic
     (d2, wid) order.
 
-    k == 1: ONE hash aggregate — min(struct(d2, wid)) over segment rows
-    directly (the global min row is the nearest way's nearest segment);
-    partial combine, single exchange, no sort.
+    k == 1: ONE hash aggregate — min(struct(d2, wid[, snap])) over segment
+    rows directly (the global min row is the nearest way's nearest
+    segment); partial combine, single exchange, no sort.
     k > 1: reduce segments to per-way distance first (partial-agg
     combinable), then a two-phase window — rank inside each shuffle
     partition and keep only k, so the final per-point sort sees
     <= k*partitions rows even for a pathologically hot point.
+
+    ``snap``: carry the projected snap point (lon/lat of the closest
+    position ON the way) through the aggregates — two extra struct fields,
+    same plan shape. Equidistant same-way segments tie-break by
+    (snap_lon, snap_lat), keeping determinism.
     """
-    scored = cand_seg.withColumn("d2", _seg_d2_scalar()).filter(
-        F.col("d2") <= F.lit(r2)
-    )
+    scored = cand_seg.withColumn("d2", _seg_d2_scalar())
+    if snap:
+        t = _seg_t_scalar()
+        scored = scored.withColumn(
+            "snap_lon", F.col("alon") + t * (F.col("blon") - F.col("alon"))
+        ).withColumn(
+            "snap_lat", F.col("alat") + t * (F.col("blat") - F.col("alat"))
+        )
+    scored = scored.filter(F.col("d2") <= F.lit(r2))
+    snap_cols = ["snap_lon", "snap_lat"] if snap else []
     if k == 1:
         best = scored.groupBy("nid").agg(
-            F.min(F.struct("d2", "wid")).alias("best")
+            F.min(F.struct("d2", "wid", *snap_cols)).alias("best")
         )
         return best.select(
             "nid",
             F.col("best.wid").alias("wid"),
             F.col("best.d2").alias("d2"),
             F.lit(1).alias("rank"),
+            *[F.col(f"best.{c}").alias(c) for c in snap_cols],
         )
-    per_way = scored.groupBy("nid", "wid").agg(F.min("d2").alias("d2"))
+    per_way = scored.groupBy("nid", "wid").agg(
+        F.min(F.struct("d2", *snap_cols)).alias("best")
+    )
+    per_way = per_way.select(
+        "nid",
+        "wid",
+        F.col("best.d2").alias("d2"),
+        *[F.col(f"best.{c}").alias(c) for c in snap_cols],
+    )
     order = [F.col("d2").asc(), F.col("wid").asc()]
     local = Window.partitionBy(F.spark_partition_id(), "nid").orderBy(*order)
     pruned = per_way.withColumn("_lr", F.row_number().over(local)).filter(
@@ -110,7 +151,7 @@ def _topk_from_segments(cand_seg: DataFrame, r2: float, k: int) -> DataFrame:
     return (
         pruned.withColumn("rank", F.row_number().over(final))
         .filter(F.col("rank") <= k)
-        .select("nid", "wid", "d2", "rank")
+        .select("nid", "wid", "d2", "rank", *snap_cols)
     )
 
 
@@ -123,13 +164,16 @@ def nearest_way_join(
     broadcast_threshold: int = 100_000,
     ref_lat: float = 70.0,
     cell_deg: float | None = None,
+    snap: bool = False,
 ) -> DataFrame:
     """For every point, the ``k`` nearest ways within ``radius_m`` meters.
 
     ``points``: (id, lon, lat). ``ways``: (id, nodes, min_lon, min_lat,
     max_lon, max_lat) as produced by ``sources/dataset.py::prepare``.
-    Returns (id, way_id, dist_m, rank) — points with no way inside the
-    radius emit no row (left-join semantics belong to the caller, one
+    Returns (id, way_id, dist_m, rank) — plus (snap_lon, snap_lat), the
+    closest position ON the way (the GPS-snap output of map matching),
+    when ``snap=True``. Points with no way inside the radius emit no row
+    (left-join semantics belong to the caller, one
     ``points.join(result, "id", "left")`` away).
 
     ``strategy``: 'auto' counts the way side against ``broadcast_threshold``
@@ -220,9 +264,11 @@ def nearest_way_join(
     if small_ways:
         segs = F.broadcast(segs)
     cand_seg = cand_ids.join(pt, "nid").join(segs, "wid")
-    return _topk_from_segments(cand_seg, r2, k).select(
+    out = _topk_from_segments(cand_seg, r2, k, snap=snap)
+    return out.select(
         F.col("nid").alias("id"),
         F.col("wid").alias("way_id"),
         F.sqrt(F.col("d2")).alias("dist_m"),
         "rank",
+        *(["snap_lon", "snap_lat"] if snap else []),
     )

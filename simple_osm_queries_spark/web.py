@@ -121,14 +121,22 @@ def make_handler(
                     [(0, lon, lat)], "id long, lon double, lat double"
                 )
                 rows = (
-                    nearest_way_join(pt, cand, radius, k=k, strategy="broadcast")
+                    nearest_way_join(
+                        pt, cand, radius, k=k, strategy="broadcast", snap=True
+                    )
                     .orderBy("rank")
                     .collect()
                 )
                 payload = {
                     "query": {"lon": lon, "lat": lat, "k": k, "radius_m": radius},
                     "results": [
-                        {"way_id": r.way_id, "dist_m": r.dist_m, "rank": r.rank}
+                        {
+                            "way_id": r.way_id,
+                            "dist_m": r.dist_m,
+                            "rank": r.rank,
+                            "snap_lon": r.snap_lon,
+                            "snap_lat": r.snap_lat,
+                        }
                         for r in rows
                     ],
                 }

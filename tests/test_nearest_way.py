@@ -33,6 +33,24 @@ def _pt_polyline_d_m(lon, lat, way_pts):
     return float(np.sqrt(np.min(cx * cx + cy * cy)))
 
 
+def _pt_polyline_snap(lon, lat, way_pts):
+    """(min dist m, snap_lon, snap_lat) — independent snap oracle."""
+    kx = M_PER_DEG * math.cos(math.radians(lat))
+    segs = list(zip(way_pts[:-1], way_pts[1:])) or [(way_pts[0], way_pts[0])]
+    best = None
+    for (al, ap), (bl, bp) in segs:
+        ax, ay = (al - lon) * kx, (ap - lat) * M_PER_DEG
+        bx, by = (bl - lon) * kx, (bp - lat) * M_PER_DEG
+        dx, dy = bx - ax, by - ay
+        len2 = dx * dx + dy * dy
+        t = min(max(-(ax * dx + ay * dy) / len2, 0.0), 1.0) if len2 > 0 else 0.0
+        cx, cy = ax + t * dx, ay + t * dy
+        cand = (cx * cx + cy * cy, al + t * (bl - al), ap + t * (bp - ap))
+        if best is None or cand < best:
+            best = cand
+    return math.sqrt(best[0]), best[1], best[2]
+
+
 @pytest.fixture(scope="module")
 def frames(dataset):
     pts = dataset.nodes.select("id", "lon", "lat")
@@ -90,6 +108,32 @@ def test_matches_numpy_oracle(frames, oracle, k):
         assert [r for _, _, r in g] == list(range(1, len(exp) + 1))
         for (gd, _, _), (ed, _) in zip(g, exp):
             assert abs(gd - ed) < 1e-6, f"point {pid}: {gd} vs {ed}"
+
+
+def test_snap_matches_numpy_oracle(frames):
+    pts, ways = frames
+    pt_rows = {r.id: (r.lon, r.lat) for r in pts.collect()}
+    way_pts = {
+        r.id: [(n.lon, n.lat) for n in r.nodes] for r in ways.collect() if r.nodes
+    }
+    res = nearest_way_join(pts, ways, 1500.0, k=1, strategy="broadcast", snap=True)
+    rows = res.collect()
+    assert rows
+    for r in rows:
+        lon, lat = pt_rows[r.id]
+        d, sl, sp = _pt_polyline_snap(lon, lat, way_pts[r.way_id])
+        assert abs(r.dist_m - d) < 1e-6
+        assert abs(r.snap_lon - sl) < 1e-9 and abs(r.snap_lat - sp) < 1e-9
+    # strategy parity holds for snap columns too
+    bk = {
+        (r.id, r.way_id): (r.snap_lon, r.snap_lat)
+        for r in nearest_way_join(
+            pts, ways, 1500.0, k=1, strategy="bucketed", snap=True
+        ).collect()
+    }
+    for r in rows:
+        sl, sp = bk[(r.id, r.way_id)]
+        assert abs(r.snap_lon - sl) < 1e-12 and abs(r.snap_lat - sp) < 1e-12
 
 
 def test_strategy_parity(frames):
@@ -165,6 +209,12 @@ def test_http_nearest_endpoint(dataset, frames, oracle):
         assert [r["rank"] for r in got] == list(range(1, len(want) + 1))
         for g, (d, _) in zip(got, want):
             assert abs(g["dist_m"] - d) < 1e-6
+            # snap point: re-deriving the equirect distance to the snap
+            # reproduces dist_m
+            kx = M_PER_DEG * math.cos(math.radians(p.lat))
+            dx = (g["snap_lon"] - p.lon) * kx
+            dy = (g["snap_lat"] - p.lat) * M_PER_DEG
+            assert abs(math.hypot(dx, dy) - g["dist_m"]) < 1e-6
         # validation envelope
         for bad in ("/nearest?lon=999&lat=0", "/nearest?lon=1", "/nearest?lon=1&lat=1&k=0"):
             try:
