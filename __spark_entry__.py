@@ -999,7 +999,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("id")
             .withColumn("method", F.lit("h3"))
         )
-        return bcast.unionByName(h3m)
+        # zonal statistics over the SAME polygon (r5e): count + sum(id)
+        # of the contained points, folded into the entry as value rows —
+        # the aggregate twin of the membership rows above
+        z = spatial_join.zonal_stats(pts, polys, values={"sum_id": F.sum("id")})
+        zn = z.select(F.col("n").alias("id"), F.lit("zonal_n").alias("method"))
+        zs = z.select(
+            F.col("sum_id").alias("id"), F.lit("zonal_sum_id").alias("method")
+        )
+        return bcast.unionByName(h3m).unionByName(zn).unionByName(zs)
 
     q["point_in_polygon"] = q_pip
 
@@ -1028,7 +1036,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id",
             F.floor(F.col("area_m2") + F.lit(0.5)).cast("long").alias("v"),
         )
-        return length.unionByName(area)
+        # bearing of the first segment + the 1000 m destination along it
+        # (r5e), all quantized to 1e-7 units like the snap twin
+        n1, n2 = F.col("nodes")[0], F.col("nodes")[1]
+        br = G.bearing_deg_col(n1["lon"], n1["lat"], n2["lon"], n2["lat"])
+        dlon, dlat = G.destination_cols(
+            n1["lon"], n1["lat"], br, F.lit(1000.0)
+        )
+
+        def _q7(col, kind):
+            return w.select(
+                F.lit(kind).alias("kind"),
+                "id",
+                F.floor(col * F.lit(1e7) + F.lit(0.5)).cast("long").alias("v"),
+            )
+
+        return (
+            length.unionByName(area)
+            .unionByName(_q7(br, "bear"))
+            .unionByName(_q7(dlon, "dlon"))
+            .unionByName(_q7(dlat, "dlat"))
+        )
 
     q["geodesy_measures"] = q_geodesy
 
@@ -1869,7 +1897,10 @@ FROM rk WHERE rank <= 2
     _pip_sql = f"SELECT id FROM {pts} WHERE " + _sql_pip("lon", "lat", PENTAGON)
     o["point_in_polygon"] = (
         f"SELECT id, 'bcast' AS method FROM ({_pip_sql}) "
-        f"UNION ALL SELECT id, 'h3' AS method FROM ({_pip_sql})"
+        f"UNION ALL SELECT id, 'h3' AS method FROM ({_pip_sql}) "
+        f"UNION ALL SELECT count(*) AS id, 'zonal_n' AS method FROM ({_pip_sql}) "
+        f"UNION ALL SELECT CAST(sum(id) AS BIGINT) AS id, 'zonal_sum_id' AS method "
+        f"FROM ({_pip_sql})"
     )
 
     # geodesy_measures: haversine length + Chamberlain-Duquette ring area of
@@ -1914,7 +1945,30 @@ c AS (SELECT id,
       FROM w),
 m2 AS (SELECT id, ({_s1} + {_s2}) AS len_m,
               (({_t1} + {_t2}) + {_t3}) AS tot
-       FROM c)
+       FROM c),
+-- bearing of the first segment + the 1000 m spherical destination
+-- (geodesy.bearing_deg_col / destination_cols, mirrored op-for-op;
+-- fmod on a positive dividend == Spark pmod; asin's argument reuses the
+-- UNCLAMPED sp2 in the atan2 denominator exactly like the Spark tree)
+bform AS (SELECT id, x1, y1,
+        fmod(degrees(atan2(
+            sin(radians(x2 - x1)) * cos(radians(y2)),
+            cos(radians(y1)) * sin(radians(y2))
+              - sin(radians(y1)) * cos(radians(y2)) * cos(radians(x2 - x1))
+        )) + CAST(360.0 AS DOUBLE), CAST(360.0 AS DOUBLE)) AS bear
+       FROM c),
+dform AS (SELECT id, bear,
+        sin(radians(y1)) * cos(CAST(1000.0 AS DOUBLE) / CAST({knn.EARTH_RADIUS_M!r} AS DOUBLE))
+          + cos(radians(y1)) * sin(CAST(1000.0 AS DOUBLE) / CAST({knn.EARTH_RADIUS_M!r} AS DOUBLE)) * cos(radians(bear)) AS sp2,
+        x1, y1
+       FROM bform),
+dest AS (SELECT id, bear,
+        degrees(radians(x1) + atan2(
+            sin(radians(bear)) * sin(CAST(1000.0 AS DOUBLE) / CAST({knn.EARTH_RADIUS_M!r} AS DOUBLE)) * cos(radians(y1)),
+            cos(CAST(1000.0 AS DOUBLE) / CAST({knn.EARTH_RADIUS_M!r} AS DOUBLE)) - sin(radians(y1)) * sp2
+        )) AS dlon,
+        degrees(asin(LEAST(GREATEST(sp2, CAST(-1.0 AS DOUBLE)), CAST(1.0 AS DOUBLE)))) AS dlat
+       FROM dform)
 SELECT 'len' AS kind, id,
        CAST(floor(len_m * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS v
 FROM m2
@@ -1922,6 +1976,18 @@ UNION ALL
 SELECT 'area' AS kind, id,
        CAST(floor(abs(tot) * CAST({_rr2!r} AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS v
 FROM m2
+UNION ALL
+SELECT 'bear' AS kind, id,
+       CAST(floor(bear * CAST(10000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS v
+FROM bform
+UNION ALL
+SELECT 'dlon' AS kind, id,
+       CAST(floor(dlon * CAST(10000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS v
+FROM dest
+UNION ALL
+SELECT 'dlat' AS kind, id,
+       CAST(floor(dlat * CAST(10000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS v
+FROM dest
 """
 
     _u_gate = "(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || '{salt}'), 1, 13) AS BIGINT) AS DOUBLE) / 4503599627370496.0)".replace("{salt}", "gate")

@@ -109,6 +109,41 @@ def ring_area_m2(ways: DataFrame, nodes_col: str = "nodes", id_col: str = "id") 
     )
 
 
+def bearing_deg_col(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:
+    """Initial great-circle bearing from point 1 to point 2, degrees in
+    [0, 360) clockwise from north — the standard forward-azimuth formula
+    θ = atan2(sin Δλ·cos φ2, cos φ1·sin φ2 − sin φ1·cos φ2·cos Δλ).
+    Pure column math; the DuckDB twin mirrors it op-for-op (fmod on a
+    positive dividend equals pmod exactly)."""
+    dl = F.radians(lon2 - lon1)
+    y = F.sin(dl) * F.cos(F.radians(lat2))
+    x = F.cos(F.radians(lat1)) * F.sin(F.radians(lat2)) - F.sin(
+        F.radians(lat1)
+    ) * F.cos(F.radians(lat2)) * F.cos(dl)
+    return F.pmod(F.degrees(F.atan2(y, x)) + F.lit(360.0), F.lit(360.0))
+
+
+def destination_cols(
+    lon: Column, lat: Column, bearing_deg: Column, distance_m: Column
+) -> tuple[Column, Column]:
+    """(dest_lon, dest_lat) after travelling ``distance_m`` along the
+    great circle at initial bearing ``bearing_deg`` — the standard
+    spherical direct formula (φ2 = asin(sin φ1·cos δ + cos φ1·sin δ·cos θ),
+    λ2 = λ1 + atan2(...)), δ = d/R on the shared authalic radius. The
+    longitude is NOT normalized: downstream cell encoders are
+    wrap-transparent (H3 encodes beyond ±180 to the reflected point
+    exactly), and keeping the raw value makes the SQL twin a pure mirror."""
+    d = distance_m / F.lit(EARTH_RADIUS_M)
+    th = F.radians(bearing_deg)
+    p1 = F.radians(lat)
+    sp2 = F.sin(p1) * F.cos(d) + F.cos(p1) * F.sin(d) * F.cos(th)
+    p2 = F.asin(F.least(F.greatest(sp2, F.lit(-1.0)), F.lit(1.0)))
+    l2 = F.radians(lon) + F.atan2(
+        F.sin(th) * F.sin(d) * F.cos(p1), F.cos(d) - F.sin(p1) * sp2
+    )
+    return F.degrees(l2), F.degrees(p2)
+
+
 def _dp_mask(xs: np.ndarray, ys: np.ndarray, tol: float) -> np.ndarray:
     """Iterative Douglas–Peucker keep-mask over projected coords (meters).
 

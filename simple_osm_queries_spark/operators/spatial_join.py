@@ -235,6 +235,37 @@ def point_in_polygon_join(
     return points.join(F.broadcast(polys), cond, how).drop("__mnx", "__mny", "__mxx", "__mxy")
 
 
+def zonal_stats(
+    points: DataFrame,
+    polygons: DataFrame,
+    values: dict | None = None,
+    lon: str = "lon",
+    lat: str = "lat",
+    ring: str = "ring",
+    qid: str = "qid",
+) -> DataFrame:
+    """Per-polygon aggregates over the points each polygon contains — the
+    vector zonal-statistics primitive (raster engines' zonal stats, GIS
+    `ST_Contains` + GROUP BY). Output: one row per polygon that contains
+    >= 1 point, with ``n`` (point count) plus any caller aggregate from
+    ``values`` ({output_name: aggregate Column over the point columns},
+    e.g. {"mean_height": F.avg("height")}).
+
+    Plan shape: the broadcast bbox-prefilter PIP join of
+    :func:`point_in_polygon_join` followed by ONE hash aggregate on the
+    polygon id — map-side partial combine, a single exchange carrying one
+    row per (partition, polygon). Zones with zero points emit no row
+    (a left join from ``polygons`` restores them if needed).
+    """
+    joined = point_in_polygon_join(
+        points, polygons, lon=lon, lat=lat, ring=ring
+    )
+    aggs = [F.count("*").alias("n")]
+    for name, col in (values or {}).items():
+        aggs.append(col.alias(name))
+    return joined.groupBy(qid).agg(*aggs)
+
+
 # ---------------------------------------------------------------------------
 # H3 polyfill + cell-prefiltered point-in-polygon (north rule verbatim:
 # "ray-casting point-in-polygon after a broadcast cell-prefilter join")

@@ -257,3 +257,68 @@ def test_measures_on_dataset_ways(spark, dataset):
     simp = G.simplify_dp(ways, 50.0)
     for r in simp.collect():
         assert r.n_out <= r.n_in and r.n_out >= min(2, r.n_in)
+
+
+def test_bearing_anchors_and_oracle(spark):
+    """Known anchors (due N/E/S/W from the equator) + an independent
+    python forward-azimuth oracle on random pairs."""
+    import math
+
+    from simple_osm_queries_spark.operators.geodesy import bearing_deg_col
+
+    anchors = [
+        (0.0, 0.0, 0.0, 1.0, 0.0),     # north
+        (0.0, 0.0, 1.0, 0.0, 90.0),    # east
+        (0.0, 0.0, 0.0, -1.0, 180.0),  # south
+        (0.0, 0.0, -1.0, 0.0, 270.0),  # west
+    ]
+    pairs = [(i * 7.3 - 170.0, i * 3.1 - 60.0, i * 5.7 - 160.0, 80.0 - i * 2.9)
+             for i in range(40)]
+    rows = anchors + [(a, b, c, d, None) for a, b, c, d in pairs]
+    df = spark.createDataFrame(
+        [(i, r[0], r[1], r[2], r[3]) for i, r in enumerate(rows)],
+        "i long, lon1 double, lat1 double, lon2 double, lat2 double",
+    )
+    got = {
+        r.i: r.b
+        for r in df.select(
+            "i", bearing_deg_col(F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2")).alias("b")
+        ).collect()
+    }
+    for i, (lon1, lat1, lon2, lat2, want) in enumerate(rows):
+        dl = math.radians(lon2 - lon1)
+        y = math.sin(dl) * math.cos(math.radians(lat2))
+        x = math.cos(math.radians(lat1)) * math.sin(math.radians(lat2)) - math.sin(
+            math.radians(lat1)
+        ) * math.cos(math.radians(lat2)) * math.cos(dl)
+        ref = math.degrees(math.atan2(y, x)) % 360.0
+        assert abs(got[i] - ref) < 1e-9, i
+        if want is not None:
+            assert abs(got[i] - want) < 1e-9, i
+
+
+def test_destination_roundtrip(spark):
+    """destination_cols: travelling d meters at bearing b lands a point
+    whose haversine distance from the start is d (sub-mm) and whose
+    initial bearing from the start matches b (short arcs)."""
+    from simple_osm_queries_spark.operators.geodesy import (
+        bearing_deg_col,
+        destination_cols,
+        haversine_m_col,
+    )
+
+    rows = [
+        (i, -170.0 + i * 17.3, -80.0 + i * 7.9, (i * 37.0) % 360.0, 50.0 + i * 431.0)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "i long, lon double, lat double, b double, d double")
+    dlon, dlat = destination_cols(F.col("lon"), F.col("lat"), F.col("b"), F.col("d"))
+    out = df.select(
+        "i", "b", "d",
+        haversine_m_col(F.col("lon"), F.col("lat"), dlon, dlat).alias("back_d"),
+        bearing_deg_col(F.col("lon"), F.col("lat"), dlon, dlat).alias("back_b"),
+    ).collect()
+    for r in out:
+        assert abs(r.back_d - r.d) < 1e-3, r.i  # sub-mm on km-scale arcs
+        db = min(abs(r.back_b - r.b), 360.0 - abs(r.back_b - r.b))
+        assert db < 1e-5, (r.i, r.back_b, r.b)

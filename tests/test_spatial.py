@@ -657,3 +657,42 @@ def test_tile_contact_sheet_duplicate_ids_and_skip(spark):
     img = codecs.decode_png(bytes(r.png))
     assert img[:thumb, :thumb].max() > 0  # 'a' painted at slot 0
     assert img[:thumb, thumb : 2 * thumb].max() == 0  # 'b' slot black
+
+
+def test_zonal_stats_matches_oracle(spark, points, points_pd):
+    """zonal_stats: per-polygon count/avg over a 3-zone catalog equals the
+    brute python PIP + pandas groupby; empty zones emit no row."""
+    catalog = [(0, PENTAGON), (1, STAR), (2, CROSSING)]
+    polys = spark.createDataFrame(
+        [(q, [{"lon": x, "lat": y} for x, y in ring]) for q, ring in catalog],
+        "qid long, ring array<struct<lon:double,lat:double>>",
+    )
+    got = {
+        r.qid: (r.n, r.mean_lon, r.sum_id)
+        for r in spatial_join.zonal_stats(
+            points, polys,
+            values={"mean_lon": F.avg("lon"), "sum_id": F.sum("id")},
+        ).collect()
+    }
+    expected = {}
+    for q, ring in catalog:
+        sel = [r for r in points_pd.itertuples() if _pip_oracle(r.lon, r.lat, ring)]
+        if sel:
+            expected[q] = (
+                len(sel),
+                sum(r.lon for r in sel) / len(sel),
+                sum(int(r.id) for r in sel),
+            )
+    assert set(got) == set(expected) and expected
+    for q, (n, ml, si) in expected.items():
+        gn, gml, gsi = got[q]
+        assert gn == n and gsi == si
+        assert abs(gml - ml) < 1e-9
+
+    # a polygon with no points emits no row
+    far = spark.createDataFrame(
+        [(9, [{"lon": 170.0 + dx, "lat": 10.0 + dy}
+              for dx, dy in [(0.0, 0.0), (0.1, 0.0), (0.05, 0.1)]])],
+        "qid long, ring array<struct<lon:double,lat:double>>",
+    )
+    assert spatial_join.zonal_stats(points, far).count() == 0
