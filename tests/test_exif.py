@@ -259,3 +259,56 @@ def test_strip_exif_spark_and_on_error(spark):
         extract_exif(bad).collect()
     assert extract_exif(bad, on_error="skip").count() == 0
     assert strip_exif(bad, on_error="skip").count() == 0
+
+
+def test_geotag_to_nearest_way_snap_bridge(spark):
+    """End-to-end training-pipeline bridge: GPS embedded in JPEG bytes ->
+    geotag_points -> nearest_way_join(snap=True) — every photo snaps to
+    the engineered road it was 'taken next to', with the snap point on
+    that road's segment within centimeter agreement of a direct
+    computation from the KNOWN (pre-embed) coordinates."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from simple_osm_queries_spark.operators.multimodal import geotag_points
+    from simple_osm_queries_spark.operators.nearest_way import nearest_way_join
+
+    # two horizontal 'roads' at known latitudes; photos 20-60 m off each
+    roads = []
+    for wid, lat0 in ((1, 53.50), (2, 53.60)):
+        nodes = [{"id": wid * 10 + j, "lon": 9.90 + j * 0.02, "lat": lat0} for j in range(4)]
+        roads.append((wid, nodes, 9.90, lat0, 9.96, lat0))
+    ways = spark.createDataFrame(
+        roads,
+        "id long, nodes array<struct<id:long,lon:double,lat:double>>, "
+        "min_lon double, min_lat double, max_lon double, max_lat double",
+    )
+    truth = {}
+    rows = []
+    for i in range(12):
+        road_lat = 53.50 if i % 2 == 0 else 53.60
+        lon = 9.905 + (i // 2) * 0.009
+        off_m = 20.0 + (i % 4) * 10.0
+        lat = road_lat + off_m / 111320.0
+        truth[f"p{i}"] = (lon, lat, 1 if i % 2 == 0 else 2, off_m)
+        jpg, _ = _jpeg(seed=300 + i, size=16)
+        rows.append((f"p{i}", exif.insert_exif(jpg, lat, lon)))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    pts = geotag_points(df).select(
+        F.col("image_id").alias("id"), "lon", "lat"
+    )
+    snapped = {
+        r.id: r
+        for r in nearest_way_join(pts, ways, 200.0, k=1, snap=True).collect()
+    }
+    assert len(snapped) == 12
+    for pid, (lon, lat, wid, off_m) in truth.items():
+        r = snapped[pid]
+        assert r.way_id == wid
+        # EXIF DMS storage quantizes coords (~1e-11 deg), the road is
+        # axis-aligned: snap lat == road lat, snap lon == photo lon
+        road_lat = 53.50 if wid == 1 else 53.60
+        assert abs(r.snap_lat - road_lat) < 1e-9
+        assert abs(r.snap_lon - lon) < 1e-6
+        assert abs(r.dist_m - off_m) < 0.01  # cm agreement incl. DMS round
