@@ -91,15 +91,22 @@ def knn_join(
     right_id: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """For each left row, the k nearest right rows by cosine (broadcast right)."""
+    """For each left row, the k nearest right rows by cosine (broadcast right).
+
+    The per-pair cosine IS this join's entire workload (|left| x |right|
+    pairs x dim), so it runs as the Arrow numpy batch scorer
+    (`dedup.pairwise_cosine_udf`, measured 1.6x the interpreted fold at
+    5M-pair volume, BENCH.md r5e) — float32 inputs widen exactly to
+    float64 inside the batch."""
+    from simple_osm_queries_spark.operators.dedup import pairwise_cosine_udf
+
     l = left.select(F.col(left_id).alias("qid"), F.col(vec_col).alias("qvec"))
     r = right.select(F.col(right_id).alias("id"), F.col(vec_col).alias("vec"))
     cand = (
         l.crossJoin(F.broadcast(r))
         .filter(F.col("qid") != F.col("id"))  # before ranking: self must not eat a slot
         .withColumn(
-            "cosine",
-            cosine_col(F.col("qvec").cast("array<double>"), F.col("vec").cast("array<double>")),
+            "cosine", pairwise_cosine_udf()(F.col("qvec"), F.col("vec"))
         )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("id").asc())
