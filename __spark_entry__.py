@@ -948,23 +948,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # deterministic sampling: membership is a pure function of row content
     # (md5 -> 52-bit dyadic uniform), so partitioning/retries/cluster size
     # cannot change the sample — and DuckDB recomputes it verbatim
+    # MERGED entry (50-cap, r5e): content-hash sampling AND the
+    # train/val/test split under one `grp` tag — same md5-membership
+    # machinery; frees a slot for dbscan.
     def q_sample(spark, sf_dir):
         from simple_osm_queries_spark.operators import sampling
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        return sampling.deterministic_sample(docs, 0.25, "doc_id", salt="gate").select("doc_id")
+        samp = (
+            sampling.deterministic_sample(docs, 0.25, "doc_id", salt="gate")
+            .select("doc_id")
+            .withColumn("grp", F.lit("sample"))
+        )
+        split = sampling.split(
+            docs, {"train": 0.8, "val": 0.1, "test": 0.1}, "doc_id"
+        ).select("doc_id", F.col("split").alias("grp"))
+        return samp.unionByName(split)
 
     q["deterministic_sample"] = q_sample
 
-    def q_split(spark, sf_dir):
-        from simple_osm_queries_spark.operators import sampling
+    # distributed DBSCAN (operators/clustering.py): grid-bucketed
+    # eps-neighbor pairs -> core points -> pointer-jumping components ->
+    # deterministic min-cluster border assignment. The twin recomputes the
+    # whole algorithm in SQL, components via a recursive transitive
+    # closure (min reachable core id == the pointer-jumping label).
+    def q_dbscan(spark, sf_dir):
+        from simple_osm_queries_spark.operators.clustering import dbscan
 
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        return sampling.split(
-            docs, {"train": 0.8, "val": 0.1, "test": 0.1}, "doc_id"
-        ).select("doc_id", "split")
+        pts = _derived_points(spark, sf_dir).select("id", "lon", "lat")
+        return dbscan(pts, 800.0, 4)
 
-    q["train_val_test_split"] = q_split
+    q["dbscan"] = q_dbscan
 
     # north rule: bbox join
     def q_bbox_join(spark, sf_dir):
@@ -1991,20 +2005,53 @@ FROM dest
 """
 
     _u_gate = "(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || '{salt}'), 1, 13) AS BIGINT) AS DOUBLE) / 4503599627370496.0)".replace("{salt}", "gate")
-    o["deterministic_sample"] = (
-        f"SELECT doc_id FROM documents WHERE {_u_gate} < CAST(0.25 AS DOUBLE)"
-    )
     _u_split = "(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || '{salt}'), 1, 13) AS BIGINT) AS DOUBLE) / 4503599627370496.0)".replace("{salt}", "")
-    o["train_val_test_split"] = f"""
+    o["deterministic_sample"] = f"""
+SELECT doc_id, 'sample' AS grp FROM documents WHERE {_u_gate} < CAST(0.25 AS DOUBLE)
+UNION ALL
 SELECT doc_id,
        CASE WHEN {_u_split} >= CAST(0.0 AS DOUBLE) AND {_u_split} < CAST(0.8 AS DOUBLE) THEN 'train'
             WHEN {_u_split} >= CAST(0.8 AS DOUBLE)
                  AND {_u_split} < CAST(0.8 AS DOUBLE) + CAST(0.1 AS DOUBLE) THEN 'val'
             WHEN {_u_split} >= CAST(0.8 AS DOUBLE) + CAST(0.1 AS DOUBLE)
                  AND {_u_split} < CAST(0.8 AS DOUBLE) + CAST(0.1 AS DOUBLE) + CAST(0.1 AS DOUBLE) THEN 'test'
-       END AS split
+       END AS grp
 FROM documents
 WHERE {_u_split} < CAST(0.8 AS DOUBLE) + CAST(0.1 AS DOUBLE) + CAST(0.1 AS DOUBLE)
+"""
+
+    # dbscan: the full deterministic variant in SQL — directed
+    # query-point-scaled neighbor test (the osm_buffer metric tree),
+    # |N|+1 >= min_pts cores, transitive-closure components labelled by
+    # the min reachable core id (== the pointer-jumping label), borders
+    # take the min neighboring cluster. eps=800 m, min_pts=4.
+    o["dbscan"] = f"""
+WITH RECURSIVE pts AS (SELECT doc_id AS id, {SQL_LON} AS lon, {SQL_LAT} AS lat FROM documents),
+prs AS (
+  SELECT a.id AS a, b.id AS b
+  FROM pts a JOIN pts b ON a.id != b.id
+  AND (  ((a.lon - b.lon) * (111320.0 * cos(radians(a.lat)))) * ((a.lon - b.lon) * (111320.0 * cos(radians(a.lat))))
+       + ((a.lat - b.lat) * 111320.0) * ((a.lat - b.lat) * 111320.0) ) <= CAST(640000.0 AS DOUBLE)
+),
+cores AS (SELECT a AS id FROM prs GROUP BY a HAVING count(*) + 1 >= 4),
+edges AS (SELECT p.a, p.b FROM prs p
+          JOIN cores ca ON ca.id = p.a JOIN cores cb ON cb.id = p.b),
+reach(src, dst) AS (
+  SELECT id, id FROM cores
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+),
+comp AS (SELECT src AS id, min(dst) AS cluster FROM reach GROUP BY src),
+borders AS (
+  SELECT p.a AS id, min(c.cluster) AS cluster
+  FROM prs p JOIN comp c ON c.id = p.b
+  WHERE p.a NOT IN (SELECT id FROM cores)
+  GROUP BY p.a
+)
+SELECT id, cluster, 'core' AS role FROM comp
+UNION ALL SELECT id, cluster, 'border' FROM borders
+UNION ALL SELECT id, CAST(NULL AS BIGINT) AS cluster, 'noise' AS role FROM pts
+WHERE id NOT IN (SELECT id FROM comp) AND id NOT IN (SELECT id FROM borders)
 """
 
     _geohash_sql = """

@@ -896,11 +896,24 @@ def connected_components(
 
     The standard last step of a near-dup pipeline: candidate pairs form an
     undirected graph; each connected component is one duplicate group and
-    keeps one survivor. Min-label propagation WITH pointer jumping: every
-    round each node takes the min of (its own label, its neighbors' labels,
-    its label's label) — the jump halves label-chain depth, so convergence
-    is O(log diameter) rounds instead of O(diameter) (a 10^6-node chain
-    needs ~20 rounds, not 10^6). Two equi-joins + one groupBy per round,
+    keeps one survivor. Algorithm: alternating LARGE-STAR / SMALL-STAR
+    edge rewiring (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14 — the published O(log²) bound, O(log) in practice):
+
+    * large-star, per center v: every neighbor LARGER than v rewires to
+      m = min(Γ(v) ∪ {v});
+    * small-star, per center v: v and its SMALLER neighbors rewire to the
+      min of that set;
+
+    each step is one groupBy(min) + one equi-join over the edge table, and
+    the edge count never grows. Iterated to a fixpoint the edges form
+    stars rooted at each component's minimum id, read off as (node, comp).
+    Plain min-label propagation (even with pointer-doubling shortcuts on
+    the label table) moves information ONE GRAPH HOP per edge pass, so a
+    path-shaped graph — the DBSCAN eps graph near percolation — needs
+    O(diameter) passes (measured: a 3k-node snake still shrank by ~1
+    label/round at round 23 while per-round wall time compounded); star
+    rewiring contracts such chains geometrically. Every round is
     checkpointed eagerly so lineage stays flat.
 
     Durability: by default rounds use ``localCheckpoint`` (blocks live on
@@ -934,55 +947,95 @@ def connected_components(
             df.unpersist()
 
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-    edges = _ckpt(e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))))
-    labels = _ckpt(
-        edges.select(F.col("a").alias("node"))
+    # all input nodes (star rewiring can drop a component's ROOT from the
+    # edge table once the component is a star - it must still get a label)
+    nodes = _ckpt(
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
         .distinct()
-        .withColumn("comp", F.col("node"))
     )
-    changed = -1
-    prev_sum = None
+    # symmetric, self-loop-free, deduplicated edge table
+    edges = _ckpt(
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+    def _labels_of(g: DataFrame) -> DataFrame:
+        # (node, comp): comp = min(self, min neighbor). At the star
+        # fixpoint every member's single neighbor is the root (comp=root)
+        # and the root's neighbors are all larger (comp=self).
+        mn = g.groupBy(F.col("a").alias("node")).agg(F.min("b").alias("mn"))
+        return nodes.join(mn, "node", "left").select(
+            "node",
+            F.least(F.coalesce(F.col("mn"), F.col("node")), F.col("node")).alias(
+                "comp"
+            ),
+        )
+
+    def _fingerprint(g: DataFrame):
+        # cheap stability detector: (edge count, sum a, sum b). Both star
+        # steps only rewire edges toward component minima, so a stable
+        # triple across a full LS+SS round means the star fixpoint.
+        r = g.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("a").cast("decimal(38,0)")).alias("sa"),
+            F.sum(F.col("b").cast("decimal(38,0)")).alias("sb"),
+        ).first()
+        return (r.n, r.sa, r.sb)
+
+    def _symm(g: DataFrame) -> DataFrame:
+        return (
+            g.unionByName(g.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    prev = _fingerprint(edges)
+    converged = False
     for _ in range(max_iter):
-        prop = (
-            edges.join(labels, edges["a"] == labels["node"])
-            .select(F.col("b").alias("node"), F.col("comp"))
+        # LARGE-STAR: per center a, neighbors b > a rewire to
+        # m = min(neighbors(a) + {a})
+        mins = edges.groupBy("a").agg(F.min("b").alias("mn"))
+        ls = (
+            edges.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(
+                F.col("b").alias("na"),
+                F.least(F.col("mn"), F.col("a")).alias("nb"),
+            )
+            .select(F.col("na").alias("a"), F.col("nb").alias("b"))
         )
-        # pointer jump: node -> comp -> comp-of-comp
-        jump = (
-            labels.alias("l1")
-            .join(labels.alias("l2"), F.col("l1.comp") == F.col("l2.node"))
-            .select(F.col("l1.node").alias("node"), F.col("l2.comp").alias("comp"))
+        g1 = _ckpt(_symm(ls))
+        _free(edges)
+        # SMALL-STAR: per center a, a and its smaller neighbors rewire to
+        # the min of that set
+        smaller = g1.filter(F.col("b") < F.col("a"))
+        minsS = smaller.groupBy("a").agg(F.min("b").alias("mn"))
+        ss = (
+            smaller.join(minsS, "a")
+            .select(F.col("b").alias("x"), F.col("mn").alias("m"))
+            .unionByName(
+                minsS.select(F.col("a").alias("x"), F.col("mn").alias("m"))
+            )
+            .select(F.col("x").alias("a"), F.col("m").alias("b"))
         )
-        new_labels = _ckpt(
-            labels.select("node", "comp")
-            .unionByName(prop)
-            .unionByName(jump)
-            .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
-        )
-        # labels are monotone non-increasing per node, so the label-sum is
-        # strictly decreasing until convergence — one overflow-safe aggregate
-        # replaces the join+filter+count change detector (a full extra
-        # shuffle per round at scale)
-        new_sum = new_labels.agg(
-            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
-        ).first()[0]
-        changed = 0 if new_sum == prev_sum else 1
-        prev_sum = new_sum
-        # round N materialized (checkpoint was eager): round N-1's blocks
-        # are dead weight — drop them now instead of leaking one copy of the
-        # label table per round
-        _free(labels)
-        labels = new_labels
-        if changed == 0:
+        edges = _ckpt(_symm(ss))
+        _free(g1)
+        cur = _fingerprint(edges)
+        if cur == prev:
+            converged = True
             break
-    if changed != 0:
+        prev = cur
+    if not converged:
         raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds "
-            f"(pointer jumping covers diameter ~2^{max_iter}); refusing to "
-            "return partially propagated labels"
+            f"connected_components did not converge in {max_iter} "
+            "large-star/small-star rounds; refusing to return partially "
+            "contracted components"
         )
+    labels = _ckpt(_labels_of(edges))
     _free(edges)
+    _free(nodes)
     return labels
 
 

@@ -335,3 +335,35 @@ def test_connected_components_nonconvergence_raises(spark):
 
     with _pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(df, max_iter=2)
+
+
+def test_connected_components_long_path_graph(spark):
+    """Regression (r5e): a PATH-shaped graph — the DBSCAN eps graph near
+    percolation — must converge in O(log) large/small-star rounds. The old
+    min-label+pointer-jump formulation moved the min one graph hop per
+    round (a 3k-node snake was still unconverged at round 23 with
+    compounding per-round cost); the star rewiring contracts chains
+    geometrically."""
+    import time
+
+    n = 20000
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    t0 = time.time()
+    comp = dedup.connected_components(pairs, max_iter=25)
+    stats = comp.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("comp").alias("k"),
+        F.max("comp").alias("mx"),
+    ).first()
+    took = time.time() - t0
+    assert (stats.n, stats.k, stats.mx) == (n, 1, 0)
+    assert took < 120, f"path graph took {took:.0f}s — star contraction broken"
+    # two disjoint chains -> two components labelled by their minima
+    two = spark.range(200).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    ).filter(F.col("id_a") != 100).filter(F.col("id_b") != 100)
+    comp2 = dedup.connected_components(two.filter((F.col("id_a") < 100) | (F.col("id_a") > 100)))
+    ks = sorted(r.comp for r in comp2.select("comp").distinct().collect())
+    assert ks == [0, 101]
