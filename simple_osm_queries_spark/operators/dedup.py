@@ -1006,8 +1006,13 @@ def connected_components(
             )
             .select(F.col("na").alias("a"), F.col("nb").alias("b"))
         )
-        g1 = _ckpt(_symm(ls))
-        _free(edges)
+        # the LS output is consumed three times inside this round (both
+        # sides of the SS join + the union) — a plain persist suffices (it
+        # materializes during the round-end checkpoint and its lineage is
+        # one shallow groupBy+join over the checkpointed previous round);
+        # checkpointing HERE too doubled per-round materializations
+        # (measured: 1M-doc components 11.6 s vs 8 s with one ckpt/round)
+        g1 = _symm(ls).persist()
         # SMALL-STAR: per center a, a and its smaller neighbors rewire to
         # the min of that set
         smaller = g1.filter(F.col("b") < F.col("a"))
@@ -1020,8 +1025,10 @@ def connected_components(
             )
             .select(F.col("x").alias("a"), F.col("m").alias("b"))
         )
+        prev_edges = edges
         edges = _ckpt(_symm(ss))
-        _free(g1)
+        _free(prev_edges)
+        g1.unpersist()
         cur = _fingerprint(edges)
         if cur == prev:
             converged = True
