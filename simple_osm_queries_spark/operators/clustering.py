@@ -28,7 +28,15 @@ relation is directional at the approximation margin, exactly like
 Scale shape: the pair join is the bucketed buffer plan (shuffles on
 packed cell longs, candidate rows bounded by density x eps²); the count
 and min aggregates are map-side combinable; components converge in
-O(log d) rounds with bounded state. No all-pairs term anywhere.
+O(log) star-contraction rounds with bounded state. No all-pairs term
+over the table — but note the inherent DBSCAN density term: pair
+enumeration inside an eps-dense region is quadratic in that region's
+population (true of every exact formulation; measured on the bench
+generator's planted hot cluster, where eps >> local spacing makes every
+point everyone's neighbor). At scale, pick eps at or below the data's
+local resolution, pre-aggregate exact-duplicate coordinate stacks, or
+use the per-cell count shortcut of GriDBSCAN-style variants if an
+eps-supercritical region is expected.
 """
 
 from __future__ import annotations
