@@ -36,7 +36,8 @@ so meters agree across the kNN, buffer, and measure families.
 
 from __future__ import annotations
 
-# module-level imports: pandas_udf/mapInPandas hint resolution (CLAUDE.md)
+# module-level imports: pandas_udf/mapInPandas type-hint resolution breaks
+# with `from __future__ import annotations` + function-local imports
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
