@@ -982,17 +982,29 @@ def connected_components(
         .unionByName(e.select(F.col("b").alias("node")))
         .distinct()
     )
-    # symmetric, self-loop-free, deduplicated edge table
+    # ORIENTED canonical edge table: one row (a, b) with a > b per
+    # undirected edge (r6, guide §2.3 "shuffle fewer bytes"): both star
+    # steps are expressible on the half-sized representation — every
+    # per-round shuffle (dedup, groupBy-min, join) moves half the rows of
+    # the previous symmetric form (measured 7.8 s -> 4.2 s warm / 11.0 ->
+    # 8.8 s cold at 1M docs / 1M pairs), and the rewired output of each
+    # step is already
+    # oriented (rewiring always points at a smaller node), so only the
+    # small-star output needs re-canonicalization.
     edges = _ckpt(
-        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        e.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
 
     def _labels_of(g: DataFrame) -> DataFrame:
-        # (node, comp): comp = min(self, min neighbor). At the star
-        # fixpoint every member's single neighbor is the root (comp=root)
-        # and the root's neighbors are all larger (comp=self).
+        # (node, comp): comp = min(self, min smaller neighbor). At the star
+        # fixpoint every member's single oriented edge points at the root
+        # (comp=root); roots/isolated nodes appear on no `a` side
+        # (comp=self). A node's LARGER neighbors can never be its min, so
+        # the oriented view loses nothing.
         mn = g.groupBy(F.col("a").alias("node")).agg(F.min("b").alias("mn"))
         return nodes.join(mn, "node", "left").select(
             "node",
@@ -1012,49 +1024,44 @@ def connected_components(
         ).first()
         return (r.n, r.sa, r.sb)
 
-    def _symm(g: DataFrame) -> DataFrame:
-        return (
-            g.unionByName(g.select(F.col("b").alias("a"), F.col("a").alias("b")))
-            .filter(F.col("a") != F.col("b"))
-            .distinct()
-        )
-
     prev = _fingerprint(edges)
     converged = False
     for _ in range(max_iter):
-        # LARGE-STAR: per center a, neighbors b > a rewire to
-        # m = min(neighbors(a) + {a})
+        # LARGE-STAR: per center c, neighbors n > c rewire to
+        # m(c) = min(neighbors(c) + {c}). On oriented rows: m(c) =
+        # coalesce(min smaller neighbor, c) (larger neighbors are never
+        # the min), and each oriented edge (a, b) is exactly center b's
+        # one larger neighbor a, so LS maps (a, b) -> (a, m(b)) — already
+        # oriented since m(b) <= b < a.
         mins = edges.groupBy("a").agg(F.min("b").alias("mn"))
-        ls = (
-            edges.join(mins, "a")
-            .filter(F.col("b") > F.col("a"))
-            .select(
-                F.col("b").alias("na"),
-                F.least(F.col("mn"), F.col("a")).alias("nb"),
-            )
-            .select(F.col("na").alias("a"), F.col("nb").alias("b"))
-        )
-        # the LS output is consumed three times inside this round (both
-        # sides of the SS join + the union) — a plain persist suffices (it
-        # materializes during the round-end checkpoint and its lineage is
-        # one shallow groupBy+join over the checkpointed previous round);
-        # checkpointing HERE too doubled per-round materializations
-        # (measured: 1M-doc components 11.6 s vs 8 s with one ckpt/round)
-        g1 = _symm(ls).persist()
-        # SMALL-STAR: per center a, a and its smaller neighbors rewire to
-        # the min of that set
-        smaller = g1.filter(F.col("b") < F.col("a"))
-        minsS = smaller.groupBy("a").agg(F.min("b").alias("mn"))
+        ls = edges.join(
+            mins.select(F.col("a").alias("b"), "mn"), "b", "left"
+        ).select("a", F.coalesce("mn", F.col("b")).alias("b"))
+        # consumed twice inside this round (SS groupBy + SS join) — plain
+        # persist; it materializes during the round-end checkpoint and its
+        # lineage is one shallow groupBy+join over the checkpointed
+        # previous round (checkpointing HERE too doubled per-round
+        # materializations, measured r5)
+        g1 = ls.persist()
+        # SMALL-STAR: per center a, a and its smaller neighbors {b} rewire
+        # to m = min of that set — centers are exactly the `a` side of the
+        # oriented table
+        minsS = g1.groupBy("a").agg(F.min("b").alias("mn"))
         ss = (
-            smaller.join(minsS, "a")
+            g1.join(minsS, "a")
             .select(F.col("b").alias("x"), F.col("mn").alias("m"))
             .unionByName(
                 minsS.select(F.col("a").alias("x"), F.col("mn").alias("m"))
             )
-            .select(F.col("x").alias("a"), F.col("m").alias("b"))
         )
         prev_edges = edges
-        edges = _ckpt(_symm(ss))
+        edges = _ckpt(
+            ss.select(
+                F.greatest("x", "m").alias("a"), F.least("x", "m").alias("b")
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
         _free(prev_edges)
         g1.unpersist()
         cur = _fingerprint(edges)
