@@ -52,7 +52,12 @@ def index_stats(
         ]
         if not files:
             continue
-        raw = name[len(prefix):]
+        # unquote like compaction_plan (ADVICE r5): directory names carry
+        # URL-escaped partition values for string columns; the raw suffix
+        # would miss the include_rows join and leave n_rows NULL
+        from urllib.parse import unquote
+
+        raw = unquote(name[len(prefix):])
         rows.append(
             (
                 raw,

@@ -462,7 +462,7 @@ def tile_vectors_ways(
     import pandas as pd
     from pyspark.sql import Window
 
-    ranked, n_over = _bbox_tile_fanout(
+    ranked, n_over, over_cnt = _bbox_tile_fanout(
         ways, zoom, cap, max_cover, oversize, ["nodes"], "ways"
     )
 
@@ -508,15 +508,33 @@ def tile_vectors_ways(
                 "ty": [tid & ((1 << 29) - 1)],
                 "n_features": [len(feats)],
                 "n_total": [int(pdf["n_total"].iloc[0])],
-                "n_oversize": [int(n_over)],
+                "n_oversize": [int(n_over or 0)],
                 "mvt": [blob],
             }
         )
 
-    return ranked.groupBy("tile_id").applyInPandas(
+    out = ranked.groupBy("tile_id").applyInPandas(
         render,
         "tile_id long, zoom int, tx int, ty int, n_features int, "
         "n_total long, n_oversize long, mvt binary",
+    )
+    return _attach_oversize(out, n_over, over_cnt)
+
+
+def _attach_oversize(out: DataFrame, n_over, over_cnt: DataFrame) -> DataFrame:
+    """oversize='skip' path (ADVICE r5): the dropped-feature count rides
+    in as a broadcast 1-row aggregate evaluated in the SAME action as the
+    tile render, replacing the plan-build-time blocking count() job. The
+    'raise' path already verified the count is 0 eagerly."""
+    if n_over is not None:
+        return out
+    return (
+        out.drop("n_oversize")
+        .crossJoin(F.broadcast(over_cnt))
+        .select(
+            "tile_id", "zoom", "tx", "ty", "n_features", "n_total",
+            "n_oversize", "mvt",
+        )
     )
 
 
@@ -532,8 +550,10 @@ def _bbox_tile_fanout(
     """(feature -> covered tiles) fan-out shared by the linestring and
     polygon MVT paths: bbox columns -> tile index ranges (column math) ->
     sequence+explode -> per-tile window rank to ``cap``. Returns the
-    ranked (tile_id, fid, payload..., tx, ty, rn, n_total) frame and the
-    count of oversize-dropped features (raise/skip per ``oversize``)."""
+    ranked (tile_id, fid, payload..., tx, ty, rn, n_total) frame, the
+    eager oversize-dropped count (0, for 'raise' — a nonzero count raised;
+    None for 'skip', where no plan-build job runs), and the lazy 1-row
+    count aggregate for _attach_oversize."""
     from pyspark.sql import Window
 
     if oversize not in ("raise", "skip"):
@@ -554,12 +574,20 @@ def _bbox_tile_fanout(
         (F.col("xmax") - F.col("xmin") + 1) * (F.col("ymax") - F.col("ymin") + 1),
     )
     oversized = sized.filter(F.col("n_tiles") > max_cover)
-    n_over = oversized.count()  # driver-side scalar, aggregate only
-    if n_over and oversize == "raise":
-        raise ValueError(
-            f"{n_over} {what} cover > {max_cover} tiles at z{zoom} "
-            "(raise max_cover, lower zoom, or pass oversize='skip')"
-        )
+    if oversize == "raise":
+        # eager: fail-fast BEFORE the fan-out job is the documented
+        # semantics of 'raise'
+        n_over = oversized.count()
+        if n_over:
+            raise ValueError(
+                f"{n_over} {what} cover > {max_cover} tiles at z{zoom} "
+                "(raise max_cover, lower zoom, or pass oversize='skip')"
+            )
+    else:
+        # 'skip' (ADVICE r5): no plan-build-time Spark job — the count is
+        # attached lazily by the caller as a broadcast 1-row aggregate, so
+        # a /tiles/{z}/{x}/{y} request runs ONE action instead of three
+        n_over = None
     fanned = (
         sized.filter(F.col("n_tiles") <= max_cover)
         .withColumn("tx", F.explode(F.sequence("xmin", "xmax")))
@@ -579,7 +607,7 @@ def _bbox_tile_fanout(
         .withColumn("n_total", F.count("*").over(wc))
         .filter(F.col("rn") <= cap)
     )
-    return ranked, n_over
+    return ranked, n_over, oversized.agg(F.count("*").alias("n_oversize"))
 
 
 def tile_vectors_relations(
@@ -609,7 +637,7 @@ def tile_vectors_relations(
     payload = ["min_lon", "min_lat", "max_lon", "max_lat"]
     if tags_col is not None:
         payload.append(tags_col)
-    ranked, n_over = _bbox_tile_fanout(
+    ranked, n_over, over_cnt = _bbox_tile_fanout(
         relations, zoom, cap, max_cover, oversize, payload, "relations"
     )
     has_attrs = tags_col is not None
@@ -661,16 +689,17 @@ def tile_vectors_relations(
                 "ty": [tid & ((1 << 29) - 1)],
                 "n_features": [len(feats)],
                 "n_total": [int(pdf["n_total"].iloc[0])],
-                "n_oversize": [int(n_over)],
+                "n_oversize": [int(n_over or 0)],
                 "mvt": [blob],
             }
         )
 
-    return ranked.groupBy("tile_id").applyInPandas(
+    out = ranked.groupBy("tile_id").applyInPandas(
         render,
         "tile_id long, zoom int, tx int, ty int, n_features int, "
         "n_total long, n_oversize long, mvt binary",
     )
+    return _attach_oversize(out, n_over, over_cnt)
 
 
 # ---------------------------------------------------------------------------

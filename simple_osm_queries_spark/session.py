@@ -34,6 +34,17 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # allow shuffled-hash join where its size conditions hold (guide
+        # §3.1): the dedup/LSH bucket self-joins and candidate joins are
+        # equi-joins of mid-sized tables where SMJ's two 16M-row sorts are
+        # pure overhead (measured: 1M-doc minhash bucket join 3.4 -> 2.7 s
+        # warm). Per-partition build sides stay small (rows/shuffle
+        # partitions); AQE skew splitting still applies.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # fork Python workers from a daemon that has numpy/pandas/pyarrow
+        # preloaded (see pydaemon.py): first-Python-stage cost at
+        # local[32] drops ~9 s -> ~1 s; no behavior change
+        .config("spark.python.daemon.module", "simple_osm_queries_spark.pydaemon")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SOQ_DRIVER_MEM", "8g"))
         # wide whole-stage-codegen methods (e.g. a literal polygon catalog's

@@ -69,16 +69,15 @@ def to_geojson_capped(result: DataFrame, max_rows: int) -> dict:
                 break
             feats.append(_feature_dict(row))
     finally:
-        if truncated:
-            # breaking out of toLocalIterator leaves the serving socket and
-            # the remaining partition jobs alive until GC; repeated truncated
-            # queries under the threaded HTTP server would accumulate
-            # abandoned collect jobs (ADVICE r4). The iterator is a plain
-            # generator — close() tears the connection down eagerly.
-            try:
-                it.close()
-            except Exception:
-                pass  # older PySpark iterators may not support close()
+        # close UNCONDITIONALLY (ADVICE r5): breaking out of (or raising
+        # inside) toLocalIterator leaves the serving socket and the
+        # remaining partition jobs alive until GC; repeated truncated or
+        # failing queries under the threaded HTTP server would accumulate
+        # abandoned collect jobs. close() after exhaustion is a no-op.
+        try:
+            it.close()
+        except Exception:
+            pass  # older PySpark iterators may not support close()
     fc: dict = {"type": "FeatureCollection", "features": feats}
     if truncated:
         fc["truncated"] = True
