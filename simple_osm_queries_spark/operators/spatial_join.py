@@ -159,6 +159,21 @@ def point_in_polygon_literal_join(
                      composite would fall back to interpreted eval (~12s)
     """
     assert polygons, "empty polygon list"
+    # union-bbox prefilter (r6): rows outside every polygon's bbox can
+    # never match (both paths below drop non-matches), so a codegen JVM
+    # range filter runs first — for the >2-polygon Arrow path this cuts
+    # the rows (and bytes) crossing the Python boundary before the mask
+    # UDF (guide §4.1: pass only what the function needs, in rows too)
+    u_mnx = min(p[0] for _, ring in polygons for p in ring)
+    u_mxx = max(p[0] for _, ring in polygons for p in ring)
+    u_mny = min(p[1] for _, ring in polygons for p in ring)
+    u_mxy = max(p[1] for _, ring in polygons for p in ring)
+    points = points.filter(
+        (points[lon] >= F.lit(u_mnx))
+        & (points[lon] <= F.lit(u_mxx))
+        & (points[lat] >= F.lit(u_mny))
+        & (points[lat] <= F.lit(u_mxy))
+    )
     if len(polygons) <= 2:
         hits = []
         for qid, ring in polygons:
