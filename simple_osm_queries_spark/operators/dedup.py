@@ -866,7 +866,7 @@ def embedding_near_dups(
     sig_bits: int = 64,
     chunks: int = 4,
     max_bucket: int | None = 100_000,
-    verify: str = "auto",
+    verify: str = "join",
     broadcast_verify_bytes: int = 256 * 1024 * 1024,
 ) -> DataFrame:
     """Cosine >= threshold pairs: hyperplane-LSH chunk candidates, exact
@@ -874,19 +874,23 @@ def embedding_near_dups(
     precision (verification).
 
     ``verify``: how candidate pairs get their exact cosine —
-    'join' re-attaches both vectors via two equi-joins (the any-scale
-    path: shuffle bytes ~ |candidates| x 2 x dim); 'broadcast' collects
-    the (id, vector) table once, broadcasts it, and each Arrow batch
-    GATHERS rows by searchsorted id lookup — candidates then cross the
-    boundary as 16-byte id pairs instead of 0.5 KB vector pairs (guide
-    §2.3 "shuffle keys, not payloads"; measured ~6.4 -> ~3.8 s end-to-end
-    at 250k x 64-d with 3.8M candidate pairs); 'auto' (default) picks 'broadcast'
-    when the optimizer's size estimate for the vector table is under
-    ``broadcast_verify_bytes`` (same decision shape as a broadcast join).
-    Both paths build the per-pair (n, dim) float64 matrices the same way
-    before the same einsum calls, so cosines are bit-identical. The
-    broadcast path requires unique ids (duplicate ids would be
-    join-multiplied in the 'join' path, gathered-once here).
+    'join' (default) re-attaches both vectors via two equi-joins (the
+    any-scale path: shuffle bytes ~ |candidates| x 2 x dim); 'broadcast'
+    collects the (id, vector) table once, broadcasts it, and each Arrow
+    batch GATHERS rows by searchsorted id lookup — candidates then cross
+    the boundary as 16-byte id pairs instead of 0.5 KB vector pairs
+    (guide §2.3 "shuffle keys, not payloads"; verify stage 5.7 -> 3.1 s
+    in a clean-session A/B at 250k x 64-d with 3.8M candidate pairs);
+    'auto' picks 'broadcast' when the optimizer's size estimate for the
+    vector table is under ``broadcast_verify_bytes``. The broadcast path
+    is NOT the default because every forked Python worker holds the full
+    float64 matrix (local[32]: 32 x 128 MB at 250k x 64-d) — measured
+    24.9 s mid-bench under cache pressure vs 6.8 s for 'join'; prefer it
+    only with few workers per host or small tables. Both paths build the
+    per-pair (n, dim) float64 matrices the same way before the same
+    einsum calls, so cosines are bit-identical. The broadcast path
+    requires unique long ids (duplicate ids would be join-multiplied in
+    the 'join' path, gathered-once here).
 
     Shuffle shape: candidate generation (chunk explode x`chunks`, the
     equi-join, and the distinct) carries ONLY (id, chunk, val) — 24 bytes a
