@@ -209,7 +209,14 @@ def cell_h3(lon: Column, lat: Column, res: int = 8) -> Column:
         cells = _h3impl.lnglat_to_cell(lo.to_numpy(), la.to_numpy(), res)
         return pd.Series(cells.view("int64"))
 
-    return _enc(lon, lat)
+    # asNondeterministic (guide §4.4): consumers equi-join or filter on
+    # the encoded cell column, and Catalyst pushes the join key's
+    # isnotnull below the projection, DUPLICATING the encode over the
+    # whole table (captured: pip_h3 plans carried two ArrowEvalPython
+    # nodes for one encode; 10M-row re-encode paid twice). The encode is
+    # deterministic in fact, so results are unchanged — the flag only
+    # pins a single evaluation.
+    return _enc.asNondeterministic()(lon, lat)
 
 
 def cell_s2(lon: Column, lat: Column, level: int = 12) -> Column:

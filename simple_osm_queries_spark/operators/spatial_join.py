@@ -139,7 +139,13 @@ def point_in_polygon_mask_np(
             mask[cand] |= inside.astype(np.int64) << j
         return pd.Series(mask)
 
-    return _mask(lon, lat)
+    # asNondeterministic (guide §4.4): callers filter on the mask column,
+    # and Catalyst otherwise pushes that filter BELOW the projection and
+    # duplicates the UDF — the captured r6 plan showed two ArrowEvalPython
+    # nodes, i.e. every row paid the ray cast twice. Marking it
+    # non-deterministic pins one evaluation; the value is deterministic in
+    # fact, so results are unchanged.
+    return _mask.asNondeterministic()(lon, lat)
 
 
 def point_in_polygon_literal_join(
