@@ -489,7 +489,10 @@ def _jaccard_est_binary(num_perm: int) -> "Column":
         vb = np.frombuffer(b"".join(b), dtype=np.uint32).reshape(-1, num_perm)
         return pd.Series((va == vb).mean(axis=1))
 
-    return _est
+    # asNondeterministic (guide §4.4): callers filter on the estimate, and
+    # the pushed-down predicate would evaluate the UDF twice per pair; the
+    # function is deterministic in fact, the flag only pins one evaluation
+    return _est.asNondeterministic()
 
 
 def md5_shingle_hashes_col(text: Column, n: int = 3) -> Column:
@@ -830,7 +833,9 @@ def pairwise_cosine_udf() -> "F.Column":
         nb = np.sqrt(np.einsum("ij,ij->i", b, b))
         return pd.Series(dots / (na * nb))
 
-    return _cos
+    # asNondeterministic (guide §4.4): the cosine threshold filter would
+    # otherwise be pushed below the projection and score every pair twice
+    return _cos.asNondeterministic()
 
 
 def hyperplane_signature_col(vec: Column, dim: int, bits: int = 32, seed: int = 42) -> Column:
@@ -854,7 +859,10 @@ def hyperplane_signature_col(vec: Column, dim: int, bits: int = 32, seed: int = 
         sig = (pos.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
         return pd.Series(sig.view(np.int64))
 
-    return _sig(vec)
+    # asNondeterministic (guide §4.4): consumers equi-join and filter on
+    # chunk values derived from the signature; pushed-down isnotnull/
+    # equality predicates would re-run the matmul per consumer side
+    return _sig.asNondeterministic()(vec)
 
 
 def embedding_near_dups(
