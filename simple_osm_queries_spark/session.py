@@ -45,6 +45,19 @@ def get_spark(
         # preloaded (see pydaemon.py): first-Python-stage cost at
         # local[32] drops ~9 s -> ~1 s; no behavior change
         .config("spark.python.daemon.module", "simple_osm_queries_spark.pydaemon")
+        # make THIS package importable in python workers regardless of the
+        # launch cwd: both the daemon module above and the operator UDF
+        # bodies (which import from the package on the worker) need it on
+        # the worker PYTHONPATH; merged with pyspark's own paths
+        .config(
+            "spark.executorEnv.PYTHONPATH",
+            os.pathsep.join(
+                p for p in (
+                    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    os.environ.get("PYTHONPATH", ""),
+                ) if p
+            ),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SOQ_DRIVER_MEM", "8g"))
         # wide whole-stage-codegen methods (e.g. a literal polygon catalog's
