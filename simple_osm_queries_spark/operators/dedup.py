@@ -1123,20 +1123,35 @@ def connected_components(
             ),
         )
 
-    def _fingerprint(g: DataFrame):
-        # cheap stability detector: (edge count, sum a, sum b). Both star
-        # steps only rewire edges toward component minima, so a stable
-        # triple across a full LS+SS round means the star fixpoint.
-        r = g.agg(
-            F.count("*").alias("n"),
-            F.sum(F.col("a").cast("decimal(38,0)")).alias("sa"),
-            F.sum(F.col("b").cast("decimal(38,0)")).alias("sb"),
-        ).first()
-        return (r.n, r.sa, r.sb)
+    def _is_star_forest(g: DataFrame) -> bool:
+        # EXACT fixpoint test on the oriented table (r6, replaces the r5
+        # fingerprint-stability check that needed one extra confirming
+        # LS+SS round): the iteration's fixpoints are precisely star
+        # forests rooted at component minima, i.e. (1) no node appears on
+        # both the hi and the lo side, and (2) no hi node points at two
+        # hubs. One unpivot+aggregate job over the checkpointed table —
+        # a violation short-circuits via limit(1). On star form, LS maps
+        # every edge (m, r) to itself (the root has no smaller neighbor)
+        # and SS re-emits (m, min{r}) = (m, r), so star form <=> no
+        # further change — detection fires in the round that PRODUCES the
+        # fixpoint instead of the round after (measured: one full round
+        # saved on every converging input).
+        t = g.select(F.col("a").alias("n"), F.lit(1).alias("h")).unionByName(
+            g.select(F.col("b").alias("n"), F.lit(0).alias("h"))
+        )
+        bad = (
+            t.groupBy("n")
+            .agg(F.sum("h").alias("nh"), F.min("h").alias("mn"), F.max("h").alias("mx"))
+            .filter(((F.col("mn") == 0) & (F.col("mx") == 1)) | (F.col("nh") > 1))
+            .limit(1)
+            .count()
+        )
+        return bad == 0
 
-    prev = _fingerprint(edges)
-    converged = False
+    converged = _is_star_forest(edges)
     for _ in range(max_iter):
+        if converged:
+            break
         # LARGE-STAR: per center c, neighbors n > c rewire to
         # m(c) = min(neighbors(c) + {c}). On oriented rows: m(c) =
         # coalesce(min smaller neighbor, c) (larger neighbors are never
@@ -1174,11 +1189,7 @@ def connected_components(
         )
         _free(prev_edges)
         g1.unpersist()
-        cur = _fingerprint(edges)
-        if cur == prev:
-            converged = True
-            break
-        prev = cur
+        converged = _is_star_forest(edges)
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "
