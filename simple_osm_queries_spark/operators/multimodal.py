@@ -504,9 +504,11 @@ def geotag_points(df: DataFrame, on_error: str = "raise") -> DataFrame:
 def strip_exif(df: DataFrame, on_error: str = "raise") -> DataFrame:
     """Pre-publication metadata scrub: ``(image_id, bytes)`` with every
     APP1..APP15 + COM segment removed from JPEG rows (GPS/Exif is the
-    canonical location-PII leak in an image corpus); the entropy-coded
-    image data passes through byte-identical, non-JPEG rows pass through
-    untouched. Join back on image_id to rebuild a full table."""
+    canonical location-PII leak in an image corpus) except the PII-free
+    color-critical Adobe APP14 / APP2 ICC payloads (see
+    ``exif.strip_metadata``); the entropy-coded image data passes through
+    byte-identical, non-JPEG rows pass through untouched. Join back on
+    image_id to rebuild a full table."""
     _check_on_error(on_error)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

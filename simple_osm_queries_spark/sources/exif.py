@@ -314,12 +314,24 @@ def strip_metadata(jpeg: bytes) -> bytes:
     """Drop every APP1..APP15 and COM segment (keep APP0/JFIF and all
     codec-bearing segments) — the pre-publication scrub that removes GPS
     and other PII-bearing metadata while leaving the entropy-coded image
-    byte-identical."""
+    byte-identical.
+
+    Two color-critical (and PII-free) APPn payloads are whitelisted: the
+    Adobe APP14 transform flag (without it a conformant decoder may
+    misread the component transform of Adobe-encoded streams, changing
+    the rendered colors of byte-identical entropy data) and APP2 ICC
+    profiles (color space definition). Every other APPn/COM payload —
+    Exif, XMP, Photoshop IRB, comments — is dropped."""
     out = bytearray(b"\xff\xd8")
     tail_from = len(jpeg)
     for marker, s, epos in _segments(jpeg):
         if 0xE1 <= marker <= 0xEF or marker == 0xFE:
-            continue
+            payload = jpeg[s + 4 : epos]
+            keep_color = (
+                marker == 0xEE and payload[:5] == b"Adobe"
+            ) or (marker == 0xE2 and payload[:12] == b"ICC_PROFILE\x00")
+            if not keep_color:
+                continue
         out += jpeg[s:epos]
         if marker == 0xDA:
             tail_from = epos

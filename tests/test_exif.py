@@ -117,6 +117,37 @@ def test_strip_metadata():
     assert set(markers) >= ({0xE0} & set(m for m, _s, _e in exif._segments(jpg)))
 
 
+def test_strip_metadata_keeps_color_segments():
+    """ADVICE r5: the scrub must keep the Adobe APP14 transform flag and
+    APP2 ICC profiles (color-critical, PII-free) while still dropping
+    Exif/COM/other APPn payloads."""
+    import struct
+
+    jpg, _ = _jpeg(9)
+    j2 = exif.insert_exif(jpg, 53.5, 10.0, 6)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    adobe = seg(0xEE, b"Adobe" + b"\x00\x64\x00\x00\x00\x00\x01")
+    icc = seg(0xE2, b"ICC_PROFILE\x00\x01\x01" + b"\x00" * 16)
+    fpx = seg(0xE2, b"FPXR\x00" + b"\x00" * 8)  # non-ICC APP2: must drop
+    com = seg(0xFE, b"a comment")
+    # splice after SOI, before the rest of the header
+    j3 = j2[:2] + adobe + icc + fpx + com + j2[2:]
+    j4 = exif.strip_metadata(j3)
+    kept = [
+        (m, j4[s + 4 : s + 16]) for m, s, _e in exif._segments(j4)
+        if 0xE1 <= m <= 0xEF or m == 0xFE
+    ]
+    assert (0xEE, adobe[4:16]) in [(m, p[: len(adobe[4:16])]) for m, p in kept]
+    assert any(m == 0xE2 and p.startswith(b"ICC_PROFILE\x00") for m, p in kept)
+    assert not any(m == 0xE1 or m == 0xFE for m, p in kept)
+    assert not any(m == 0xE2 and p.startswith(b"FPXR") for m, p in kept)
+    assert exif.parse_exif(j4) == {"lat": None, "lon": None, "orientation": None}
+    assert np.array_equal(codecs.decode_image(j4, "jpeg"), codecs.decode_image(jpg, "jpeg"))
+
+
 def test_bad_inputs_rejected():
     jpg, _ = _jpeg(6)
     with pytest.raises(ValueError):
