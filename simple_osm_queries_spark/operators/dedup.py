@@ -1090,10 +1090,16 @@ def connected_components(
     if checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
-    def _ckpt(df: DataFrame) -> DataFrame:
+    def _ckpt(df: DataFrame, eager: bool = True) -> DataFrame:
+        # eager=False marks the plan for checkpointing and lets the NEXT
+        # action over it materialize the blocks (RDD checkpointing fires at
+        # the end of any job that computes the marked RDD; the star-form
+        # check's groupBy consumes every partition, so nothing is left
+        # uncomputed). Fusing the materialization into the check saves one
+        # scheduled job per round (r6 continuation; measured below).
         if checkpoint_dir is not None:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+            return df.checkpoint(eager=eager)
+        return df.localCheckpoint(eager=eager)
 
     def _free(df: DataFrame) -> None:
         # DataFrame.unpersist() only clears cache-manager entries; a
@@ -1107,10 +1113,12 @@ def connected_components(
     e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     # all input nodes (star rewiring can drop a component's ROOT from the
     # edge table once the component is a star - it must still get a label)
+    # lazy: materialized by the final labels checkpoint (the only consumer)
     nodes = _ckpt(
         e.select(F.col("a").alias("node"))
         .unionByName(e.select(F.col("b").alias("node")))
-        .distinct()
+        .distinct(),
+        eager=False,
     )
     # ORIENTED canonical edge table: one row (a, b) with a > b per
     # undirected edge (r6, guide §2.3 "shuffle fewer bytes"): both star
@@ -1121,12 +1129,14 @@ def connected_components(
     # step is already
     # oriented (rewiring always points at a smaller node), so only the
     # small-star output needs re-canonicalization.
+    # lazy: the star-form check below materializes the blocks in ITS job
     edges = _ckpt(
         e.select(
             F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
         )
         .filter(F.col("a") != F.col("b"))
-        .distinct()
+        .distinct(),
+        eager=False,
     )
 
     def _labels_of(g: DataFrame) -> DataFrame:
@@ -1200,16 +1210,21 @@ def connected_components(
             )
         )
         prev_edges = edges
+        # lazy checkpoint + check-first ordering: the star-form check's job
+        # materializes this round's blocks (one job where eager ckpt + check
+        # were two); the previous round and g1 are freed only AFTER the new
+        # round is materialized — their blocks feed its lineage
         edges = _ckpt(
             ss.select(
                 F.greatest("x", "m").alias("a"), F.least("x", "m").alias("b")
             )
             .filter(F.col("a") != F.col("b"))
-            .distinct()
+            .distinct(),
+            eager=False,
         )
+        converged = _is_star_forest(edges)
         _free(prev_edges)
         g1.unpersist()
-        converged = _is_star_forest(edges)
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "
